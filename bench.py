@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is collected (driver-side materialization) so the timing
+covers scan → shuffle → result, not just plan construction. A warmup
+query runs first so JVM/codegen startup isn't billed to the first
+benchmark entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from sensor_data_pipeline___spark.queries import QUERIES
+from sensor_data_pipeline___spark.session import get_spark
+
+#: Headline set: the flagship serving query, the heavy relational
+#: shapes, and one of each training-data operator family.
+BENCH_QUERIES = [
+    "serving_union",
+    "gold_daily_power",
+    "silver_parse",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "window_topk_orders",
+    "rollup_lineitem",
+    "dedup_exact",
+    "text_quality",
+    "minhash_near_dup",
+    "similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES["in_list_filter"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

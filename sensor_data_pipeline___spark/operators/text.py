@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines: quality
+scoring, token counting, language-ID heuristic, fingerprinting.
+
+Everything is built-in column expressions (split / transform / filter /
+aggregate) — narrow ops that stay inside whole-stage codegen; no Python
+in the per-document path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword profiles for the n-gram/stopword
+#: language-ID heuristic (public-knowledge common words).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "es": ["el", "la", "de", "que", "los", "un", "es"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ["that", "for", "on", "with", "as"]
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features: token count, average token length,
+    stopword ratio. Mirrors the DuckDB oracle in queries.py exactly
+    (same stopword list, same rounding)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    avg_token_len = F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_tokens.cast(
+        "double"
+    )
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
+    return docs.select(
+        id_col,
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(stop / n_tokens.cast("double"), 6).alias("stopword_ratio"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate
+    (word-chunks + punctuation via regex extraction — a deterministic
+    stand-in for a real tokenizer at 4 chars/token granularity)."""
+    ws = F.size(F.split(F.col(text_col), r"\s+"))
+    # chunk every word into <=4-char pieces, count pieces + punctuation
+    bpe_ish = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\w{1,4}|[^\w\s]"), 0)
+    )
+    return docs.select(
+        id_col, ws.alias("ws_tokens"), bpe_ish.alias("bpe_ish_tokens")
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID: score = per-language stopword hit
+    count over the token set; prediction = argmax (ties → language name
+    order). Returns (id, pred_lang, best_score)."""
+    toks = F.array_distinct(_tokens(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        *[
+            F.size(F.filter(toks, lambda t, ws=words: t.isin(*ws))).alias(f"_s_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    langs = list(LANG_STOPWORDS)
+    # argmax via array_max over (score, lang) structs — struct comparison
+    # is field-order lexicographic, so ties on score resolve to the
+    # lexicographically greatest language code (stable, documented).
+    score_struct = F.array(
+        *[
+            F.struct(F.col(f"_s_{lang}").alias("score"), F.lit(lang).alias("lang"))
+            for lang in langs
+        ]
+    )
+    best = F.array_max(score_struct)
+    return scored.select(
+        id_col,
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("best_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: md5 (exact identity) + xxhash64 (cheap
+    64-bit) + a rolling-window hash over 8-token windows (shingle
+    fingerprint for containment checks)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 8, F.lit(0)))
+    window_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 8)))
+    )
+    return docs.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("md5"),
+        F.xxhash64(F.col(text_col)).alias("xxh64"),
+        F.array_min(window_hashes).alias("min_window_hash"),
+    )

@@ -1,0 +1,805 @@
+"""The engine's query surface: one named query per implemented operator
+group from SURVEY.md §2, each with a DuckDB oracle SQL twin.
+
+Contract (driver: /root/repo/__spark_entry__.py): every entry in
+``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``; ``ORACLE``
+holds the equivalent SQL DuckDB runs on the same parquet tables
+(pre-registered views). The driver compares row-count + schema +
+order-insensitive value hash, with columns sorted by name — so every
+computed column is aliased identically on both sides.
+
+Determinism rules used throughout (SURVEY.md §7.3):
+- wall-clock audit columns (processed_at / calculated_at) are excluded;
+- timestamps and dates are emitted as formatted strings (Spark
+  session TZ is pinned UTC; DuckDB timestamps are UTC-naive);
+- aggregated doubles are rounded (summation order differs between
+  engines; elementwise arithmetic is bit-identical IEEE and needs no
+  rounding);
+- every top-k has a total deterministic tiebreak.
+
+Sensor-domain mapping (FIXTURES.md §6): the ``events`` table plays
+``silver.stg_readings`` — ``ts → reading_time``, ``event_type →
+metric_name``, ``value → metric_value`` — with 'click'/'view' standing
+in for Voltage/Current in the daily-power mart.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.operators.gold import silver_to_gold
+from sensor_data_pipeline___spark.operators.silver import bronze_to_silver
+from sensor_data_pipeline___spark.session import apply_runtime_confs
+from sensor_data_pipeline___spark.sources import readers
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return readers.table(spark, name, sf_dir)
+
+
+def events_as_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table in silver.stg_readings shape."""
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("raw_id"),
+        F.col("ts").alias("reading_time"),
+        F.col("event_type").alias("metric_name"),
+        F.col("value").alias("metric_value"),
+        F.to_date("ts").alias("reading_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (sensor medallion over `events`)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "silver_parse",
+    # Raw lines reconstructed deterministically from events (integer
+    # value = user_id so double→string formatting can't diverge), then
+    # parsed with the reference's SQL-path semantics: SPLIT_PART on
+    # single space + regex validation + casts (stg_readings.sql:41-99).
+    f"""
+    WITH bronze AS (
+      SELECT event_id AS id,
+             floor(epoch(ts))::BIGINT::VARCHAR || ' ' || event_type || ' ' ||
+               user_id::VARCHAR AS raw_line
+      FROM events
+    ), tok AS (
+      SELECT id, split_part(raw_line, ' ', 1) AS ts_str,
+             split_part(raw_line, ' ', 2) AS name_str,
+             split_part(raw_line, ' ', 3) AS val_str
+      FROM bronze
+      WHERE raw_line IS NOT NULL AND length(trim(raw_line)) > 0
+    )
+    SELECT id AS raw_id,
+           strftime(to_timestamp(ts_str::BIGINT), '{_TS_FMT_DUCK}') AS reading_time,
+           name_str AS metric_name,
+           val_str::DOUBLE AS metric_value,
+           strftime(to_timestamp(ts_str::BIGINT), '%Y-%m-%d') AS reading_date
+    FROM tok
+    WHERE regexp_matches(ts_str, '^\\d+$')
+      AND regexp_matches(name_str, '^[A-Za-z]')
+      AND regexp_matches(val_str, '^-?\\d+\\.?\\d*$')
+    """,
+)
+def q_silver_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bronze = ev.select(
+        F.col("event_id").alias("id"),
+        F.concat_ws(
+            " ",
+            F.unix_timestamp("ts").cast("string"),
+            F.col("event_type"),
+            F.col("user_id").cast("string"),
+        ).alias("raw_line"),
+        F.current_timestamp().alias("ingested_at"),
+    )
+    silver = bronze_to_silver(bronze)
+    return silver.select(
+        "raw_id",
+        F.date_format("reading_time", _TS_FMT_SPARK).alias("reading_time"),
+        "metric_name",
+        "metric_value",
+        F.date_format("reading_date", "yyyy-MM-dd").alias("reading_date"),
+    )
+
+
+@_register(
+    "gold_daily_power",
+    # The mart: AVG(click)×AVG(view) per day, only days with both
+    # (mart_daily_power.sql:49-87; F3+A1+P9+F5+P7+P8).
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS reading_date,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS avg_a,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS avg_b
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    )
+    SELECT 'Power' AS metric_name,
+           round(avg_a * avg_b, 6) AS metric_value,
+           strftime(reading_date, '%Y-%m-%d') AS reading_date,
+           strftime(CAST(reading_date AS TIMESTAMP), '{_TS_FMT_DUCK}') AS reading_time
+    FROM daily
+    WHERE avg_a IS NOT NULL AND avg_b IS NOT NULL
+    """,
+)
+def q_gold_daily_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver = events_as_readings(spark, sf_dir)
+    gold = silver_to_gold(silver, "click", "view")
+    return gold.select(
+        "metric_name",
+        F.round("metric_value", 6).alias("metric_value"),
+        F.date_format("reading_date", "yyyy-MM-dd").alias("reading_date"),
+        F.date_format("reading_time", _TS_FMT_SPARK).alias("reading_time"),
+    )
+
+
+@_register(
+    "serving_union",
+    # GET /data flagship: (silver σ_range ∪ALL gold σ_range) ordered by
+    # (time, name), wire-formatted with ms-truncated ISO strings
+    # (readings.py:32-46, data.py:104-153; F4+F8+U1+O1+P12).
+    """
+    WITH gold AS (
+      SELECT 'Power' AS metric_name,
+             avg(CASE WHEN event_type = 'click' THEN value END)
+               * avg(CASE WHEN event_type = 'view' THEN value END) AS metric_value,
+             CAST(ts AS DATE) AS reading_date,
+             CAST(CAST(ts AS DATE) AS TIMESTAMP) AS reading_time
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY CAST(ts AS DATE)
+      HAVING avg(CASE WHEN event_type = 'click' THEN value END) IS NOT NULL
+         AND avg(CASE WHEN event_type = 'view' THEN value END) IS NOT NULL
+    ), unioned AS (
+      SELECT ts AS reading_time, event_type AS metric_name, value AS metric_value
+      FROM events
+      WHERE CAST(ts AS DATE) >= DATE '2024-01-10' AND CAST(ts AS DATE) < DATE '2024-01-21'
+      UNION ALL
+      SELECT reading_time, metric_name, metric_value
+      FROM gold
+      WHERE reading_date >= DATE '2024-01-10' AND reading_date < DATE '2024-01-21'
+    )
+    SELECT substr(strftime(reading_time, '%Y-%m-%dT%H:%M:%S.%f'), 1, 23) || 'Z' AS time,
+           metric_name AS name,
+           round(metric_value, 6) AS value
+    FROM unioned
+    ORDER BY reading_time, metric_name
+    """,
+)
+def q_serving_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.serving import (
+        readings_by_date_range,
+        to_wire_format,
+    )
+
+    silver = events_as_readings(spark, sf_dir)
+    gold = silver_to_gold(silver, "click", "view")
+    served = readings_by_date_range(silver, gold, "2024-01-10", "2024-01-20")
+    return to_wire_format(served).select(
+        "time", "name", F.round("value", 6).alias("value")
+    )
+
+
+@_register(
+    "watermark_incremental",
+    # J1: scalar-subquery watermark — rows newer than (max ts − 7 days)
+    # (stg_readings.sql:32-38 re-expressed event-time).
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("wm"))
+    return (
+        ev.join(F.broadcast(wm))
+        .filter(F.col("ts") > F.col("wm"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@_register(
+    "affected_days_recompute",
+    # J2: full-day recompute of any day that received data in the last 7
+    # event-time days — left-semi join on the affected-day set
+    # (mart_daily_power.sql:36-46).
+    """
+    WITH affected AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS reading_date
+      FROM events
+      WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    )
+    SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS reading_date,
+           e.event_type,
+           count(*) AS n,
+           round(avg(e.value), 6) AS avg_value
+    FROM events e
+    WHERE CAST(e.ts AS DATE) IN (SELECT reading_date FROM affected)
+    GROUP BY 1, 2
+    """,
+)
+def q_affected_days_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("wm"))
+    affected = (
+        ev.join(F.broadcast(wm))
+        .filter(F.col("ts") > F.col("wm"))
+        .select(F.to_date("ts").alias("reading_date"))
+        .distinct()
+    )
+    return (
+        ev.withColumn("reading_date", F.to_date("ts"))
+        .join(F.broadcast(affected), "reading_date", "left_semi")
+        .groupBy("reading_date", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format("reading_date", "yyyy-MM-dd").alias("reading_date"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+@_register(
+    "coalesce_last_purchase",
+    # P10: COALESCE(MAX(...), epoch floor) per user (stg_readings.sql:35).
+    f"""
+    SELECT user_id,
+           strftime(coalesce(max(CASE WHEN event_type = 'purchase' THEN ts END),
+                             TIMESTAMP '1970-01-01 00:00:00'), '{_TS_FMT_DUCK}')
+             AS last_purchase_at
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_coalesce_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.date_format(
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.lit("1970-01-01 00:00:00").cast("timestamp"),
+            ),
+            _TS_FMT_SPARK,
+        ).alias("last_purchase_at")
+    )
+
+
+@_register(
+    "in_list_filter",
+    # F3: metric IN-list (mart_daily_power.sql:34).
+    """
+    SELECT event_type, count(*) AS n
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+)
+def q_in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "distinct_projection",
+    # A3: SELECT DISTINCT (mart_daily_power.sql:39).
+    "SELECT DISTINCT event_type FROM events",
+)
+def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Relational / analytics surface (TPC-H-ish star schema)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    # TPC-H Q1 shape: 2-key groupBy, 8 aggregates, pushed-down date
+    # filter. Map-side partial aggregation; one shuffle.
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_top_revenue_orders",
+    # TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1996-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@_register(
+    "q5_region_revenue",
+    # TPC-H Q5 shape: 6-way join through the dimension chain; small dims
+    # broadcast (nation/region are KB-sized at any SF).
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "semi_join_active_customers",
+    # Left-semi join (EXISTS) — J2's physical shape.
+    """
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_register(
+    "anti_join_inactive_customers",
+    # Left-anti join (NOT EXISTS).
+    """
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_register(
+    "date_range_orders",
+    # F4: half-open date-range filter + agg (readings.py:37,43 pattern).
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_date_range_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@_register(
+    "window_topk_orders",
+    # Top-3 orders per customer by totalprice — Window + row_number with
+    # a total deterministic tiebreak (capability beyond the reference,
+    # SURVEY.md §2.8).
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+      FROM orders
+    )
+    WHERE rank_in_cust <= 3
+    """,
+)
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+@_register(
+    "window_running_total",
+    # Running sum per customer in (date, orderkey) order — identical
+    # accumulation order on both engines, so values match bit-for-bit;
+    # rounded anyway per the determinism rules.
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@_register(
+    "rollup_lineitem",
+    # ROLLUP grouping sets (capability beyond the reference).
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    # Exact dedup: canonical representative (min doc_id) per identical
+    # text, plus group size. Hash-groupBy — one shuffle on the text key
+    # (at 100 TB: group by a 128-bit text hash instead of the full text
+    # to bound shuffle width; same result, see operators/dedup.py).
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_token_set",
+    # Bag-of-words dedup: documents with identical distinct-token SETS
+    # are duplicates (word-order-insensitive exact dedup — the n-gram
+    # Jaccard=1.0 special case, cheap enough for an exact oracle).
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY list_sort(list_distinct(string_split(text, ' ')))
+    """,
+)
+def q_dedup_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    key = F.sort_array(F.array_distinct(F.split(F.col("text"), " ")))
+    return (
+        docs.groupBy(key.alias("_token_set"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+@_register(
+    "text_quality",
+    # Quality scoring: token count, avg token length, stopword ratio —
+    # pure column expressions (no UDFs), one narrow pass.
+    """
+    WITH toks AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS toks, text
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           len(toks) AS n_tokens,
+           round(length(replace(text, ' ', '')) / len(toks)::DOUBLE, 6) AS avg_token_len,
+           round(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                 / len(toks)::DOUBLE, 6) AS stopword_ratio
+    FROM toks
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "fingerprint_md5",
+    # Document fingerprinting (content-hash identity column).
+    "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+)
+def q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
+
+
+@_register(
+    "lang_distribution",
+    # Corpus language profile (per-lang doc counts + length stats).
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_register(
+    "similarity_topk",
+    # Brute-force cosine top-5 for 8 query vectors against the corpus.
+    # Elementwise double math in index order on both engines; similarity
+    # rounded to 6 before ranking so ties break identically (vec_id).
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ce
+      FROM embeddings
+    ), sims AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(qe, ce) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                   6) AS cosine
+      FROM q CROSS JOIN c
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(queries, emb, k=5)
+
+
+@_register(
+    "embedding_near_dup",
+    # Embedding-cosine near-dup pairs, label-blocked (the blocking key
+    # bounds the pair space — at 100 TB the block is an LSH bucket
+    # instead of the label; same join shape).
+    """
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.5
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.similarity import near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return near_dup_pairs(emb, block_col="label", threshold=0.5)
+
+
+@_register(
+    "multimodal_binary_meta",
+    # Opaque-binary column plumbing: text→bytes as the stand-in payload,
+    # typed metadata derived JVM-side (octet length). The decode /
+    # feature-extract path is operators/multimodal.py (Pandas-UDF
+    # plumbing, stubbed decoder — no image libs in this container).
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL-expressible oracle; driver records a weaker
+# rows-only check — approximate/hash-seeded algorithms)
+# ---------------------------------------------------------------------------
+
+
+@_register("approx_distinct_users", None)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog++ sketch — approximate by construction, no exact oracle.
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_register("minhash_near_dup", None)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash+LSH near-dup candidates (xxhash64-based signatures — no
+    # DuckDB twin since hash functions differ across engines).
+    from sensor_data_pipeline___spark.operators.dedup import minhash_near_dup
+
+    return minhash_near_dup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.8)
+
+
+@_register("simhash_fingerprint", None)
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64-bit SimHash per document (engine-specific hash function).
+    from sensor_data_pipeline___spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))

@@ -1,0 +1,59 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+The reference stores TIMESTAMPTZ in UTC and serves ISO-8601 UTC strings
+(reference: src/config/settings.py:40-41, src/api/routes/data.py:150-153),
+so the session timezone is pinned to UTC. Dynamic partition overwrite is
+the engine's MERGE stand-in (SURVEY.md §4.2 — no Delta in the
+environment), and AQE is on for the 100 TB design posture.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs that MUST hold for correctness regardless of who built the
+# session (the verification driver passes us its own SparkSession).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime-settable confs on an externally provided session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-runtime-settable in this build — session default applies.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "sensor_pipeline_spark", *, cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the canonical session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    shuffle partitions match cores — at cluster scale this is instead
+    sized so post-shuffle partitions are ~128-256 MB, with AQE coalescing
+    handling the variance.
+    """
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 4)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
