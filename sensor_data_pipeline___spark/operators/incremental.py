@@ -1,0 +1,104 @@
+"""Incremental pipeline runs: the dbt-incremental layer re-expressed as
+watermark-filtered transforms + dynamic partition overwrite
+(SURVEY.md §2.6 M1/M2/M5, §2.4 J1/J2, §4.2).
+
+Semantics matched from the reference:
+
+- **Silver (M1/J1)**: process only bronze rows with
+  ``ingested_at > MAX(silver.processed_at)`` (arrival-time watermark,
+  scalar subquery — stg_readings.sql:32-38); upsert on ``raw_id``
+  (merge — stg_readings.sql:13-23). Emulation: new rows win over
+  existing rows of the touched ``reading_date`` partitions
+  (left-anti + union), partitions rewritten atomically.
+- **Gold (M2/J2)**: recompute ONLY days that received new silver rows
+  since ``MAX(gold.calculated_at)`` — the affected-day semi-join
+  (mart_daily_power.sql:36-46) — but recompute each such day from ALL
+  its silver rows (full-day recompute), then upsert one row per day.
+  Late data for an old date therefore re-opens and corrects that day,
+  with no lateness cutoff — update-mode semantics with an infinite
+  watermark (SURVEY.md §2.8).
+- **Full refresh (M5)**: rebuild from scratch, ignoring watermarks.
+
+Scale posture: the only driver-side values are the two scalar
+watermarks (single-row aggregates). Every data-path operation is a
+DataFrame transform; per-run work is bounded by the touched partitions,
+not table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.operators.gold import silver_to_gold
+from sensor_data_pipeline___spark.operators.silver import bronze_to_silver
+from sensor_data_pipeline___spark.warehouse import BRONZE, GOLD, SILVER, Warehouse
+
+
+def _scalar_watermark(df: DataFrame, col: str):
+    """A2: MAX(col) over the target table — the one permitted
+    driver-side scalar (None on empty table → epoch floor, P10)."""
+    if len(df.take(1)) == 0:
+        return None
+    return df.agg(F.max(col)).first()[0]
+
+
+def run_silver(wh: Warehouse, full_refresh: bool = False) -> int:
+    """Bronze → silver incremental run. Returns rows written."""
+    bronze = wh.read(BRONZE).select("id", "raw_line", "ingested_at")
+    existing = wh.read(SILVER)
+
+    if full_refresh or not wh.exists(SILVER):
+        new_silver = bronze_to_silver(bronze)
+        n = new_silver.count()
+        wh.write(SILVER, new_silver, mode="overwrite", wipe=full_refresh)
+        return n
+
+    wm = _scalar_watermark(existing, "processed_at")
+    if wm is not None:
+        bronze = bronze.filter(F.col("ingested_at") > F.lit(wm))  # J1
+
+    new_silver = bronze_to_silver(bronze)
+    if len(new_silver.take(1)) == 0:
+        return 0  # no new data — a re-run is a no-op (M1 idempotency)
+
+    # M1 merge on raw_id within touched partitions: keep existing rows
+    # that are NOT re-processed (left-anti on the merge key), new rows win.
+    affected = new_silver.select("reading_date").distinct()
+    existing_affected = existing.join(F.broadcast(affected), "reading_date", "left_semi")
+    merged = existing_affected.join(
+        new_silver.select("raw_id"), "raw_id", "left_anti"
+    ).unionByName(new_silver)
+    n = new_silver.count()
+    wh.write(SILVER, merged)  # dynamic overwrite of touched partitions only
+    return n
+
+
+def run_gold(wh: Warehouse, full_refresh: bool = False) -> int:
+    """Silver → gold incremental run. Returns days (re)computed."""
+    silver = wh.read(SILVER)
+
+    if not full_refresh and wh.exists(GOLD):
+        existing = wh.read(GOLD)
+        wm = _scalar_watermark(existing, "calculated_at")
+        if wm is not None:
+            # J2: days with any NEW silver row — then FULL-day recompute
+            affected = (
+                silver.filter(F.col("processed_at") > F.lit(wm))
+                .select("reading_date")
+                .distinct()
+            )
+            silver = silver.join(F.broadcast(affected), "reading_date", "left_semi")
+
+    new_gold = silver_to_gold(silver)
+    n = new_gold.count()
+    if n == 0 and not full_refresh:
+        return 0
+    wh.write(GOLD, new_gold, mode="overwrite", wipe=full_refresh)
+    return n
+
+
+def run_pipeline(wh: Warehouse, full_refresh: bool = False) -> tuple[int, int]:
+    """The hourly DAG body: staging then marts, ordinary call order
+    (reference airflow/dags/sensor_data_pipeline.py:88,101)."""
+    return run_silver(wh, full_refresh), run_gold(wh, full_refresh)

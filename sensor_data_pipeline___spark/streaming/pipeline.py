@@ -1,0 +1,142 @@
+"""Structured Streaming front-end (SURVEY.md §7.1 step 5; the
+BASELINE.json ``spark_approach``).
+
+Two variants over a file-drop directory of plaintext reading lines
+(the streaming analog of the reference's POST /data + hourly Airflow
+DAG — S1 + §3.3):
+
+1. **Correctness-matching path** — ``readStream`` on the drop dir →
+   ``foreachBatch`` running the SAME silver+gold incremental transforms
+   against the warehouse. The streaming checkpoint replaces the J1
+   hand-rolled watermark (exactly-once file-source tracking); late
+   rows for old dates still trigger full-day gold recomputes with no
+   lateness cutoff, which built-in ``withWatermark`` aggregation could
+   not reproduce (it would drop what the reference keeps — §2.8).
+2. **Idiomatic fast path** — ``withWatermark`` + 1-day tumbling
+   ``window`` aggregation, for deployments that accept a bounded
+   lateness horizon in exchange for fully incremental state.
+
+``trigger(availableNow=True)`` reproduces the hourly-cron micro-batch:
+drain everything available, then stop — the Airflow cadence without a
+scheduler.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.functions import parsing
+from sensor_data_pipeline___spark.operators import incremental
+from sensor_data_pipeline___spark.warehouse import BRONZE, Warehouse
+
+
+def ingest_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    wh: Warehouse,
+    checkpoint_dir: str,
+    reject_dir: str | None = None,
+):
+    """File-source stream → bronze + silver + gold via foreachBatch.
+
+    Per micro-batch (all-or-nothing F6 semantics per the reference's
+    per-POST transaction, applied per batch): blank lines are skipped;
+    if ANY line is invalid the whole batch is diverted to
+    ``reject_dir`` (or dropped) and nothing persists; otherwise the
+    batch is appended to bronze and the incremental silver/gold runs
+    execute. Returns the started StreamingQuery (availableNow trigger).
+    """
+    raw = spark.readStream.format("text").load(drop_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        raw_lines = batch_df.select(F.col("value").alias("raw_line"))
+        flagged = raw_lines.select(
+            "raw_line",
+            parsing.is_blank(F.col("raw_line")).alias("_blank"),
+            parsing.gate_valid(F.col("raw_line")).alias("_valid"),
+        )
+        counts = flagged.agg(
+            F.sum(F.when(~F.col("_blank") & ~F.col("_valid"), 1).otherwise(0)).alias(
+                "invalid"
+            )
+        ).first()
+        if int(counts["invalid"] or 0) > 0:
+            if reject_dir is not None:
+                raw_lines.write.mode("append").parquet(reject_dir)
+            return  # F6: reject whole batch, nothing persists
+        valid = flagged.filter(~F.col("_blank")).select("raw_line")
+        offset = wh.max_id(BRONZE)
+        bronze_rows = valid.select(
+            (F.monotonically_increasing_id() + F.lit(offset) + 1).alias("id"),
+            "raw_line",
+            F.current_timestamp().alias("ingested_at"),
+        )
+        wh.append(BRONZE, bronze_rows)
+        incremental.run_pipeline(wh)
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_power_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 days",
+    metric_a: str = "Voltage",
+    metric_b: str = "Current",
+):
+    """Idiomatic variant: parse → withWatermark → 1-day tumbling window
+    → conditional-avg pivot → power. Append-mode output: a day's power
+    row is emitted once its window passes the watermark; rows later
+    than ``watermark`` are dropped (the documented trade vs variant 1).
+    """
+    raw = spark.readStream.format("text").load(drop_dir)
+    line = F.col("value")
+    ts_str, name, value_str = parsing.silver_tokens(line)
+    readings = (
+        raw.filter(parsing.nonempty_line(line))
+        .select(ts_str.alias("ts"), name.alias("metric_name"), value_str.alias("v"))
+        .filter(parsing.silver_valid(F.col("ts"), F.col("metric_name"), F.col("v")))
+        .select(
+            F.timestamp_seconds(F.col("ts").cast("long")).alias("reading_time"),
+            "metric_name",
+            F.col("v").cast("double").alias("metric_value"),
+        )
+        .filter(F.col("metric_name").isin(metric_a, metric_b))
+    )
+    daily = (
+        readings.withWatermark("reading_time", watermark)
+        .groupBy(F.window("reading_time", "1 day").alias("w"))
+        .agg(
+            F.avg(
+                F.when(F.col("metric_name") == metric_a, F.col("metric_value"))
+            ).alias("avg_a"),
+            F.avg(
+                F.when(F.col("metric_name") == metric_b, F.col("metric_value"))
+            ).alias("avg_b"),
+        )
+        .filter(F.col("avg_a").isNotNull() & F.col("avg_b").isNotNull())
+        .select(
+            F.lit("Power").alias("metric_name"),
+            (F.col("avg_a") * F.col("avg_b")).alias("metric_value"),
+            F.to_date(F.col("w.start")).alias("reading_date"),
+            F.col("w.start").alias("reading_time"),
+        )
+    )
+    return (
+        daily.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

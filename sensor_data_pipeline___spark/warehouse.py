@@ -1,0 +1,103 @@
+"""Parquet warehouse: the medallion tables on disk with the layout that
+replaces the reference's Postgres schemas and indexes (SURVEY.md §1.4,
+§2.6 M3/M4).
+
+Layout::
+
+    {root}/bronze/raw_readings/   partitioned by ingest_date
+    {root}/silver/stg_readings/   partitioned by reading_date
+    {root}/gold/mart_daily_power/ partitioned by reading_date
+
+The reference's secondary indexes on ``(reading_date)`` become
+partition pruning; its composite ``(reading_date, metric_name)`` index
+is partition + parquet min/max column stats. Dynamic partition
+overwrite is the MERGE stand-in: rewriting exactly the touched
+partitions reproduces dbt's incremental upsert because the partition
+key contains the merge key (gold) or the merged rows are fully
+recomputed per partition (silver).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sensor_data_pipeline___spark import schemas
+
+BRONZE = "bronze/raw_readings"
+SILVER = "silver/stg_readings"
+GOLD = "gold/mart_daily_power"
+
+#: Partition columns added on write (not part of the logical schema).
+_PARTITION_COL = {
+    BRONZE: "ingest_date",
+    SILVER: "reading_date",
+    GOLD: "reading_date",
+}
+
+_SCHEMA = {
+    BRONZE: schemas.BRONZE_SCHEMA,
+    SILVER: schemas.SILVER_SCHEMA,
+    GOLD: schemas.GOLD_SCHEMA,
+}
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        # local/posix path check; on HDFS/S3 this is a catalog lookup
+        # (S9 table-existence check, reference airflow/hooks/database.py:66-101)
+        return os.path.isdir(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        """Read a table; empty-with-schema if it doesn't exist yet."""
+        if not self.exists(table):
+            schema = _SCHEMA[table]
+            part = _PARTITION_COL[table]
+            if part and part not in schema.fieldNames():
+                schema = T.StructType(
+                    list(schema.fields) + [T.StructField(part, T.DateType(), True)]
+                )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(self.path(table))
+
+    def write(
+        self, table: str, df: DataFrame, mode: str = "overwrite", wipe: bool = False
+    ) -> None:
+        """Write with the table's partition layout. ``overwrite`` +
+        dynamic partitionOverwriteMode (session default) rewrites only
+        the partitions present in ``df`` — the MERGE emulation.
+        ``wipe=True`` forces static overwrite (drop ALL existing
+        partitions first) — the full-refresh path (M5)."""
+        part = _PARTITION_COL[table]
+        if part not in df.columns:
+            if table == BRONZE:
+                df = df.withColumn(part, F.to_date("ingested_at"))
+            else:
+                raise ValueError(f"{table}: missing partition column {part}")
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prior = self.spark.conf.get(conf)
+        if wipe:
+            self.spark.conf.set(conf, "static")
+        try:
+            df.write.mode(mode).partitionBy(part).parquet(self.path(table))
+        finally:
+            self.spark.conf.set(conf, prior)
+
+    def append(self, table: str, df: DataFrame) -> None:
+        self.write(table, df, mode="append")
+
+    def max_id(self, table: str = BRONZE) -> int:
+        if not self.exists(table):
+            return 0
+        val = self.read(table).agg(F.max("id")).first()[0]
+        return int(val or 0)

@@ -1,0 +1,99 @@
+"""Incremental-layer properties (SURVEY.md §7.1 step 4): re-run with no
+new data is a no-op; late old-date rows re-open and correct that day's
+gold; full refresh rebuilds; merge is idempotent on raw_id."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from sensor_data_pipeline___spark.operators import incremental
+from sensor_data_pipeline___spark.sources import ingest
+from sensor_data_pipeline___spark.warehouse import BRONZE, GOLD, SILVER, Warehouse
+from tests.conftest import GOLDEN_LINES
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _ingest(spark, wh, lines):
+    bronze, _ = ingest.ingest_batch(spark, lines)
+    offset = wh.max_id(BRONZE)
+    from pyspark.sql import functions as F
+
+    wh.append(BRONZE, bronze.withColumn("id", F.col("id") + offset))
+
+
+def test_first_run_and_noop_rerun(spark, wh):
+    _ingest(spark, wh, GOLDEN_LINES)
+    n_silver, n_gold = incremental.run_pipeline(wh)
+    assert (n_silver, n_gold) == (4, 1)
+    gold1 = wh.read(GOLD).collect()
+    assert gold1[0]["metric_value"] == pytest.approx(17.485)
+
+    # no new data → both layers no-op, gold untouched (M1/M2 idempotency)
+    time.sleep(1.1)  # ensure a later wall-clock for watermark separation
+    n_silver2, n_gold2 = incremental.run_pipeline(wh)
+    assert (n_silver2, n_gold2) == (0, 0)
+    gold2 = wh.read(GOLD).collect()
+    assert gold2[0]["calculated_at"] == gold1[0]["calculated_at"]
+
+
+def test_late_data_reopens_day(spark, wh):
+    _ingest(spark, wh, GOLDEN_LINES)
+    incremental.run_pipeline(wh)
+    time.sleep(1.1)
+
+    # a late Voltage reading for the SAME old day (2022-04-14) arrives
+    _ingest(spark, wh, ["1649941819 Voltage 2.65"])
+    n_silver, n_gold = incremental.run_pipeline(wh)
+    assert n_silver == 1
+    assert n_gold == 1  # the old day was recomputed
+
+    gold = wh.read(GOLD).collect()
+    assert len(gold) == 1
+    # full-day recompute: AVG(1.34, 1.35, 2.65) × AVG(12.0, 14.0)
+    assert gold[0]["metric_value"] == pytest.approx(((1.34 + 1.35 + 2.65) / 3) * 13.0)
+
+
+def test_new_day_does_not_touch_old_gold(spark, wh):
+    _ingest(spark, wh, GOLDEN_LINES)
+    incremental.run_pipeline(wh)
+    old_calc = wh.read(GOLD).collect()[0]["calculated_at"]
+    time.sleep(1.1)
+
+    # next day's readings (2022-04-15)
+    _ingest(
+        spark,
+        wh,
+        ["1650028217 Voltage 2.0", "1650028217 Current 10.0"],
+    )
+    incremental.run_pipeline(wh)
+    gold = {str(r["reading_date"]): r for r in wh.read(GOLD).collect()}
+    assert len(gold) == 2
+    assert gold["2022-04-15"]["metric_value"] == pytest.approx(20.0)
+    # untouched day's partition was NOT rewritten
+    assert gold["2022-04-14"]["calculated_at"] == old_calc
+
+
+def test_reprocessed_bronze_dedups_on_raw_id(spark, wh):
+    _ingest(spark, wh, GOLDEN_LINES)
+    incremental.run_pipeline(wh)
+    # silver watermark is wall-clock; force every bronze row to look
+    # "new" again by re-running silver with full_refresh (M5) — result
+    # must be identical, not duplicated
+    incremental.run_silver(wh, full_refresh=True)
+    silver = wh.read(SILVER)
+    assert silver.count() == 4
+    assert silver.select("raw_id").distinct().count() == 4
+
+
+def test_full_refresh_rebuilds(spark, wh):
+    _ingest(spark, wh, GOLDEN_LINES)
+    incremental.run_pipeline(wh)
+    n_silver, n_gold = incremental.run_pipeline(wh, full_refresh=True)
+    assert (n_silver, n_gold) == (4, 1)
+    assert wh.read(GOLD).collect()[0]["metric_value"] == pytest.approx(17.485)

@@ -1,0 +1,89 @@
+"""Structured Streaming front-end tests: file-drop ingest →
+foreachBatch medallion runs (checkpointed, exactly-once), and the
+idiomatic watermark+window variant."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sensor_data_pipeline___spark.streaming import pipeline as sp
+from sensor_data_pipeline___spark.warehouse import BRONZE, GOLD, SILVER, Warehouse
+from tests.conftest import GOLDEN_LINES
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "drop": tmp_path / "drop",
+        "wh": tmp_path / "wh",
+        "ckpt": tmp_path / "ckpt",
+        "out": tmp_path / "out",
+        "reject": tmp_path / "reject",
+    }
+    d["drop"].mkdir()
+    return {k: str(v) for k, v in d.items()}
+
+
+def _drop(dirs, name: str, lines: list[str]) -> None:
+    with open(os.path.join(dirs["drop"], name), "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_stream_ingest_end_to_end(spark, dirs):
+    wh = Warehouse(spark, dirs["wh"])
+    _drop(dirs, "batch1.txt", GOLDEN_LINES)
+    q = sp.ingest_stream(spark, dirs["drop"], wh, dirs["ckpt"])
+    q.awaitTermination(120)
+
+    assert wh.read(BRONZE).count() == 4
+    assert wh.read(SILVER).count() == 4
+    gold = wh.read(GOLD).collect()
+    assert len(gold) == 1
+    assert gold[0]["metric_value"] == pytest.approx(17.485)
+
+    # restart with the same checkpoint: file already processed → no-op
+    # (exactly-once file-source tracking replaces the J1 watermark)
+    q2 = sp.ingest_stream(spark, dirs["drop"], wh, dirs["ckpt"])
+    q2.awaitTermination(120)
+    assert wh.read(BRONZE).count() == 4
+
+    # new file with a late reading for the old day → day recomputed
+    _drop(dirs, "batch2.txt", ["1649941819 Voltage 2.65"])
+    q3 = sp.ingest_stream(spark, dirs["drop"], wh, dirs["ckpt"])
+    q3.awaitTermination(120)
+    assert wh.read(BRONZE).count() == 5
+    gold = wh.read(GOLD).collect()
+    assert len(gold) == 1
+    assert gold[0]["metric_value"] == pytest.approx(((1.34 + 1.35 + 2.65) / 3) * 13.0)
+
+
+def test_stream_rejects_invalid_batch(spark, dirs):
+    wh = Warehouse(spark, dirs["wh"])
+    _drop(dirs, "bad.txt", GOLDEN_LINES + ["notanumber Voltage 1.34"])
+    q = sp.ingest_stream(spark, dirs["drop"], wh, dirs["ckpt"], dirs["reject"])
+    q.awaitTermination(120)
+    # F6 per-batch: nothing persisted, batch diverted to reject dir
+    assert not wh.exists(BRONZE)
+    rejected = spark.read.parquet(dirs["reject"])
+    assert rejected.count() == 5
+
+
+def test_windowed_power_stream(spark, dirs):
+    # two days of data; day 1's window closes once day 2's data moves
+    # the watermark past it
+    day2 = ["1650028217 Voltage 2.0", "1650028218 Current 10.0"]
+    day4 = ["1650201017 Voltage 1.0", "1650201018 Current 1.0"]
+    _drop(dirs, "b1.txt", GOLDEN_LINES + day2 + day4)
+    q = sp.windowed_power_stream(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], watermark="1 day"
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(dirs["out"])
+    rows = {str(r["reading_date"]): r["metric_value"] for r in out.collect()}
+    # 2022-04-14 and 2022-04-15 windows are closed by the 04-17 data;
+    # 04-17's own window stays open (append mode) — the documented trade
+    assert rows["2022-04-14"] == pytest.approx(17.485)
+    assert rows["2022-04-15"] == pytest.approx(20.0)
+    assert "2022-04-17" not in rows
