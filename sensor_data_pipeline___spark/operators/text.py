@@ -68,10 +68,18 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     count over the token set; prediction = argmax (ties → language name
     order). Returns (id, pred_lang, best_score)."""
     toks = F.array_distinct(_tokens(text_col))
+
+    def _hit(words):
+        # closure (not a default arg — PySpark reads the lambda's arity)
+        def predicate(t):
+            return t.isin(*words)
+
+        return predicate
+
     scored = docs.select(
         F.col(id_col),
         *[
-            F.size(F.filter(toks, lambda t, ws=words: t.isin(*ws))).alias(f"_s_{lang}")
+            F.size(F.filter(toks, _hit(words))).alias(f"_s_{lang}")
             for lang, words in LANG_STOPWORDS.items()
         ],
     )

@@ -803,3 +803,388 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: wider relational + windowing + text surface
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pivot_daily_avg",
+    # Explicit pivot (A1's general form): per-day average per event
+    # type as columns.
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS reading_date,
+           round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+           round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view,
+           round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.to_date("ts").alias("reading_date"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.round(F.avg("value"), 6))
+    )
+    return piv.select(
+        F.date_format("reading_date", "yyyy-MM-dd").alias("reading_date"),
+        "click",
+        "view",
+        "purchase",
+    )
+
+
+@_register(
+    "cube_orders",
+    # CUBE grouping sets over two dims.
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@_register(
+    "percentile_prices",
+    # Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    # `quantile_cont`). The approximate variant (percentile_approx /
+    # approx_count_distinct) is rows-only — see approx_distinct_users.
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95)::DOUBLE, 4) AS p95,
+           round(quantile_cont(l_extendedprice, 0.99)::DOUBLE, 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95"),
+        F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99"),
+    )
+
+
+@_register(
+    "distinct_agg_suppliers",
+    # Exact COUNT(DISTINCT) — two-phase distinct aggregation.
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@_register(
+    "asof_last_purchase",
+    # As-of join within a stream: each error event paired with the most
+    # recent preceding purchase by the same user. Spark lacks a native
+    # as-of join — expressed as last_value(IGNORE NULLS) over a
+    # union-ordered window (SURVEY.md §2.4 note; merge_asof via
+    # applyInPandas is the per-group alternative for two tables).
+    f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_type, event_id,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+      FROM events
+      WHERE event_type IN ('error', 'purchase')
+    )
+    SELECT event_id,
+           user_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS error_at,
+           strftime(last_purchase_ts, '{_TS_FMT_DUCK}') AS asof_purchase_at
+    FROM tagged
+    WHERE event_type = 'error'
+    """,
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.withColumn(
+        "last_purchase_ts",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("error_at"),
+        F.date_format("last_purchase_ts", _TS_FMT_SPARK).alias("asof_purchase_at"),
+    )
+
+
+@_register(
+    "sessionization",
+    # Sessionization: 30-minute-gap sessions per user via lag + cumsum
+    # (batch analog of session_window in streaming).
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("ts").over(order_w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(cum_w)
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_register(
+    "hourly_tumbling_window",
+    # Tumbling 1-hour event-time window via window() — the streaming
+    # agg shape in batch mode (P-window analog of the 1-day grouping).
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hourly_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "unpivot_charges",
+    # Unpivot via stack(): wide price components → long rows.
+    """
+    SELECT l_orderkey, l_linenumber, 'extended' AS component, l_extendedprice AS amount
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def q_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'extended', l_extendedprice, 'discount', l_discount, 'tax', l_tax)"
+        " AS (component, amount)",
+    )
+
+
+@_register(
+    "q4_order_priority",
+    # TPC-H Q4 shape: EXISTS semi-join + date-range count.
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_register(
+    "q6_revenue_change",
+    # TPC-H Q6 shape: pure filter + single agg — the pushdown poster
+    # child (all three predicates reach the parquet scan).
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@_register(
+    "string_functions_parts",
+    # String-function suite: upper/substr/regexp_extract/LIKE.
+    """
+    SELECT upper(p_brand) AS brand_upper,
+           substr(p_type, 1, 8) AS type_prefix,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           count(*) AS n
+    FROM part
+    WHERE p_name LIKE '%a%'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .groupBy(
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_type", 1, 8).alias("type_prefix"),
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "token_counts",
+    # Token counting: whitespace tokens + BPE-ish subword estimate
+    # (4-char chunks + punctuation), both via regex extraction.
+    """
+    SELECT doc_id,
+           len(string_split_regex(text, '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '\\w{1,4}|[^\\w\\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.text import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "lang_id_heuristic",
+    # Stopword-profile language ID (argmax over per-language hit
+    # counts; ties → lexicographically greatest code). The struct-max
+    # formulation is identical in both engines.
+    """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        len(list_filter(t, x -> x IN ('the','of','and','to','a','in','is','it'))) AS s_en,
+        len(list_filter(t, x -> x IN ('der','die','und','das','ist','ein','nicht'))) AS s_de,
+        len(list_filter(t, x -> x IN ('le','la','et','les','des','un','est'))) AS s_fr,
+        len(list_filter(t, x -> x IN ('el','la','de','que','los','un','es'))) AS s_es,
+        len(list_filter(t, x -> x IN ('的','是','了','在','和'))) AS s_zh
+      FROM toks
+    )
+    SELECT doc_id,
+           list_max([
+             {'score': s_en, 'lang': 'en'},
+             {'score': s_de, 'lang': 'de'},
+             {'score': s_fr, 'lang': 'fr'},
+             {'score': s_es, 'lang': 'es'},
+             {'score': s_zh, 'lang': 'zh'}
+           ]).lang AS pred_lang,
+           greatest(s_en, s_de, s_fr, s_es, s_zh) AS best_score
+    FROM scores
+    """,
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_register("lsh_bucket_histogram", None)
+def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Random-hyperplane LSH bucket sizes (engine-specific hashing —
+    # rows-only). The scale path for similarity search: equi-join on
+    # bucket instead of cross product.
+    from sensor_data_pipeline___spark.operators.similarity import lsh_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        lsh_bucket(emb, num_planes=8)
+        .groupBy("lsh_bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@_register("simhash_near_dup_pairs", None)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash Hamming-distance near-dups (engine-specific hashing).
+    from sensor_data_pipeline___spark.operators.dedup import simhash_near_dup
+
+    return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=16)

@@ -1,0 +1,60 @@
+"""Multimodal column plumbing: binary payloads + typed metadata,
+Arrow-batched decode/featurize/frame-sample with the stub codec, and
+the NotImplementedError gate for real codecs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.operators import multimodal as mm
+
+
+def _fake_payload(w: int, h: int, frames: int, body: bytes) -> bytes:
+    return f"{w}:{h}:{frames}".encode() + b";" + body
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, _fake_payload(4, 2, 3, bytes(range(24))), "video", mm.FAKE_CODEC),
+        (2, _fake_payload(8, 8, 1, b"\x01\x02\x03\x04"), "image", mm.FAKE_CODEC),
+        (3, _fake_payload(2, 2, 2, b"\xff" * 8), "video", mm.FAKE_CODEC),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string, codec string"
+    )
+
+
+def test_attach_metadata_jvm_side(media):
+    out = mm.attach_metadata(media).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[2]["n_bytes"] == len(_fake_payload(8, 8, 1, b"\x01\x02\x03\x04"))
+    assert len(by_id[1]["checksum"]) == 32  # md5 hex
+
+
+def test_extract_features(media):
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert feats[2]["width"] == 8 and feats[2]["height"] == 8
+    assert len(feats[1]["feature"]) == 8
+    # histogram is normalized
+    assert sum(feats[1]["feature"]) == pytest.approx(1.0)
+
+
+def test_frame_sample(media):
+    frames = mm.frame_sample(media, every_nth=2).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert by_media[1] == [0, 2]  # 3 frames, every 2nd
+    assert by_media[3] == [0]
+    # frame payload is the right slice length (24 bytes / 3 frames)
+    f0 = [r for r in frames if r["media_id"] == 1 and r["frame_idx"] == 0][0]
+    assert bytes(f0["frame_payload"]) == bytes(range(8))
+
+
+def test_unknown_codec_raises(spark, media):
+    real = media.withColumn("codec", F.lit("jpeg"))
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.extract_features(real).collect()

@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the properties the 100 TB design depends
+on — pushdown reaching the parquet scan, column pruning, broadcast
+joins for small dims, codegen coverage (SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.plans import explain
+from sensor_data_pipeline___spark.queries import QUERIES
+from sensor_data_pipeline___spark.sources import readers
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = readers.table(spark, "lineitem", SF)
+    df = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")).select(
+        "l_orderkey", "l_quantity"
+    )
+    assert explain.has_pushed_filter(df, "l_shipdate"), explain.formatted_plan(df)
+
+
+def test_column_pruning(spark):
+    li = readers.table(spark, "lineitem", SF)
+    df = li.select("l_orderkey", "l_quantity")
+    schema = explain.read_schema(df)
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_extendedprice" not in schema, schema
+
+
+def test_q5_broadcasts_small_dims(spark):
+    df = QUERIES["q5_region_revenue"](spark, SF)
+    # nation and region must be broadcast (never shuffle KB-sized dims)
+    assert explain.broadcast_join_count(df) >= 2, explain.formatted_plan(df)
+
+
+def test_q1_single_shuffle(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    # one groupBy → exactly one exchange (partial agg map-side)
+    assert explain.exchange_count(df) <= 1, explain.formatted_plan(df)
+    assert "partial" in explain.formatted_plan(df).lower()
+
+
+def test_silver_transform_is_narrow(spark):
+    from sensor_data_pipeline___spark.operators.silver import bronze_to_silver
+
+    bronze = spark.createDataFrame(
+        [(1, "1649941817 Voltage 1.34", None)],
+        "id long, raw_line string, ingested_at timestamp",
+    )
+    df = bronze_to_silver(bronze)
+    assert explain.exchange_count(df) == 0, explain.formatted_plan(df)
+
+
+def test_serving_prunes_by_date(spark):
+    # the serving scan over a reading_date-partitioned table must show
+    # a partition filter, not a post-scan filter
+    from sensor_data_pipeline___spark.operators.serving import readings_by_date_range
+    import tempfile
+
+    silver = QUERIES["silver_parse"](spark, SF)  # not partitioned; use events dates
+    ev = readers.table(spark, "events", SF).select(
+        F.col("event_id").alias("raw_id"),
+        F.col("ts").alias("reading_time"),
+        F.col("event_type").alias("metric_name"),
+        F.col("value").alias("metric_value"),
+        F.to_date("ts").alias("reading_date"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.partitionBy("reading_date").parquet(f"{d}/silver")
+        part = spark.read.parquet(f"{d}/silver")
+        served = part.filter(
+            (F.col("reading_date") >= F.lit("2024-01-10"))
+            & (F.col("reading_date") < F.lit("2024-01-12"))
+        )
+        plan = explain.formatted_plan(served)
+        assert "PartitionFilters" in plan
+        # the partition predicate appears in PartitionFilters lines
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert any("reading_date" in ln for ln in pf), plan
+        assert served.count() == ev.filter(
+            (F.col("reading_date") >= F.lit("2024-01-10"))
+            & (F.col("reading_date") < F.lit("2024-01-12"))
+        ).count()
