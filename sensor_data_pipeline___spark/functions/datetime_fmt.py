@@ -38,9 +38,11 @@ _PY_FORMATS = (
 
 
 def parse_iso_date_col(col: Column) -> Column:
-    """Column version of the 5-format fallback chain: ``to_timestamp``
-    returns NULL on mismatch, mirroring the reference's try/continue."""
-    return F.coalesce(*[F.to_timestamp(col, f) for f in ISO_FORMATS])
+    """Column version of the 5-format fallback chain:
+    ``try_to_timestamp`` returns NULL on mismatch (plain ``to_timestamp``
+    THROWS under Spark 4's default ANSI mode), mirroring the reference's
+    try/continue."""
+    return F.coalesce(*[F.try_to_timestamp(col, F.lit(f)) for f in ISO_FORMATS])
 
 
 def parse_iso_date(value: str | None) -> datetime | None:

@@ -1188,3 +1188,160 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators.dedup import simhash_near_dup
 
     return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: multi-format parsing, winnowing fingerprints, ANN top-k
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "iso_multiformat_parse",
+    # P11: the reference API's 5-format fallback chain
+    # (src/api/routes/data.py:129-147). Each event renders its (second-
+    # truncated) timestamp in one of the five accepted shapes; both
+    # engines parse back through the same try-in-order chain.
+    """
+    WITH base AS (
+      SELECT event_id, to_timestamp(floor(epoch(ts))::BIGINT) AS bt
+      FROM events
+    ), shaped AS (
+      SELECT event_id,
+             CASE event_id % 5
+               WHEN 0 THEN strftime(bt, '%Y-%m-%dT%H:%M:%S') || '.250000Z'
+               WHEN 1 THEN strftime(bt, '%Y-%m-%dT%H:%M:%SZ')
+               WHEN 2 THEN strftime(bt, '%Y-%m-%dT%H:%M:%S') || '.250000'
+               WHEN 3 THEN strftime(bt, '%Y-%m-%dT%H:%M:%S')
+               ELSE strftime(bt, '%Y-%m-%d')
+             END AS iso_str
+      FROM base
+    ), parsed AS (
+      SELECT event_id, iso_str,
+             COALESCE(
+               try_strptime(iso_str, '%Y-%m-%dT%H:%M:%S.%fZ'),
+               try_strptime(iso_str, '%Y-%m-%dT%H:%M:%SZ'),
+               try_strptime(iso_str, '%Y-%m-%dT%H:%M:%S.%f'),
+               try_strptime(iso_str, '%Y-%m-%dT%H:%M:%S'),
+               try_strptime(iso_str, '%Y-%m-%d')) AS p
+      FROM shaped
+    )
+    SELECT event_id, iso_str,
+           strftime(p, '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+           (epoch_us(p) % 1000000)::BIGINT AS frac_us
+    FROM parsed
+    """,
+)
+def q_iso_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.functions.datetime_fmt import parse_iso_date_col
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.timestamp_seconds(F.unix_timestamp("ts"))
+    m = F.col("event_id") % 5
+    iso = (
+        F.when(m == 0, F.concat(F.date_format(base, "yyyy-MM-dd'T'HH:mm:ss"), F.lit(".250000Z")))
+        .when(m == 1, F.date_format(base, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(m == 2, F.concat(F.date_format(base, "yyyy-MM-dd'T'HH:mm:ss"), F.lit(".250000")))
+        .when(m == 3, F.date_format(base, "yyyy-MM-dd'T'HH:mm:ss"))
+        .otherwise(F.date_format(base, "yyyy-MM-dd"))
+    )
+    parsed = parse_iso_date_col(F.col("iso_str"))
+    return (
+        ev.select(F.col("event_id"), iso.alias("iso_str"))
+        .select(
+            "event_id",
+            "iso_str",
+            F.date_format(parsed, _TS_FMT_SPARK).alias("parsed_ts"),
+            (F.unix_micros(parsed) % 1000000).alias("frac_us"),
+        )
+    )
+
+
+@_register(
+    "winnowing_fingerprint",
+    # Rolling-window document fingerprinting (winnowing): md5 each char
+    # k-gram, take the minimum hash of every w-wide window, fingerprint =
+    # the distinct window minima. md5 hex strings are byte-identical
+    # across engines, so the whole selection is oracle-checkable.
+    """
+    WITH kg AS (
+      SELECT doc_id,
+             [md5(substr(text, i, 7)) for i in range(1, len(text) - 7 + 2)] AS kgs
+      FROM documents
+      WHERE len(text) >= 7
+    ), win AS (
+      SELECT doc_id,
+             [list_min(kgs[i:i+3]) for i in range(1, len(kgs) - 4 + 2)] AS mins
+      FROM kg
+      WHERE len(kgs) >= 4
+    )
+    SELECT doc_id,
+           len(list_distinct(mins)) AS n_fp,
+           list_min(mins) AS min_fp
+    FROM win
+    """,
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, W = 7, 4
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    kgs = F.transform(
+        F.sequence(F.lit(1), F.length(txt) - K + 1),
+        lambda i: F.md5(F.substring(txt, i, F.lit(K))),
+    )
+    with_kg = docs.filter(F.length(txt) >= K).select("doc_id", kgs.alias("kgs"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("kgs") - W + 1),
+        lambda i: F.array_min(F.slice("kgs", i, W)),
+    )
+    return (
+        with_kg.filter(F.size("kgs") >= W)
+        .select("doc_id", mins.alias("mins"))
+        .select(
+            "doc_id",
+            F.size(F.array_distinct("mins")).alias("n_fp"),
+            F.array_min("mins").alias("min_fp"),
+        )
+    )
+
+
+@_register("ann_topk_lsh", None)
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate nearest neighbours: random-hyperplane LSH bucket as the
+    # blocking key, exact cosine only within the query's bucket. The
+    # scale path for similarity_topk — the join is an equi-join on
+    # bucket id, never a cross product. Engine-specific hashing →
+    # rows-only. Recall is tunable via num_planes (fewer planes → bigger
+    # buckets → higher recall, more compute).
+    from sensor_data_pipeline___spark.operators.similarity import (
+        _dot_hof,
+        _to_double,
+        lsh_bucket,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = lsh_bucket(emb, num_planes=6).select(
+        "vec_id", _to_double(F.col("embedding")).alias("e"), "lsh_bucket"
+    ).withColumn("nrm", F.sqrt(_dot_hof(F.col("e"), F.col("e"))))
+    q = bucketed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("lsh_bucket").alias("qb"),
+    )
+    sims = (
+        bucketed.join(F.broadcast(q), F.col("lsh_bucket") == F.col("qb"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot_hof(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )

@@ -57,3 +57,10 @@ def get_spark(app_name: str = "sensor_pipeline_spark", *, cpus: int | None = Non
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return apply_runtime_confs(spark)
+
+
+def health_check(spark: SparkSession) -> bool:
+    """S8 health probe (reference src/db/connection.py:145-154,
+    airflow/hooks/database.py:34-63): ``SELECT 1`` engine liveness."""
+    row = spark.sql("SELECT 1 AS ok").first()
+    return row is not None and row["ok"] == 1
