@@ -140,3 +140,70 @@ def windowed_power_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_totals_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-metric totals that survive across micro-batches AND
+    across restarts (state lives in the checkpoint, keyed by
+    ``metric_name``).
+
+    This is the engine's template for operators Spark's built-in
+    windowed aggregation can't express — arbitrary per-key state with
+    user-controlled emission. Output is a changelog: each micro-batch
+    appends one row per updated key with the cumulative (n_readings,
+    total) so far; downstream readers take the last row per key (or the
+    parquet dir is compacted by a batch job).
+
+    State is Arrow-batched per key group — no per-row Python overhead;
+    at scale the shuffle key is metric_name, so high-cardinality key
+    spaces spread evenly while per-key state stays O(1).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    raw = spark.readStream.format("text").load(drop_dir)
+    line = F.col("value")
+    ts_str, name, value_str = parsing.silver_tokens(line)
+    readings = (
+        raw.filter(parsing.nonempty_line(line))
+        .select(ts_str.alias("ts"), name.alias("metric_name"), value_str.alias("v"))
+        .filter(parsing.silver_valid(F.col("ts"), F.col("metric_name"), F.col("v")))
+        .select("metric_name", F.col("v").cast("double").alias("metric_value"))
+    )
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["metric_value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"metric_name": [key[0]], "n_readings": [n], "total": [total]}
+        )
+
+    updated = readings.groupBy("metric_name").applyInPandasWithState(
+        update,
+        outputStructType="metric_name string, n_readings long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    # update-mode rows can't go straight to a parquet sink (append-only);
+    # foreachBatch appends them as a changelog
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        updated.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

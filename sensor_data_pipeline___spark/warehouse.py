@@ -101,3 +101,27 @@ class Warehouse:
             return 0
         val = self.read(table).agg(F.max("id")).first()[0]
         return int(val or 0)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed managed table (Hive-style layout).
+
+    Bucketing is the engine's co-located-join device: two fact tables
+    bucketed identically on their join key sort-merge-join with NO
+    shuffle exchange on either side — at 100 TB this removes the
+    dominant cost of repeated fact-to-fact joins (the reference has no
+    analog; Postgres gets this from btree indexes + merge joins).
+
+    Bucketed output requires ``saveAsTable`` (path-based parquet writes
+    can't record bucket metadata).
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)

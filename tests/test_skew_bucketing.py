@@ -1,0 +1,77 @@
+"""Skew (salting) and bucketing (co-located join) scale strategies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.operators.skew import salted_join, two_phase_agg
+from sensor_data_pipeline___spark.plans import explain
+from sensor_data_pipeline___spark.sources import readers
+from sensor_data_pipeline___spark.warehouse import write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed big side: every lineitem of one hot order replicated
+    li = readers.table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
+    orders = readers.table(spark, "orders", SF).select("o_orderkey", "o_orderstatus")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    salted = (
+        salted_join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), orders, on="o_orderkey", salt=4
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_agg_matches_plain_agg(spark):
+    li = readers.table(spark, "lineitem", SF)
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.count("*").alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    two = two_phase_agg(
+        li,
+        "l_returnflag",
+        {
+            "qty": F.sum("l_quantity"),
+            "n": F.count("*"),
+            "lo": F.min("l_extendedprice"),
+            "hi": F.max("l_extendedprice"),
+        },
+        salt=4,
+    )
+    a = {r["l_returnflag"]: (round(r["qty"], 2), r["n"], r["lo"], r["hi"]) for r in plain.collect()}
+    b = {r["l_returnflag"]: (round(r["qty"], 2), r["n"], r["lo"], r["hi"]) for r in two.collect()}
+    assert a == b
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # saveAsTable writes under spark.sql.warehouse.dir (static conf);
+    # DROP TABLE below removes the managed data
+    li = readers.table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
+    orders = readers.table(spark, "orders", SF).select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey", num_buckets=8)
+    write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=8)
+    bl = spark.table("b_lineitem")
+    bo = spark.table("b_orders")
+    # disable broadcast so the co-located sort-merge path is exercised
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        assert explain.exchange_count(joined) == 0, explain.formatted_plan(joined)
+        assert joined.count() == 6000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

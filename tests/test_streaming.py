@@ -87,3 +87,31 @@ def test_windowed_power_stream(spark, dirs):
     assert rows["2022-04-14"] == pytest.approx(17.485)
     assert rows["2022-04-15"] == pytest.approx(20.0)
     assert "2022-04-17" not in rows
+
+
+def test_stateful_totals_across_restarts(spark, dirs):
+    # GOLDEN_LINES: 2 Voltage (1.34, 1.35) + 2 Current (12.0, 14.0)
+    _drop(dirs, "batch1.txt", GOLDEN_LINES)
+    q = sp.stateful_totals_stream(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    first = {
+        r["metric_name"]: (r["n_readings"], round(r["total"], 2))
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    assert first == {"Voltage": (2, 2.69), "Current": (2, 26.0)}
+
+    # restart with new data: state must resume from the checkpoint
+    _drop(dirs, "batch2.txt", ["1649941817 Voltage 0.31", "1649941817 Temperature 21.5"])
+    q2 = sp.stateful_totals_stream(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(dirs["out"]).collect()
+    # changelog: last value per key wins — reduce by max n_readings
+    latest = {}
+    for r in rows:
+        if r["metric_name"] not in latest or r["n_readings"] > latest[r["metric_name"]][0]:
+            latest[r["metric_name"]] = (r["n_readings"], round(r["total"], 2))
+    assert latest == {
+        "Voltage": (3, 3.0),
+        "Current": (2, 26.0),
+        "Temperature": (1, 21.5),
+    }
