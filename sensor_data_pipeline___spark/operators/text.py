@@ -105,10 +105,15 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Content fingerprints: md5 (exact identity) + xxhash64 (cheap
     64-bit) + a rolling-window hash over 8-token windows (shingle
     fingerprint for containment checks)."""
+    from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
+
     toks = F.split(F.col(text_col), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 8, F.lit(0)))
+    # zipped shifted slices (one slice per offset, not per window) —
+    # same formulation as dedup shingling, ~3x cheaper than per-index
+    # slice inside the interpreted transform
     window_hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 8)))
+        _zipped_windows(toks, 8),
+        lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(8)]),
     )
     return docs.select(
         id_col,

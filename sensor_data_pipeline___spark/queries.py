@@ -1345,3 +1345,43 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "vec_id", "cosine", "rnk")
     )
+
+
+@_register(
+    "lag_daily_power_delta",
+    # Day-over-day power delta: lead/lag window over the gold mart —
+    # the sensor-domain trend query (per-day Power from A1/P9, then
+    # lag(1) within the whole series).
+    """
+    WITH gold AS (
+      SELECT CAST(ts AS DATE) AS reading_date,
+             avg(CASE WHEN event_type = 'click' THEN value END)
+               * avg(CASE WHEN event_type = 'view' THEN value END) AS power
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY CAST(ts AS DATE)
+      HAVING avg(CASE WHEN event_type = 'click' THEN value END) IS NOT NULL
+         AND avg(CASE WHEN event_type = 'view' THEN value END) IS NOT NULL
+    )
+    SELECT strftime(reading_date, '%Y-%m-%d') AS reading_date,
+           round(power, 6) AS power,
+           round(power - lag(power) OVER (ORDER BY reading_date), 6) AS delta,
+           round(avg(power) OVER (ORDER BY reading_date
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_7d
+    FROM gold
+    """,
+)
+def q_lag_daily_power_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver = events_as_readings(spark, sf_dir)
+    gold = silver_to_gold(silver, "click", "view").select(
+        "reading_date", F.col("metric_value").alias("power")
+    )
+    w = Window.orderBy("reading_date")
+    w7 = w.rowsBetween(-6, Window.currentRow)
+    return gold.select(
+        F.date_format("reading_date", "yyyy-MM-dd").alias("reading_date"),
+        F.round("power", 6).alias("power"),
+        F.round(F.col("power") - F.lag("power").over(w), 6).alias("delta"),
+        F.round(F.avg("power").over(w7), 6).alias("rolling_7d"),
+    )

@@ -44,11 +44,15 @@ def get_spark(app_name: str = "sensor_pipeline_spark", *, cpus: int | None = Non
     handling the variance.
     """
     n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    # local-mode heap serves ALL task threads: size it with the thread
+    # count or concurrent sort/agg buffers GC-thrash (measured: 30x-sf0.1
+    # queries ran 6-10x slower at 8g/32 threads than at 2g-per-thread)
+    default_mem = f"{min(max(2 * n, 8), 64)}g"
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(n, 4)))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
