@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the dual parse paths and
+datetime semantics — each example batch becomes ONE DataFrame so Spark
+runs once per hypothesis case, not once per row."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.functions import parsing
+from sensor_data_pipeline___spark.functions.datetime_fmt import (
+    format_timestamp_col,
+    normalize_range,
+)
+from sensor_data_pipeline___spark.operators.silver import bronze_to_silver
+
+#: ASCII only: hypothesis's regex strategy draws Unicode digits for \d
+#: (e.g. '٠'), which Python's float() accepts but the engine's
+#: ASCII-anchored grammar (like the reference's SQL path) rejects.
+_ascii = st.characters(min_codepoint=0, max_codepoint=127)
+#: Metric names starting with an ASCII letter (both paths accept).
+names = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True, alphabet=_ascii)
+#: Values in the SILVER-accepted grammar ^-?\d+\.?\d*$
+silver_values = st.from_regex(r"-?[0-9]{1,6}(\.[0-9]{0,4})?", fullmatch=True, alphabet=_ascii)
+timestamps = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(timestamps, names, silver_values), min_size=1, max_size=8))
+def test_silver_grammar_roundtrips_both_paths(spark, rows):
+    lines = [f"{ts} {nm} {val}" for ts, nm, val in rows]
+    df = spark.createDataFrame([(ln,) for ln in lines], "raw_line string")
+    # 1) every line passes the ingest gate
+    n_gate = df.filter(parsing.gate_valid(F.col("raw_line"))).count()
+    assert n_gate == len(lines)
+    # 2) silver parses every line to the exact typed values
+    bronze = df.select(
+        F.monotonically_increasing_id().alias("id"),
+        "raw_line",
+        F.current_timestamp().alias("ingested_at"),
+    )
+    got = {
+        (r["metric_name"], r["metric_value"], int(r["reading_time"].replace(tzinfo=timezone.utc).timestamp()))
+        for r in bronze_to_silver(bronze).collect()
+    }
+    want = {(nm, float(val), ts) for ts, nm, val in rows}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            timestamps,
+            names,
+            st.sampled_from(["1e3", ".5", "5e-2", "2E4", ".0"]),  # API-only grammar
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_divergent_numerics_pass_gate_but_drop_at_silver(spark, rows):
+    lines = [f"{ts} {nm} {val}" for ts, nm, val in rows]
+    df = spark.createDataFrame([(ln,) for ln in lines], "raw_line string")
+    assert df.filter(parsing.gate_valid(F.col("raw_line"))).count() == len(lines)
+    bronze = df.select(
+        F.monotonically_increasing_id().alias("id"),
+        "raw_line",
+        F.current_timestamp().alias("ingested_at"),
+    )
+    assert bronze_to_silver(bronze).count() == 0  # bronze ⊇ silver (§2.9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=999_999), min_size=1, max_size=8))
+def test_format_timestamp_truncates_micros(spark, micros_list):
+    base = int(datetime(2022, 4, 14, 13, 10, 17, tzinfo=timezone.utc).timestamp())
+    df = spark.createDataFrame([(base * 1_000_000 + us,) for us in micros_list], "us long")
+    out = df.select(format_timestamp_col(F.timestamp_micros(F.col("us"))).alias("s")).collect()
+    got = sorted(r["s"] for r in out)
+    want = sorted(f"2022-04-14T13:10:17.{us // 1000:03d}Z" for us in micros_list)
+    assert got == want  # truncation, never rounding
+
+
+def test_normalize_range_properties():
+    # date-only `to` is inclusive (+1 day)
+    assert normalize_range("2022-04-14", "2022-04-15") == (
+        datetime(2022, 4, 14).date(),
+        datetime(2022, 4, 16).date(),
+    )
+    # `to` with a time component truncates to ITS midnight (exclusive)
+    assert normalize_range("2022-04-14", "2022-04-15T13:10:17") == (
+        datetime(2022, 4, 14).date(),
+        datetime(2022, 4, 15).date(),
+    )
+    # unparseable bound → None (F7 gate)
+    assert normalize_range("14-04-2022", "2022-04-15") is None
+    assert normalize_range("2022-04-14", "nope") is None
