@@ -310,3 +310,38 @@ def simhash_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Composition: the production dedup pipeline
+# ---------------------------------------------------------------------------
+
+
+def dedup_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The documented pipeline order: EXACT dedup first, then MinHash
+    near-dup over the surviving representatives only.
+
+    Running exact dedup first is what keeps LSH well-behaved on real
+    corpora: mass-duplicated boilerplate otherwise saturates every band
+    bucket its copies share and pair expansion grows quadratically in
+    the copy count (measured in SCALING.md's 30x-replicated corpus).
+    After exact dedup each retained text is unique, so bucket sizes
+    reflect genuine near-duplicate structure.
+
+    Returns (representatives, exact_groups, near_dup_pairs):
+      representatives — one row per distinct text (min-id exemplar,
+        full original columns);
+      exact_groups    — (id, n_copies) per distinct text;
+      near_dup_pairs  — (doc_a, doc_b, est_jaccard) among exemplars.
+    """
+    groups = exact_dedup(docs, text_col, id_col)
+    reps = docs.join(
+        groups.select(id_col), id_col, "left_semi"
+    )
+    pairs = minhash_near_dup(reps, text_col, id_col, **minhash_kwargs)
+    return reps, groups, pairs

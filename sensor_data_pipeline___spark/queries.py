@@ -1385,3 +1385,24 @@ def q_lag_daily_power_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("power") - F.lag("power").over(w), 6).alias("delta"),
         F.round(F.avg("power").over(w7), 6).alias("rolling_7d"),
     )
+
+
+@_register("dedup_pipeline_stats", None)
+def q_dedup_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end corpus-cleaning summary: exact dedup → MinHash near-dup
+    # over representatives (the pipeline order documented in
+    # operators/dedup.py — exact first keeps LSH buckets meaningful).
+    # Engine-seeded hashing → rows-only.
+    from sensor_data_pipeline___spark.operators.dedup import dedup_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    reps, groups, pairs = dedup_pipeline(docs)
+    return (
+        reps.agg(F.count("*").alias("n_representatives"))
+        .crossJoin(
+            groups.agg(
+                F.sum(F.col("n_copies") - 1).alias("n_exact_dup_rows"),
+            )
+        )
+        .crossJoin(pairs.agg(F.count("*").alias("n_near_dup_pairs")))
+    )
