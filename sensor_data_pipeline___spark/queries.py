@@ -1406,3 +1406,42 @@ def q_dedup_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(pairs.agg(F.count("*").alias("n_near_dup_pairs")))
     )
+
+
+@_register(
+    "range_join_purchase_clicks",
+    # Range join: equi-key (user_id) + time-interval predicate — each
+    # purchase joined to that user's clicks in the preceding hour.
+    # Physical shape: sort-merge on the equi key, interval as a
+    # residual filter; never a cross join (the equi key is the block).
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id,
+           count(*) AS clicks_before,
+           strftime(min(c.c_ts), '%Y-%m-%d %H:%M:%S') AS first_click
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts < p.p_ts
+    GROUP BY p.purchase_id
+    """,
+)
+def q_range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = p.join(c, "user_id").filter(
+        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("clicks_before"),
+        F.date_format(F.min("c_ts"), _TS_FMT_SPARK).alias("first_click"),
+    )
