@@ -77,13 +77,21 @@ class Warehouse:
         dynamic partitionOverwriteMode (session default) rewrites only
         the partitions present in ``df`` — the MERGE emulation.
         ``wipe=True`` forces static overwrite (drop ALL existing
-        partitions first) — the full-refresh path (M5)."""
+        partitions first) — the full-refresh path (M5).
+
+        Silver rows are sorted by ``metric_name`` within each partition
+        file — the analog of the reference's composite
+        ``(reading_date, metric_name)`` index (stg_readings.sql:18-21):
+        partition pruning covers the date, parquet row-group min/max
+        stats then skip by metric."""
         part = _PARTITION_COL[table]
         if part not in df.columns:
             if table == BRONZE:
                 df = df.withColumn(part, F.to_date("ingested_at"))
             else:
                 raise ValueError(f"{table}: missing partition column {part}")
+        if table == SILVER:
+            df = df.sortWithinPartitions(part, "metric_name")
         conf = "spark.sql.sources.partitionOverwriteMode"
         prior = self.spark.conf.get(conf)
         if wipe:
