@@ -1551,3 +1551,89 @@ def q_q14_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("brand_share_pct")
         )
     )
+
+
+@_register("approx_percentile_prices", None)
+def q_approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch-based quantiles (approx_percentile ≈ KLL/GK family): the
+    # 100 TB path where exact percentile's full sort-per-group is
+    # infeasible. Engine-specific sketch → rows-only (exact twin:
+    # percentile_prices).
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    )
+
+
+@_register(
+    "q7_nation_trade",
+    # TPC-H Q7 shape: customer-nation × supplier-nation trade volume
+    # through lineitem; both nation dims broadcast.
+    """
+    -- decimal domain: double summation order differs between engines and
+    -- can straddle a rounding boundary on large groups; decimal is exact
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           (sum(l.l_extendedprice::DECIMAL(18,2)
+                * (1 - l.l_discount)::DECIMAL(18,4)))::DOUBLE AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def q_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+@_register(
+    "grouping_sets_priority",
+    # Explicit GROUPING SETS (the general form of cube/rollup):
+    # per-(status,priority), per-status, and grand total in one pass.
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
