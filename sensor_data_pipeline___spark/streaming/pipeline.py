@@ -207,3 +207,24 @@ def stateful_totals_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_changelog(
+    spark: SparkSession, changelog_dir: str, key_col: str = "metric_name"
+) -> DataFrame:
+    """Latest-state view of a changelog directory written by
+    :func:`stateful_totals_stream`: last row per key wins.
+
+    "Last" is defined by the cumulative ``n_readings`` (monotone per
+    key), not file order — changelog readers must never depend on file
+    listing order. Run as a periodic batch job that overwrites a
+    compacted snapshot table; readers then union (snapshot, tail)."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(changelog_dir)
+    w = Window.partitionBy(key_col).orderBy(F.desc("n_readings"))
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

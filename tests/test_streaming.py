@@ -115,3 +115,16 @@ def test_stateful_totals_across_restarts(spark, dirs):
         "Current": (2, 26.0),
         "Temperature": (1, 21.5),
     }
+
+
+def test_compact_changelog_latest_per_key(spark, dirs):
+    _drop(dirs, "b1.txt", GOLDEN_LINES)
+    sp.stateful_totals_stream(spark, dirs["drop"], dirs["out"], dirs["ckpt"]).awaitTermination(120)
+    _drop(dirs, "b2.txt", ["1649941819 Voltage 0.31"])
+    sp.stateful_totals_stream(spark, dirs["drop"], dirs["out"], dirs["ckpt"]).awaitTermination(120)
+
+    compacted = {
+        r["metric_name"]: (r["n_readings"], round(r["total"], 2))
+        for r in sp.compact_changelog(spark, dirs["out"]).collect()
+    }
+    assert compacted == {"Voltage": (3, 3.0), "Current": (2, 26.0)}
