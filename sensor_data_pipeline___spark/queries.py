@@ -1637,3 +1637,448 @@ def q_grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes round 2: correlated subqueries, EXISTS/NOT EXISTS, left-join
+# distributions, argmin-per-group. No partsupp table exists in the testdata,
+# so q2/q9/q17-style queries derive the supplier-part relation from lineitem
+# (unit cost = l_extendedprice / l_quantity, elementwise IEEE arithmetic —
+# bit-identical across engines, safe to rank/compare unrounded).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q2_min_cost_supplier",
+    # TPC-H Q2 shape (argmin-per-group / correlated-min subquery): cheapest
+    # supplier per part, expressed as a row_number window over the exact
+    # elementwise unit cost. The cost is emitted unrounded: it is pure
+    # elementwise IEEE arithmetic (division + min), bit-identical across
+    # engines, whereas round-to-N straddles half boundaries differently.
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS supp_nation,
+             c.unit_cost,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY c.unit_cost, c.l_suppkey) AS rk
+      FROM cost c
+      JOIN part p ON c.l_partkey = p.p_partkey
+      JOIN supplier s ON c.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_size = 15
+    )
+    SELECT p_partkey, p_name, s_name, supp_nation, unit_cost
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        cost.join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            "unit_cost",
+            "l_suppkey",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_partkey", "p_name", "s_name", "supp_nation", "unit_cost")
+    )
+
+
+@_register(
+    "q8_market_share",
+    # TPC-H Q8 shape: per-year share of AMERICA-region customer revenue that
+    # was ALSO supplied from AMERICA (domestic share). Decimal sums (exact,
+    # associative) cast to double only for the final ratio.
+    """
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS order_year,
+             l.l_extendedprice::DECIMAL(18,2)
+               * (1 - l.l_discount)::DECIMAL(18,4) AS vol,
+             (sr.r_name = 'AMERICA') AS domestic
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+      WHERE cr.r_name = 'AMERICA'
+    )
+    SELECT order_year,
+           round((sum(CASE WHEN domestic THEN vol ELSE 0 END)::DOUBLE)
+                 / (sum(vol)::DOUBLE), 6) AS domestic_share
+    FROM rev GROUP BY order_year
+    """,
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("sr_key"))
+    cr = r.select(F.col("r_regionkey").alias("crr_key"), F.col("r_name").alias("cust_region"))
+    sr = r.select(F.col("r_regionkey").alias("srr_key"), F.col("r_name").alias("supp_region"))
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cr_key") == F.col("crr_key"))
+        .filter(F.col("cust_region") == "AMERICA")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(sr), F.col("sr_key") == F.col("srr_key"))
+        .withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("vol", vol)
+        .withColumn("domestic", F.col("supp_region") == "AMERICA")
+        .groupBy("order_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("domestic"), F.col("vol")).otherwise(0)).cast("double")
+                / F.sum("vol").cast("double"),
+                6,
+            ).alias("domestic_share")
+        )
+    )
+
+
+@_register(
+    "q9_product_profit",
+    # TPC-H Q9 shape: profit by supplier nation × order year for a product
+    # line (p_name LIKE). No partsupp/ps_supplycost column in the testdata,
+    # so profit is the discounted revenue. Decimal sum → double at the edge.
+    """
+    SELECT n.n_name AS supp_nation, year(o.o_orderdate) AS order_year,
+           round(sum(l.l_extendedprice::DECIMAL(18,2)
+                     * (1 - l.l_discount)::DECIMAL(18,4))::DOUBLE, 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+@_register(
+    "q13_customer_distribution",
+    # TPC-H Q13 shape: LEFT OUTER join with a join-time filter (so customers
+    # with zero qualifying orders still count), then a distribution over the
+    # per-customer order counts. Pure integer arithmetic.
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    # TPC-H Q15 shape: revenue view + correlated MAX scalar subquery. The
+    # revenue totals stay in exact decimal for the equality-to-max test
+    # (double sums could straddle the boundary); double only on output.
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(l_extendedprice::DECIMAL(18,2)
+                 * (1 - l_discount)::DECIMAL(18,4)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_rev::DOUBLE, 2) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        ).alias("total_rev")
+    )
+    top = revenue.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), revenue.total_rev == top.max_rev)
+        .join(F.broadcast(s), revenue.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    # TPC-H Q17 shape: lines whose quantity is below 20% of the part's
+    # average. The threshold test is cross-multiplied into pure integer
+    # arithmetic (qty * 5 * cnt < sum_qty — quantities are integral), so no
+    # float average ever feeds a comparison.
+    """
+    WITH agg AS (
+      SELECT l_partkey, count(*) AS cnt, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice::DECIMAL(18,2))::DOUBLE / 7, 2)
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+    JOIN agg a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity * 5 * a.cnt < a.sum_qty
+    """,
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.count("*").alias("cnt"), F.sum("l_quantity").alias("sum_qty")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(agg, li.l_partkey == agg.a_partkey)
+        .filter(F.col("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_register(
+    "q18_large_volume_customers",
+    # TPC-H Q18 shape: HAVING-filtered aggregate subquery (orders whose total
+    # quantity exceeds a threshold) joined back to dims. Quantity sums are
+    # integral → exact.
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@_register(
+    "q19_discounted_revenue",
+    # TPC-H Q19 shape: disjunction of conjunctive predicate groups spanning
+    # both join sides — Catalyst extracts the common p_partkey equi-key and
+    # keeps the OR as a post-join filter.
+    """
+    SELECT round(sum(l.l_extendedprice::DECIMAL(18,2)
+                     * (1 - l.l_discount)::DECIMAL(18,4))::DOUBLE, 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brand = F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#4") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q21_sole_supplier_failed_orders",
+    # TPC-H Q21 shape (EXISTS / NOT EXISTS): suppliers who were the SOLE
+    # supplier on failed ('F') orders. The NOT EXISTS becomes a left-anti
+    # join with a compound (equi + non-equi) condition in Spark.
+    """
+    SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_q21_sole_supplier_failed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    sole = l1.join(
+        l2,
+        (l1.l_orderkey == l2.l2_orderkey) & (l1.l_suppkey != l2.l2_suppkey),
+        "left_anti",
+    )
+    return (
+        sole.join(o, sole.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q22_idle_rich_customers",
+    # TPC-H Q22 shape: above-average-balance customers with no orders
+    # (scalar-subquery threshold + NOT EXISTS anti join), grouped by nation.
+    # The threshold test is cross-multiplied into exact decimal arithmetic:
+    # acctbal * n > total, with total summed in DECIMAL.
+    """
+    WITH stats AS (
+      SELECT count(*) AS n, sum(c_acctbal::DECIMAL(18,2)) AS total
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT nt.n_name, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, stats
+    JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal::DECIMAL(18,2) * stats.n > stats.total
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY nt.n_name
+    """,
+)
+def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total"),
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)") * F.col("n_pos") > F.col("total"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
