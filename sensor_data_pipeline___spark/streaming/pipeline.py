@@ -228,3 +228,74 @@ def compact_changelog(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def click_purchase_join_stream(
+    spark: SparkSession,
+    clicks_dir: str,
+    purchases_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    attribution_window: str = "INTERVAL 30 MINUTES",
+):
+    """Stream-stream inner join with event-time bounds (attribution:
+    each purchase joined to the same user's clicks in the preceding
+    ``attribution_window``).
+
+    Both sides carry a watermark so Spark can bound the join state: a
+    buffered click is evicted once the purchase-side watermark passes
+    ``click.ts + attribution_window`` — without the time-range
+    condition the state would grow forever, which is the difference
+    between a demo and a 100 TB deployment. Scale note: the join
+    shuffles both streams by ``user_id``; state lives in the
+    per-partition state store (RocksDB-backed on a real cluster).
+    """
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(clicks_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("click_user"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(purchases_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(attribution_window)
+        ),
+        "inner",
+    ).select(
+        "purchase_id", "purchase_user", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -85,3 +85,39 @@ def test_serving_prunes_by_date(spark):
             (F.col("reading_date") >= F.lit("2024-01-10"))
             & (F.col("reading_date") < F.lit("2024-01-12"))
         ).count()
+
+
+def test_observation_metrics(spark):
+    """Observation metrics arrive with the single action — no second
+    scan — and match a direct aggregation."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.plans.observability import (
+        QueryTimer,
+        freshness_metrics,
+        observed,
+    )
+    from sensor_data_pipeline___spark.sources import readers
+
+    li = readers.table(spark, "lineitem", "/root/testdata/sf0.001")
+    df, obs = observed(
+        li,
+        "li_health",
+        n_rows=F.count(F.lit(1)),
+        total_qty=F.sum("l_quantity"),
+    )
+    timer = QueryTimer()
+    with timer.run("lineitem_scan", obs):
+        n = df.count()
+    m = timer.records[0]["metrics"]
+    assert m["n_rows"] == n
+    exact = li.agg(F.sum("l_quantity")).collect()[0][0]
+    assert m["total_qty"] == exact
+    assert timer.records[0]["ok"] and timer.records[0]["seconds"] >= 0
+
+    ev = readers.table(spark, "events", "/root/testdata/sf0.001")
+    edf, eobs = freshness_metrics(ev, "ts")
+    edf.write.format("noop").mode("overwrite").save()
+    fm = eobs.get
+    assert fm["n_rows"] == ev.count() and fm["null_ts"] == 0
+    assert fm["min_ts"] <= fm["max_ts"]

@@ -128,3 +128,58 @@ def test_compact_changelog_latest_per_key(spark, dirs):
         for r in sp.compact_changelog(spark, dirs["out"]).collect()
     }
     assert compacted == {"Voltage": (3, 3.0), "Current": (2, 26.0)}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream attribution join == the equivalent batch inner
+    join when everything arrives in one availableNow drain (no state
+    eviction can fire before the data is seen)."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.sources import readers
+
+    ev = readers.table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    clicks_dir = str(tmp_path / "clicks")
+    purchases_dir = str(tmp_path / "purchases")
+    # both dirs get the full feed; the operator filters by event_type
+    ev.filter(F.col("event_type") == "click").repartition(2).write.parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "purchase").repartition(2).write.parquet(
+        purchases_dir
+    )
+
+    q = sp.click_purchase_join_stream(
+        spark,
+        clicks_dir,
+        purchases_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out"))
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("click_user"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("purchase_user"),
+    )
+    expected = p.join(
+        c,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    assert got.count() == expected.count()
+    assert got.count() > 0
+    assert (
+        got.select("purchase_id", "click_id").exceptAll(
+            expected.select("purchase_id", "click_id")
+        ).count()
+        == 0
+    )
