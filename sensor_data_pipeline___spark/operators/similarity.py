@@ -233,3 +233,152 @@ def pandas_cosine_scores(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    ncells: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(cell, centroid array<double>) — IVF coarse quantizer.
+
+    Init is a deterministic pseudo-random sample: the ``ncells`` corpus
+    vectors with the smallest ``xxhash64(seed, id)`` (order-stable across
+    partitionings). ``iters`` Lloyd refinements follow, each expressed in
+    DataFrame ops: assign (see :func:`ivf_assign`) → per-cell elementwise
+    mean via ``posexplode`` + groupBy(cell, pos).
+
+    Scale note: each refinement shuffles corpus×dim exploded rows; at
+    100 TB you run the refinement on a sampled slice (``corpus.sample``)
+    — centroid quality needs only a statistical view of the data. The
+    assignment pass that follows is the cheap part (map-side ``max_by``).
+    """
+    init = (
+        corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("centroid"))
+        .withColumn("_rk", F.xxhash64(F.lit(seed), F.col(id_col)))
+        .orderBy("_rk", id_col)
+        .limit(ncells)
+        .select(
+            (F.row_number().over(Window.orderBy("_rk", id_col)) - 1).alias("cell"),
+            "centroid",
+        )
+    )
+    cents = init
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, vec_col=vec_col, id_col=id_col)
+        joined = assigned.join(
+            corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("e")),
+            id_col,
+        )
+        cents = (
+            joined.select("cell", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("centroid")
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell) — nearest centroid by cosine.
+
+    ``crossJoin(broadcast(centroids))`` inflates each row ×ncells inside
+    the task, then ``max_by`` collapses it back BEFORE the exchange
+    (partial aggregation) — shuffle volume stays at corpus row count,
+    which is what makes this viable against 100 TB. Ties break to the
+    lowest cell id via the (cosine, -cell) struct ordering."""
+    c = corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("e")).withColumn(
+        "nrm", _norm(F.col("e"))
+    )
+    k = centroids.select(
+        F.col("cell"), F.col("centroid"), _norm(F.col("centroid")).alias("cnrm")
+    )
+    cos = _dot_hof(F.col("e"), F.col("centroid")) / (F.col("nrm") * F.col("cnrm"))
+    return (
+        c.crossJoin(F.broadcast(k))
+        .select(
+            id_col,
+            F.struct(cos.alias("cos"), (-F.col("cell")).alias("negcell")).alias("sc"),
+        )
+        .groupBy(id_col)
+        .agg((-F.max("sc")["negcell"]).alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k: search only the ``nprobe`` cells whose
+    centroids are closest to each query (IVF probe), equi-joining on the
+    cell id instead of the LSH bucket. With ``nprobe == ncells`` this
+    degrades gracefully to exact brute force (same rounding + tiebreak
+    as :func:`brute_force_topk` — pinned by tests).
+
+    Returns (query_id, vec_id, cosine, rnk)."""
+    assigned = ivf_assign(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    c = (
+        corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("ce"))
+        .withColumn("cn", _norm(F.col("ce")))
+        .join(assigned, id_col)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qe")
+    ).withColumn("qn", _norm(F.col("qe")))
+    kdf = centroids.select("cell", "centroid", _norm(F.col("centroid")).alias("cnrm"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(kdf))
+        .withColumn(
+            "ccos",
+            _dot_hof(F.col("qe"), F.col("centroid")) / (F.col("qn") * F.col("cnrm")),
+        )
+        .withColumn("prk", F.row_number().over(probe_w))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "qe", "qn", "cell")
+    )
+    sims = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                _dot_hof(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cosine", "rnk")
+    )

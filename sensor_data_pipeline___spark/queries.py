@@ -2082,3 +2082,21 @@ def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@_register("ann_topk_ivf", None)
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantizer ANN: deterministic hash-sampled centroids +
+    # one Lloyd refinement, then cell-probed cosine top-k (nprobe 2 of
+    # 8). Rows-only: the centroid derivation is engine-specific. The
+    # exact twin is similarity_topk; tests pin nprobe==ncells ≡ brute
+    # force and recall@5 ≥ 0.5 at nprobe 2/8.
+    from sensor_data_pipeline___spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.limit(8)
+    cents = ivf_centroids(emb, ncells=8, iters=1)
+    return ivf_topk(q, emb, cents, k=5, nprobe=2)

@@ -36,3 +36,43 @@ def test_pandas_path_matches_jvm_path(spark):
     # both sides round to 6 digits; BLAS reassociation can flip the last
     # rounded digit on exact .5 boundaries — allow one ulp of the rounding
     assert worst <= 1e-6, worst
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    """nprobe == ncells must reduce IVF to exact brute force (same
+    rounding + tiebreak) — the graceful-degradation contract."""
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
+    q = emb.limit(8)
+    cents = sim.ivf_centroids(emb, ncells=8, iters=0)
+    exact = sorted(map(tuple, sim.ivf_topk(q, emb, cents, k=5, nprobe=8).collect()))
+    bf = sorted(map(tuple, sim.brute_force_topk(q, emb, k=5).collect()))
+    assert exact == bf
+
+
+def test_ivf_assign_partitions_corpus(spark):
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
+    cents = sim.ivf_centroids(emb, ncells=8, iters=1)
+    asg = sim.ivf_assign(emb, cents)
+    assert asg.count() == emb.count() == asg.select("vec_id").distinct().count()
+    assert asg.select("cell").distinct().count() == 8
+
+
+def test_ivf_recall_with_probing(spark):
+    """Probing 2/8 cells after one Lloyd refinement keeps most true
+    neighbors (deterministic corpus → the measured recall is stable)."""
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
+    q = emb.limit(8)
+    cents = sim.ivf_centroids(emb, ncells=8, iters=1)
+    approx = sim.ivf_topk(q, emb, cents, k=5, nprobe=2)
+    ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+    bf = {(r.query_id, r.vec_id) for r in sim.brute_force_topk(q, emb, k=5).collect()}
+    assert len(ap & bf) / len(bf) >= 0.5
