@@ -2100,3 +2100,176 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.limit(8)
     cents = ivf_centroids(emb, ncells=8, iters=1)
     return ivf_topk(q, emb, cents, k=5, nprobe=2)
+
+
+@_register(
+    "json_extract_props",
+    # Semi-structured extraction: typed value pulled out of a JSON
+    # string column (from_json on the Spark side, json_extract_string
+    # in DuckDB), aggregated per event_type. The at-scale point:
+    # from_json parses once into a typed struct inside codegen — never
+    # regex over JSON.
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END)
+             AS k_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_total"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("k_missing"),
+        )
+    )
+
+
+@_register(
+    "funnel_conversion",
+    # Ordered-funnel conversion (view → click → purchase): each stage's
+    # earliest qualifying timestamp must follow the previous stage's.
+    # Per-stage min-aggregates joined forward — three shuffles on
+    # user_id, each smaller than the last (funnel narrows).
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS viewed,
+           (SELECT count(*) FROM c) AS clicked_after_view,
+           (SELECT count(*) FROM p) AS purchased_after_click
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("viewed"))
+        .crossJoin(c.agg(F.count("*").alias("clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("purchased_after_click")))
+    )
+
+
+@_register(
+    "ntile_deciles",
+    # Rank-family windows (ntile) — decile cut of order prices with
+    # per-decile bounds. One full-sort window; at 100 TB you'd switch
+    # to approx_percentile boundaries (see approx_percentile_prices).
+    """
+    WITH d AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM d GROUP BY decile
+    """,
+)
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@_register(
+    "top_terms",
+    # The canonical explode path: tokenize → explode → count → top-k
+    # with a total tiebreak. Map-side partial counts keep the shuffle at
+    # distinct-term cardinality, not token cardinality.
+    """
+    SELECT term, count(*) AS n
+    FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    )
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 25
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("term"))
+        .limit(25)
+    )
+
+
+@_register(
+    "range_frame_user_spend",
+    # RANGE window frame over event time (trailing 1 hour per user):
+    # frame bounds follow the ORDER BY VALUE (epoch seconds), not row
+    # offsets — rows with no neighbors in range aggregate only
+    # themselves. Purchases only, so the window state stays small.
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+             AS spend_1h
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_range_frame_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("spend_1h"),
+    )

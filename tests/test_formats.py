@@ -1,0 +1,58 @@
+"""Schema-enforced CSV/JSONL readers: typed good rows, verbatim reject
+capture, no whole-load poisoning from single bad rows."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sensor_data_pipeline___spark.sources import formats
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("name", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def test_jsonl_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "value": 1.5}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "b", "value": 2.5}\n'
+        '{"id": "NaNo", "name": "c", "value": 3.5}\n'
+    )
+    good, bad = formats.split_rejects(formats.read_jsonl(spark, str(p), SCHEMA))
+    grows = {r.id: (r.name, r.value) for r in good.collect()}
+    assert grows == {1: ("a", 1.5), 2: ("b", 2.5)}
+    raws = [r.raw_line for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws) and any("NaNo" in r for r in raws)
+
+
+def test_csv_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "feed.csv"
+    p.write_text("id,name,value\n1,a,1.5\n2,b,not_a_number\n3,c,3.5\n")
+    good, bad = formats.split_rejects(formats.read_csv(spark, str(p), SCHEMA))
+    assert {r.id for r in good.collect()} == {1, 3}
+    raws = [r.raw_line for r in bad.collect()]
+    assert raws == ["2,b,not_a_number"]
+
+
+def test_csv_good_rows_fully_typed(spark, tmp_path):
+    p = tmp_path / "feed.csv"
+    p.write_text("id,name,value\n1,a,1.5\n")
+    good, _ = formats.split_rejects(formats.read_csv(spark, str(p), SCHEMA))
+    assert [f.dataType.simpleString() for f in good.schema.fields] == [
+        "bigint",
+        "string",
+        "double",
+    ]
