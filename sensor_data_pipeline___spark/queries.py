@@ -2273,3 +2273,170 @@ def q_range_frame_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("spend_1h"),
     )
+
+
+@_register(
+    "gapfill_forward_fill",
+    # Time-series gap fill: a dense per-user date spine (sequence +
+    # explode — generated, never materialized as input data) left-joined
+    # against sparse daily spend, then forward-filled with
+    # last(ignorenulls) over an unbounded-preceding frame. The spine is
+    # a broadcast cross join (|users| × |days| rows exist only past the
+    # join); the fill is one partition-local window — no extra shuffle
+    # beyond the groupBy, because partitionBy(user_id) reuses the
+    # aggregation's hash partitioning.
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS spend
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+    spine AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    ),
+    grid AS (
+      SELECT u.user_id, s.d
+      FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN spine s
+    ),
+    j AS (
+      SELECT g.user_id, g.d, ev.spend
+      FROM grid g LEFT JOIN ev ON g.user_id = ev.user_id AND g.d = ev.d
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           round(last_value(spend IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS spend_ff,
+           CAST(spend IS NOT NULL AS INT) AS observed
+    FROM j
+    """,
+)
+def q_gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("spend"))
+    )
+    spine = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    j = grid.join(ev, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.last("spend", ignorenulls=True).over(w), 2).alias("spend_ff"),
+        F.col("spend").isNotNull().cast("int").alias("observed"),
+    )
+
+
+@_register(
+    "time_weighted_avg",
+    # Time-weighted average per metric: each reading is weighted by the
+    # seconds until the next reading of the same metric (lead over an
+    # event-time window with a deterministic event_id tiebreak); the
+    # final reading has no successor and carries zero weight. Epochs are
+    # FRACTIONAL seconds on both engines (the source timestamps carry
+    # sub-second precision; Spark's unix_timestamp would truncate, so the
+    # cast-to-double epoch is used instead). Both sums run in DECIMAL so
+    # cross-engine summation order cannot move a rounding boundary
+    # (elementwise value*dt is IEEE bit-identical; only the reduction
+    # order differs).
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             epoch(lead(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)) - epoch(ts) AS dt
+      FROM events
+    )
+    SELECT event_type,
+           round(CAST(sum(CAST(value * dt AS DECIMAL(30, 10)))
+                      / sum(CAST(dt AS DECIMAL(30, 10))) AS DOUBLE), 4) AS twa,
+           round(CAST(sum(CAST(dt AS DECIMAL(30, 10))) AS DOUBLE), 2)
+             AS total_seconds
+    FROM t WHERE dt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    dt = F.lead(epoch).over(w) - epoch
+    dt_dec = F.col("dt").cast("decimal(30,10)")
+    return (
+        ev.withColumn("dt", dt)
+        .filter(F.col("dt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                (
+                    F.sum((F.col("value") * F.col("dt")).cast("decimal(30,10)"))
+                    / F.sum(dt_dec)
+                ).cast("double"),
+                4,
+            ).alias("twa"),
+            F.round(F.sum(dt_dec).cast("double"), 2).alias("total_seconds"),
+        )
+    )
+
+
+@_register(
+    "rank_distribution",
+    # Rank-family distribution windows: percent_rank and cume_dist per
+    # priority class. Tie rows share a rank, so the output is fully
+    # deterministic with no tiebreak column; the computation is one
+    # sort within each partition's window, shuffled once on the
+    # partition key.
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice), 6) AS pr,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice), 6) AS cd
+    FROM orders
+    """,
+)
+def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@_register(
+    "conditional_boolean_aggs",
+    # FILTER-style conditional counts and boolean reductions (count_if /
+    # bool_or / bool_and) plus an exact interpolated median — all
+    # single-pass partial-aggregatable except median, which sorts within
+    # groups. Booleans are cast to INT on both engines for a stable
+    # cross-engine wire type.
+    """
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 100) AS n_gt100,
+           CAST(bool_or(value > 1000) AS INT) AS any_gt1000,
+           CAST(bool_and(value >= 0) AS INT) AS all_nonneg,
+           round(median(value), 4) AS med
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_conditional_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_gt100"),
+        F.bool_or(F.col("value") > 1000).cast("int").alias("any_gt1000"),
+        F.bool_and(F.col("value") >= 0).cast("int").alias("all_nonneg"),
+        F.round(F.median("value"), 4).alias("med"),
+    )
