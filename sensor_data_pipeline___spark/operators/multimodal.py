@@ -108,6 +108,67 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media.select(*cols).mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
+def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
+    """Nearest-neighbor resize of every frame, re-encoded in place
+    (payload out = payload in's codec with updated dimensions).
+
+    With the fake codec the body is w×h×frames single-byte pixels, so
+    the resample is an index map — the exact mapInPandas shape a
+    PIL/libav-backed resize uses, including the payload-in/payload-out
+    contract that lets resizes chain with decode/featurize stages."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("codec", T.StringType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                meta = _decode_payload(row.payload, row.codec)
+                w, h, n = meta["width"], meta["height"], max(meta["n_frames"], 1)
+                body = meta["body"]
+                frame_len = w * h
+                out = bytearray()
+                for f in range(n):
+                    frame = body[f * frame_len : (f + 1) * frame_len]
+                    for yy in range(new_height):
+                        y = yy * h // new_height
+                        for xx in range(new_width):
+                            x = xx * w // new_width
+                            # fake codec tolerates truncated bodies
+                            # (header dims are authoritative, bytes
+                            # may be short) — read missing pixels as 0
+                            idx = y * w + x
+                            out.append(frame[idx] if idx < len(frame) else 0)
+                header = f"{new_width}:{new_height}:{meta['n_frames']}".encode()
+                rows.append(
+                    {
+                        "media_id": row.media_id,
+                        "media_type": row.media_type,
+                        "codec": row.codec,
+                        "payload": header + b";" + bytes(out),
+                        "width": new_width,
+                        "height": new_height,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "codec", "payload", "width", "height",
+                ],
+            )
+
+    cols = ["media_id", "media_type", "payload", "codec"]
+    return media.select(*cols).mapInPandas(process, schema=out_schema)
+
+
 def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame sampling for video payloads: emit one row per sampled
     frame index — a mapInPandas flatMap (one input row → many output

@@ -58,3 +58,17 @@ def test_unknown_codec_raises(spark, media):
     real = media.withColumn("codec", F.lit("jpeg"))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         mm.extract_features(real).collect()
+
+
+def test_resize_nearest_neighbor(media):
+    out = {r["media_id"]: r for r in mm.resize(media, 2, 1).collect()}
+    # media 1: 4x2x3 frames of bytes(range(24)); frame 0 = rows
+    # [0,1,2,3],[4,5,6,7] -> nearest at (y=0, x in {0,2}) = [0, 2]
+    assert out[1]["width"] == 2 and out[1]["height"] == 1
+    body = bytes(out[1]["payload"]).partition(b";")[2]
+    assert body[:2] == bytes([0, 2])  # frame 0
+    assert body[2:4] == bytes([8, 10])  # frame 1 starts at byte 8
+    # resized payload re-decodes and chains into the feature stage
+    feats = {r["media_id"]: r for r in mm.extract_features(
+        mm.resize(media, 2, 1)).collect()}
+    assert feats[1]["width"] == 2 and feats[1]["height"] == 1
