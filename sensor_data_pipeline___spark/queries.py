@@ -2440,3 +2440,126 @@ def q_conditional_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") >= 0).cast("int").alias("all_nonneg"),
         F.round(F.median("value"), 4).alias("med"),
     )
+
+
+@_register(
+    "set_intersect_customers",
+    # INTERSECT (distinct set semantics): customers active in both
+    # years (1996 and 1997). Catalyst plans intersect as a left-semi over distinct
+    # inputs — same shuffle shape as the IN-subquery form, expressed
+    # declaratively.
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def q_set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@_register(
+    "set_except_customers",
+    # EXCEPT (distinct set semantics): customers who ordered in 1996
+    # but never in 1997 — the left-anti twin of the intersect above.
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def q_set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.subtract(y97)  # EXCEPT == subtract (distinct set semantics)
+
+
+@_register(
+    "string_agg_nations",
+    # Ordered string aggregation (LISTAGG): nations per region as one
+    # sorted comma-joined string. Spark spells it collect_list →
+    # array_sort → concat_ws — the sort makes the result deterministic,
+    # which bare string_agg/collect_list is not.
+    """
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           count(*) AS n_nations
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@_register(
+    "corr_regression_returnflag",
+    # Statistical aggregates: Pearson correlation and least-squares
+    # slope/intercept of extendedprice on quantity, per return flag.
+    # Single-pass partial-aggregatable moments on both engines; results
+    # rounded because the moment sums are order-dependent doubles.
+    """
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 5) AS price_qty_corr,
+           round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_corr_regression_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 5).alias("price_qty_corr"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 3).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "embedding_centroid_norm",
+    # Per-label centroid norm over unit vectors — intra-label coherence
+    # (1.0 = identical directions, →0 = isotropic). posexplode →
+    # two-level aggregation keeps everything JVM-side; the shuffle is
+    # |labels|×dim rows, independent of corpus size after the first agg.
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    u AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, idx),
+    c AS (SELECT label, i, avg(x) AS cx FROM u GROUP BY label, i)
+    SELECT label, round(sqrt(sum(cx * cx)), 4) AS centroid_norm,
+           count(*) AS dim
+    FROM c GROUP BY label
+    """,
+)
+def q_embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("i0", "x"))
+        .groupBy("label", "i0")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("cx") * F.col("cx"))), 4).alias(
+                "centroid_norm"
+            ),
+            F.count("*").alias("dim"),
+        )
+    )
