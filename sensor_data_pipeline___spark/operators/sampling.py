@@ -1,0 +1,69 @@
+"""Dataset splitting and sampling for training-data pipelines.
+
+Two families:
+
+- :func:`hash_split` — DETERMINISTIC train/val/test assignment from a
+  content-stable hash of the row's id (+ a salt naming the split
+  version). The same row lands in the same split on every run, every
+  engine, every cluster size — the property that matters when the
+  corpus is rebuilt incrementally at 100 TB: examples never migrate
+  between train and test across rebuilds (leakage). No shuffle — the
+  split is a narrow projection; downstream writers partition by the
+  split column.
+
+- :func:`stratified_sample` — seeded per-stratum Bernoulli sampling
+  (``DataFrame.sampleBy``) for class-balanced subsets. Seeded runs are
+  reproducible within Spark but engine-specific (the RNG is Spark's),
+  so its query surfaces as rows-only in the driver contract.
+
+The hash is md5 (not xxhash64) deliberately: md5 is available and
+bit-identical in every engine this repo's outputs are checked against,
+so split membership itself is oracle-verifiable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket space for split boundaries (basis points: 8000 = 80%).
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS): first 8 hex chars of
+    md5(salt|id) as an integer, mod BUCKETS. 32 hash bits mod 10^4
+    keeps modulo bias < 0.003% — immaterial for split sizing."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Adds a ``split`` column ('train' | 'val' | 'test') keyed only on
+    ``id_col`` and ``salt``. Changing the salt re-deals every row;
+    growing the corpus never moves an existing row."""
+    b = hash_bucket(F.col(id_col), salt)
+    t_hi = int(train * BUCKETS)
+    v_hi = t_hi + int(val * BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (no shuffle; each task samples its
+    own rows). ``fractions`` maps stratum value → keep probability;
+    strata absent from the map are dropped entirely."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -2563,3 +2563,51 @@ def q_embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("dim"),
         )
     )
+
+
+@_register(
+    "hash_split_sizes",
+    # Deterministic train/val/test assignment (operators/sampling.py:
+    # hash_split): md5(salt|id) buckets — content-stable, so split
+    # membership itself is cross-engine verifiable (md5 is bit-identical
+    # everywhere, unlike xxhash64). Per split: size + char volume.
+    """
+    WITH s AS (
+      SELECT n_chars,
+             CAST(('0x' || substr(md5('split-v1' || '|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 10000 AS b
+      FROM documents
+    )
+    SELECT CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM s GROUP BY 1
+    """,
+)
+def q_hash_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@_register("stratified_sample_counts")  # rows-only: Spark-seeded RNG
+def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-stratum Bernoulli sample sizes by language — reproducible
+    within Spark (fixed seed) but engine-specific, hence no SQL oracle."""
+    from sensor_data_pipeline___spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    frac = {lang: 0.5 for lang in langs}
+    return (
+        sampling.stratified_sample(docs, "lang", frac, seed=42)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )

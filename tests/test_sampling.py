@@ -1,0 +1,50 @@
+"""Deterministic hash splits: stability across runs and corpus growth,
+boundary proportions, salt re-deal; stratified sampling reproducibility."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.operators import sampling
+
+
+def _splits(spark, n, salt="split-v1"):
+    df = sampling.hash_split(spark.range(n), "id", salt=salt)
+    return {r.id: r.split for r in df.collect()}
+
+
+def test_split_deterministic_and_stable_under_growth(spark):
+    small = _splits(spark, 1000)
+    again = _splits(spark, 1000)
+    assert small == again  # same run-to-run
+    grown = _splits(spark, 5000)
+    # growing the corpus never moves an existing row
+    assert all(grown[i] == small[i] for i in range(1000))
+
+
+def test_split_proportions(spark):
+    df = sampling.hash_split(spark.range(20_000), "id")
+    counts = {r.split: r.n for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.1) < 0.01
+
+
+def test_salt_redeals(spark):
+    a = _splits(spark, 2000, salt="v1")
+    b = _splits(spark, 2000, salt="v2")
+    moved = sum(1 for i in a if a[i] != b[i])
+    assert moved > 500  # a new salt re-deals a large fraction
+
+
+def test_stratified_sample_reproducible(spark):
+    df = spark.range(5000).withColumn("cls", (F.col("id") % 3).cast("int"))
+    frac = {0: 0.5, 1: 0.1, 2: 0.9}
+    s1 = sampling.stratified_sample(df, "cls", frac, seed=7).collect()
+    s2 = sampling.stratified_sample(df, "cls", frac, seed=7).collect()
+    assert sorted(r.id for r in s1) == sorted(r.id for r in s2)
+    by_cls = {}
+    for r in s1:
+        by_cls[r.cls] = by_cls.get(r.cls, 0) + 1
+    # stratum 1 kept at ~10%, stratum 2 at ~90% (Bernoulli tolerance)
+    assert by_cls[1] < by_cls[0] < by_cls[2]
