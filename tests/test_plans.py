@@ -121,3 +121,30 @@ def test_observation_metrics(spark):
     fm = eobs.get
     assert fm["n_rows"] == ev.count() and fm["null_ts"] == 0
     assert fm["min_ts"] <= fm["max_ts"]
+
+
+def test_gapfill_window_reuses_join_partitioning(spark):
+    df = QUERIES["gapfill_forward_fill"](spark, SF)
+    plan = explain.formatted_plan(df)
+    # the date spine is tiny and generated — it must be the broadcast
+    # side of the cross join, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # forward-fill window partitions by user_id, which the left-outer
+    # join already provides: exchanges = the aggregations only (3 legs
+    # on the same events scan), none added for the Window sort
+    window_section = plan.split("Window")[0]
+    assert "Exchange" not in window_section.split("Sort")[0], plan
+
+
+def test_string_agg_broadcasts_region(spark):
+    df = QUERIES["string_agg_nations"](spark, SF)
+    assert explain.broadcast_join_count(df) >= 1, explain.formatted_plan(df)
+
+
+def test_hash_split_is_narrow(spark):
+    from sensor_data_pipeline___spark.operators import sampling
+
+    docs = readers.table(spark, "documents", SF)
+    df = sampling.hash_split(docs, "doc_id")
+    # split assignment must add no shuffle — it's a projection
+    assert explain.exchange_count(df) == 0, explain.formatted_plan(df)
