@@ -17,6 +17,12 @@ from pyspark.sql import SparkSession
 # session (the verification driver passes us its own SparkSession).
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4 default, pinned so a caller session with legacy lenient
+    # casts can't silently change parse semantics (verified: the full
+    # oracle surface matches under either setting — every cast in the
+    # engine is regex-guarded or try_*-based — but pinning removes the
+    # variable)
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
