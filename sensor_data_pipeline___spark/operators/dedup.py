@@ -345,3 +345,88 @@ def dedup_pipeline(
     )
     pairs = minhash_near_dup(reps, text_col, id_col, **minhash_kwargs)
     return reps, groups, pairs
+
+
+# ---------------------------------------------------------------------------
+# Clustering: pairs → connected components → representatives
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for the undirected graph given as an edge list —
+    the step that turns pairwise near-dup output into dedup GROUPS
+    (component id = min node id in the component).
+
+    Label propagation to a fixpoint: every node repeatedly adopts the
+    minimum label among itself and its neighbors. Each iteration is one
+    shuffle (groupBy node); convergence needs O(diameter) rounds, and
+    near-dup graphs are overwhelmingly tiny star/clique components, so
+    2-3 rounds typically suffice. The driver-side loop only ever moves
+    an aggregated change COUNT, never data.
+
+    At 100 TB scale the same loop holds (iterations are Spark jobs over
+    checkpointed intermediates — ``localCheckpoint`` every round cuts
+    the lineage that would otherwise re-run all prior rounds); graphs
+    with long chains would switch to the large-star/small-star
+    alternating algorithm (same primitive, provably O(log n) rounds).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"], "inner")
+            .select(F.col("u").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage: each round is one job, not a replay
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One surviving row per near-dup cluster: the min-id member of each
+    connected component keeps its full document row; documents in no
+    pair survive untouched. This is the final emit of the dedup
+    pipeline (exact → LSH pairs → components → keep one per cluster)."""
+    comp = connected_components(pairs)
+    keep_clustered = comp.groupBy("component").agg(F.min("node").alias(id_col))
+    clustered_ids = comp.select(F.col("node").alias(id_col))
+    survivors = docs.join(clustered_ids, id_col, "left_anti").select(id_col).union(
+        keep_clustered.select(id_col)
+    )
+    return docs.join(survivors, id_col, "left_semi")

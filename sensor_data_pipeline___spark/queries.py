@@ -2611,3 +2611,76 @@ def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@_register("minhash_cluster_stats")  # rows-only: seeded-hash pair source
+def q_minhash_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → dedup-group stats: the
+    full clustering path of the dedup pipeline (pairwise LSH output is
+    not directly actionable; groups are). Rows-only because the edge set
+    derives from seeded minhash signatures (no cross-engine SQL twin);
+    component correctness is pinned against a union-find reference in
+    tests/test_properties.py."""
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(docs)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_docs"))
+    return sizes.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n_docs").alias("docs_clustered"),
+        F.max("n_docs").alias("max_cluster"),
+    )
+
+
+@_register(
+    "mad_outliers",
+    # Robust per-metric anomaly summary (operators/anomaly.py): median /
+    # MAD center-scale, outlier = |x − med| > 3 · 1.4826 · MAD. The
+    # threshold derives from medians (exact interpolation, identical
+    # cross-engine), so the count comparison is bit-stable — unlike a
+    # mean/stddev formulation whose moments are summation-order noise.
+    """
+    WITH m AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS absdev
+      FROM events e JOIN m USING (event_type)
+    ), md AS (
+      SELECT event_type, median(absdev) AS mad FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(min(d.med), 4) AS med,
+           round(min(md.mad), 4) AS mad,
+           count(CASE WHEN d.absdev > 3 * 1.4826 * md.mad THEN 1 END)
+             AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.anomaly import MAD_SIGMA
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("_med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "_absdev", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("_absdev").alias("_mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("_med"), 4).alias("med"),
+            F.round(F.min("_mad"), 4).alias("mad"),
+            F.count(
+                F.when(
+                    F.col("_absdev") > 3 * MAD_SIGMA * F.col("_mad"), 1
+                )
+            ).alias("n_outliers"),
+        )
+    )

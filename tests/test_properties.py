@@ -100,3 +100,61 @@ def test_normalize_range_properties():
     # unparseable bound → None (F7 gate)
     assert normalize_range("14-04-2022", "2022-04-15") is None
     assert normalize_range("2022-04-14", "nope") is None
+
+
+# ---------------------------------------------------------------------------
+# Connected components: cross-checked against a driver-side union-find
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from sensor_data_pipeline___spark.operators.dedup import connected_components
+
+    # chain, clique, star, isolated pair — plus a long path (worst case
+    # for propagation rounds)
+    edges = (
+        [(1, 2), (2, 3), (3, 4)]
+        + [(10, 11), (10, 12), (11, 12)]
+        + [(20, 21), (20, 22), (20, 23)]
+        + [(30, 31)]
+        + [(i, i + 1) for i in range(100, 120)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(pairs).collect()
+    }
+    expected = _union_find_components(edges)
+    # min-label canonical form on both sides
+    assert got == expected
+
+
+def test_cluster_representatives_keep_one_per_cluster(spark):
+    from sensor_data_pipeline___spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    kept = sorted(r.doc_id for r in cluster_representatives(docs, pairs).collect())
+    # {1,2,3} -> 1; {5,6} -> 5; 4,7,8 untouched
+    assert kept == [1, 4, 5, 7, 8]
