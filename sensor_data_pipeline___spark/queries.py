@@ -2684,3 +2684,49 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@_register(
+    "pack_sequences",
+    # Training-sequence packing (concat-and-chunk): documents in a
+    # deterministic order are concatenated and cut into fixed
+    # token-budget chunks; each doc reports the chunk span it lands in.
+    # One running-sum window expresses the whole layout — no stateful
+    # loop. The global-order window is the correctness spec; at 100 TB
+    # packing runs per shard (partitionBy(shard) windows over
+    # hash-assigned shards), which changes layout but not the contract.
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             sum(len(string_split_regex(text, '\\s+'))) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS start_chunk,
+           CAST(floor((cum - 1) / 2048) AS BIGINT) AS end_chunk,
+           CAST(floor((cum - 1) / 2048)
+                - floor((cum - n_tokens) / 2048) + 1 AS BIGINT) AS n_chunks
+    FROM t
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget = 2048
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    start_chunk = F.floor((F.col("cum") - F.col("n_tokens")) / budget)
+    end_chunk = F.floor((F.col("cum") - 1) / budget)
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        start_chunk.cast("long").alias("start_chunk"),
+        end_chunk.cast("long").alias("end_chunk"),
+        (end_chunk - start_chunk + 1).cast("long").alias("n_chunks"),
+    )
