@@ -2730,3 +2730,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_chunk.cast("long").alias("end_chunk"),
         (end_chunk - start_chunk + 1).cast("long").alias("n_chunks"),
     )
+
+
+@_register(
+    "latest_event_per_user",
+    # CDC-style dedup: keep each key's most recent row (row_number on a
+    # (ts DESC, id DESC) window, rn = 1). THE upsert-compaction pattern
+    # for changelog tables — one shuffle on the key; at scale this runs
+    # per partition-of-key with AQE skew splitting, never a global sort.
+    """
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )
