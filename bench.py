@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "text_quality",
     "minhash_near_dup",
     "similarity_topk",
+    "gapfill_forward_fill",
+    "mad_outliers",
+    "pack_sequences",
 ]
 
 
