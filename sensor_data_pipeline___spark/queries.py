@@ -2756,3 +2756,50 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
     )
+
+
+@_register(
+    "quality_assertion_counts",
+    # The dbt schema-test suite (SURVEY §5 tier 2; functions/quality.py)
+    # surfaced as a query: per-rule violation counts over the readings
+    # mapping of events — unique key, not-null value, accepted metric
+    # values (the reference's _staging.yml contract), and the
+    # warn-severity expression test from _marts.yml. Each rule is one
+    # aggregate; the union is 4 rows regardless of table size.
+    """
+    SELECT 'unique' AS check_name, 'raw_id' AS column_name, 'error' AS severity,
+           (SELECT count(*) FROM (
+              SELECT event_id FROM events WHERE event_id IS NOT NULL
+              GROUP BY event_id HAVING count(*) > 1)) AS violations
+    UNION ALL
+    SELECT 'not_null', 'metric_value', 'error',
+           (SELECT count(*) FROM events WHERE value IS NULL)
+    UNION ALL
+    SELECT 'accepted_values', 'metric_name', 'error',
+           (SELECT count(*) FROM events
+            WHERE event_type IS NOT NULL
+              AND event_type NOT IN ('click', 'view', 'purchase'))
+    UNION ALL
+    SELECT 'expression_is_true', 'metric_value >= 0', 'warn',
+           (SELECT count(*) FROM events WHERE NOT (value >= 0))
+    """,
+)
+def q_quality_assertion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.functions import quality
+
+    r = events_as_readings(spark, sf_dir)
+    checks = [
+        quality.unique(r, "raw_id"),
+        quality.not_null(r, "metric_value"),
+        quality.accepted_values(r, "metric_name", ["click", "view", "purchase"]),
+        quality.expression_is_true(r, "metric_value >= 0", severity="warn"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        F.col("check").alias("check_name"),
+        F.col("column").alias("column_name"),
+        "severity",
+        "violations",
+    )
