@@ -4,7 +4,6 @@ joins for small dims, codegen coverage (SURVEY.md §4.2)."""
 
 from __future__ import annotations
 
-import pytest
 
 from pyspark.sql import functions as F
 
@@ -58,10 +57,8 @@ def test_silver_transform_is_narrow(spark):
 def test_serving_prunes_by_date(spark):
     # the serving scan over a reading_date-partitioned table must show
     # a partition filter, not a post-scan filter
-    from sensor_data_pipeline___spark.operators.serving import readings_by_date_range
     import tempfile
 
-    silver = QUERIES["silver_parse"](spark, SF)  # not partitioned; use events dates
     ev = readers.table(spark, "events", SF).select(
         F.col("event_id").alias("raw_id"),
         F.col("ts").alias("reading_time"),
