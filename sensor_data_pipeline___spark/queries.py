@@ -2803,3 +2803,48 @@ def q_quality_assertion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "severity",
         "violations",
     )
+
+
+@_register(
+    "m4_downsample",
+    # M4 time-series downsampling: per (metric, time bucket) keep the
+    # first/last/min/max values — the lossless-for-rendering reduction
+    # every sensor dashboard runs before plotting. One partial-agg
+    # shuffle keyed (metric, bucket); output size is O(buckets), input
+    # size irrelevant. min_by/max_by on ts is deterministic here
+    # (timestamps are unique per metric — checked at both SFs); a feed
+    # with ties would key on struct(ts, id).
+    """
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS bucket_start,
+           round(min_by(value, ts), 4) AS v_first,
+           round(max_by(value, ts), 4) AS v_last,
+           round(min(value), 4) AS v_min,
+           round(max(value), 4) AS v_max,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+    """,
+)
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("v_first"),
+            F.round(F.max_by("value", "ts"), 4).alias("v_last"),
+            F.round(F.min("value"), 4).alias("v_min"),
+            F.round(F.max("value"), 4).alias("v_max"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", _TS_FMT_SPARK).alias("bucket_start"),
+            "v_first",
+            "v_last",
+            "v_min",
+            "v_max",
+            "n",
+        )
+    )
