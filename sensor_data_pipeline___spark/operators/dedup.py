@@ -242,6 +242,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def set_similarity_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact-threshold Jaccard self-join with AllPairs/PPJoin-style
+    prefix filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08) —
+    the scalable alternative to a cross join when EXACT (not
+    LSH-approximate) similarity semantics are required.
+
+    Candidate generation: two documents at Jaccard >= t MUST share a
+    token within the first ``|x| - ceil(t*|x|) + 1`` tokens of each,
+    once every document orders its tokens by a single global ranking.
+    Ranking rarest-document-frequency-first keeps high-frequency tokens
+    out of prefixes, so candidate buckets stay small on natural-language
+    corpora. Pairs passing the prefix join and the length filter
+    (``t*|x| <= |y| <= |x|/t``) are verified with exact
+    intersection/union arithmetic.
+
+    Scale design: shuffles are keyed by token (document-frequency join +
+    prefix-candidate join) and by doc id (per-document prefix window) —
+    never an unblocked cross join. Token document frequencies are a
+    vocabulary-sized table (AQE broadcasts it when small). Hot prefix
+    tokens are exactly the rare ones, so bucket skew is bounded by
+    construction; stopword-heavy corpora degrade gracefully because
+    frequent tokens never enter a prefix until t forces near-whole-set
+    prefixes.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks"),
+    ).withColumn("_sz", F.size("_toks"))
+
+    exploded = toks.select("_id", "_sz", F.explode("_toks").alias("_tok"))
+    token_df = exploded.groupBy("_tok").agg(F.count("*").alias("_df"))
+
+    # Global prefix ordering: (document frequency asc, token asc) is a
+    # total order — no global rank materialization needed, the window
+    # below is partitioned per document.
+    pos = F.row_number().over(
+        Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_tok").asc())
+    )
+    # 1e-9 slack: t is inexact in binary (0.9*20 > 18.0), and a too-
+    # short prefix / too-tight length filter silently LOSES exact-
+    # boundary pairs. Slack only lengthens prefixes — never unsound.
+    prefix_len = (
+        F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9)) + 1
+    )
+    prefix = (
+        exploded.join(token_df, "_tok")
+        .withColumn("_pos", pos)
+        .filter(F.col("_pos") <= prefix_len)
+        .select("_tok", F.col("_id"), F.col("_sz"))
+    )
+
+    a = prefix.select(
+        "_tok", F.col("_id").alias("doc_a"), F.col("_sz").alias("_sz_a")
+    )
+    b = prefix.select(
+        "_tok", F.col("_id").alias("doc_b"), F.col("_sz").alias("_sz_b")
+    )
+    candidates = (
+        a.join(b, "_tok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("_sz_b") * F.lit(threshold) - F.lit(1e-9) <= F.col("_sz_a"))
+            & (F.col("_sz_a") * F.lit(threshold) - F.lit(1e-9) <= F.col("_sz_b"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    verified = (
+        candidates.join(
+            toks.select(F.col("_id").alias("doc_a"), F.col("_toks").alias("_ta")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("_id").alias("doc_b"), F.col("_toks").alias("_tb")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    return (
+        verified.select(
+            "doc_a", "doc_b", (inter / union.cast("double")).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

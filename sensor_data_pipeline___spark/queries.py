@@ -2848,3 +2848,121 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@_register(
+    "set_similarity_pairs",
+    # Exact-threshold Jaccard self-join, prefix-filtered (AllPairs/
+    # PPJoin). The oracle brute-forces all O(n^2) pairs — affordable at
+    # 500 docs, and exactly what the prefix filter exists to avoid at
+    # scale; equality of the two proves the filter is lossless.
+    # jaccard = inter/union on integer sizes: both engines perform one
+    # IEEE double division, so rounding is bit-stable cross-engine.
+    """
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                 (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+          (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+          >= 0.9
+    """,
+)
+def q_set_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import set_similarity_join
+
+    pairs = set_similarity_join(_t(spark, sf_dir, "documents"), threshold=0.9)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    # TF-IDF per (doc, term): tf * ln(N/df), top-3 terms per doc with a
+    # (score desc, term asc) total tiebreak. ln(N/df) evaluates on the
+    # same few distinct integer ratios in both engines; JVM Math.log
+    # and libm agree to the last ulp on this machine (verified), and
+    # the round(...,4) boundary sits far from any 1-ulp wobble because
+    # df ranges are small integers.
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS d FROM tok GROUP BY term
+    ), n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.c * ln(n.n * 1.0 / df.d), 4) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.c * ln(n.n * 1.0 / df.d) DESC, tf.term ASC
+             ) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("d"))
+    n = docs.count()  # scalar: one job over parquet row-group stats
+    score = F.col("c") * F.log(F.lit(float(n)) / F.col("d"))
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round(score, 4).alias("tfidf"), "rk")
+    )
+
+
+@_register(
+    "value_histogram",
+    # Equi-width 20-bin histogram of event values with data-driven
+    # bounds — two passes (bounds agg, then bucket agg), the standard
+    # distributed shape. The bucket formula is the identical IEEE
+    # double expression in both engines, so bin assignment is
+    # bit-stable; the top edge folds into the last bin.
+    """
+    WITH bounds AS (
+      SELECT min(value) AS mn, max(value) AS mx FROM events
+    )
+    SELECT least(CAST(floor((value - mn) / (mx - mn) * 20) AS BIGINT), 19)
+             AS bucket,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events CROSS JOIN bounds
+    GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 20),
+        F.lit(19),
+    ).alias("bucket")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

@@ -157,3 +157,53 @@ def test_cluster_representatives_keep_one_per_cluster(spark):
     kept = sorted(r.doc_id for r in cluster_representatives(docs, pairs).collect())
     # {1,2,3} -> 1; {5,6} -> 5; 4,7,8 untouched
     assert kept == [1, 4, 5, 7, 8]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=24), min_size=2, max_size=20),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_set_similarity_join_is_lossless(spark, token_sets, threshold):
+    """Prefix filtering must find EXACTLY the pairs a brute-force
+    Jaccard cross join finds — it is a candidate pruner, not an
+    approximation (unlike MinHash)."""
+    from sensor_data_pipeline___spark.operators.dedup import set_similarity_join
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{t}" for t in sorted(s))) for i, s in enumerate(token_sets)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in set_similarity_join(docs, threshold=threshold).collect()
+    }
+    want = set()
+    for a in range(len(token_sets)):
+        for b in range(a + 1, len(token_sets)):
+            inter = len(token_sets[a] & token_sets[b])
+            union = len(token_sets[a] | token_sets[b])
+            if inter / union >= threshold:
+                want.add((a, b))
+    assert got == want
+
+
+def test_set_similarity_join_exact_boundary_pair(spark):
+    """J exactly == t with UNEQUAL set sizes (18 vs 20 tokens) — the
+    case the 1e-9 slack in the prefix/length filters exists for: with
+    no slack, ceil(0.9*20) evaluates to 19 (0.9 is inexact in binary)
+    and the pair is silently lost."""
+    from sensor_data_pipeline___spark.operators.dedup import set_similarity_join
+
+    small = " ".join(f"w{i}" for i in range(18))
+    big = " ".join(f"w{i}" for i in range(20))  # superset: J = 18/20 = 0.9
+    docs = spark.createDataFrame(
+        [(0, small), (1, big)], "doc_id long, text string"
+    )
+    rows = set_similarity_join(docs, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(0, 1)]
+    assert abs(rows[0].jaccard - 0.9) < 1e-12
