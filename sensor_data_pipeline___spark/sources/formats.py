@@ -80,3 +80,24 @@ def split_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return good, rejects
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (zlib, the Spark default codec). ORC is the
+    interchange format for Hive-side consumers; like parquet it
+    carries per-stripe min/max statistics, so reads back through
+    :func:`read_orc` keep predicate pushdown."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan. Schema optional — ORC is self-describing like parquet
+    (no inference scan); pass one to pin reader expectations, extra
+    columns are pruned, missing ones raise at analysis."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

@@ -297,3 +297,101 @@ def click_purchase_join_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keyed on the raw line's md5.
+
+    An at-least-once upstream (the reference's retrying POST clients —
+    3 retries with backoff, airflow/config/settings.py) re-delivers
+    whole batches; this stage makes the bronze feed effectively-once.
+    Keying on a 128-bit content hash keeps per-key state constant-width
+    regardless of line length, and the watermark bounds TOTAL state to
+    the duplicate-arrival horizon — a plain ``dropDuplicates`` on a
+    stream would grow state forever, which is the difference between a
+    demo and a 100 TB deployment. Duplicates separated by more than
+    ``watermark`` of event time are NOT caught here (the batch exact
+    dedup downstream is the backstop); that is the documented trade.
+    """
+    raw = spark.readStream.format("text").load(drop_dir)
+    line = F.col("value")
+    ts_str, name, value_str = parsing.silver_tokens(line)
+    readings = (
+        raw.filter(parsing.nonempty_line(line))
+        .select(
+            line.alias("raw_line"),
+            F.md5(line).alias("line_hash"),
+            F.timestamp_seconds(ts_str.cast("long")).alias("reading_time"),
+        )
+        .filter(F.col("reading_time").isNotNull())
+    )
+    deduped = (
+        readings.withWatermark("reading_time", watermark)
+        .dropDuplicatesWithinWatermark(["line_hash"])
+        .select("raw_line", "reading_time")
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def session_window_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+):
+    """Event-time sessionization as a STREAMING aggregation:
+    ``F.session_window`` merges a user's events whose gaps are below
+    ``gap``; a session row is emitted (append mode) once the watermark
+    passes its close.
+
+    This is the stateful mirror of the batch ``sessionization`` query
+    (lag + cumulative-flag windows): Spark keeps one open session per
+    user in the state store, merging/extending on each micro-batch —
+    state is O(open sessions), not O(events), and eviction is driven
+    by the same watermark that gates emission. Input: a parquet
+    directory of events rows (event_id, ts, user_id, event_type,
+    value).
+    """
+    ev = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    ).parquet(src_dir)
+    sessions = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

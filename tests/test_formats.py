@@ -56,3 +56,33 @@ def test_csv_good_rows_fully_typed(spark, tmp_path):
         "string",
         "double",
     ]
+
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
+    """ORC write/read preserves types exactly; filters reach the ORC
+    scan (PushedFilters) and partition pruning prunes directories."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.sources import readers
+    from sensor_data_pipeline___spark.sources.formats import read_orc, write_orc
+
+    orders = readers.table(spark, "orders", "/root/testdata/sf0.001")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders.withColumn("prio", F.col("o_orderpriority")), path, ["prio"])
+
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    # type fidelity on the non-partition columns
+    want = {f.name: f.dataType for f in orders.schema.fields}
+    got = {f.name: f.dataType for f in back.schema.fields}
+    for name, dt in want.items():
+        assert got[name] == dt, name
+
+    q = back.filter((F.col("prio") == "1-URGENT") & (F.col("o_totalprice") > 1000.0))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+    assert "PartitionFilters: [" in plan and "prio" in plan
+    expected = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 1000.0)
+    ).count()
+    assert q.count() == expected

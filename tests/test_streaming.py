@@ -183,3 +183,58 @@ def test_stream_stream_join(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_dedup_stream_drops_redelivered_lines(spark, dirs):
+    """At-least-once redelivery (same lines in a later file) is
+    collapsed by dropDuplicatesWithinWatermark; distinct lines all
+    survive."""
+    batch1 = GOLDEN_LINES + [GOLDEN_LINES[0]]  # dup within one batch
+    batch2 = GOLDEN_LINES[:2] + ["1649941900 Voltage 9.99"]  # redelivery + new
+    _drop(dirs, "b1.txt", batch1)
+    _drop(dirs, "b2.txt", batch2)
+    q = sp.dedup_stream(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    out = [r["raw_line"] for r in spark.read.parquet(dirs["out"]).collect()]
+    assert sorted(out) == sorted(set(batch1 + batch2))
+
+
+def test_session_window_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Streaming session_window output == the batch session_window
+    aggregation restricted to sessions the final watermark closed."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.sources import readers
+
+    ev = readers.table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(2).write.parquet(src)
+
+    q = sp.session_window_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        gap="30 minutes", watermark="1 hour",
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], round(r["session_value"], 4))
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("wm")
+    ).first()["wm"]
+    expected = {
+        (r["user_id"], str(r["w"]["start"]), str(r["w"]["end"]),
+         r["n_events"], round(r["session_value"], 4))
+        for r in (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+            .filter(F.col("w.end") < F.lit(wm))
+            .collect()
+        )
+    }
+    assert len(got) > 0
+    assert got == expected
