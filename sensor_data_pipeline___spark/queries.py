@@ -2966,3 +2966,84 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+@_register(
+    "session_window_batch",
+    # F.session_window in BATCH mode, cross-proved against a hand-
+    # rolled gaps-and-islands reconstruction: session = events whose
+    # consecutive gaps are STRICTLY below 30 min (Spark sessions are
+    # end-exclusive: an event landing exactly at last_ts + gap starts a
+    # NEW session, hence >= in the oracle's boundary), window end =
+    # last event + gap. Proves the built-in streaming-capable operator
+    # agrees with the explicit window-function formulation the
+    # `sessionization` query uses.
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}')
+             AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT_SPARK).alias("session_start"),
+            F.date_format("w.end", _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "udtf_first_terms",
+    # Python UDTF (Spark 4 table function API) — the one UDF-family
+    # member not otherwise exercised (pandas UDF / applyInPandas /
+    # mapInPandas / applyInPandasWithState all are). Capability demo
+    # proven against the set-based SQL twin; the HOT path for this
+    # shape stays explode()/posexplode() (JVM-side) — a row-at-a-time
+    # Python table function is the slow path by design.
+    """
+    SELECT doc_id, pos, term
+    FROM (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    )
+    WHERE pos < 5
+    """,
+)
+def q_udtf_first_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.functions.tablefns import register_first_terms
+
+    register_first_terms(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.term "
+        "FROM _udtf_docs, LATERAL first_terms(doc_id, text, 5) t"
+    )
