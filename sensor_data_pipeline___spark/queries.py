@@ -3047,3 +3047,165 @@ def q_udtf_first_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.term "
         "FROM _udtf_docs, LATERAL first_terms(doc_id, text, 5) t"
     )
+
+
+@_register(
+    "gapfill_linear_interp",
+    # Gap fill by LINEAR INTERPOLATION between the nearest observed
+    # neighbors (the sensor-calibration companion to forward fill):
+    # prev/next observation via last/first(ignorenulls) over mirrored
+    # frames, then value = prev + (next-prev) * elapsed/gap_span.
+    # Leading-edge days (no prior observation) stay NULL; trailing-edge
+    # days hold the last value. Both windows reuse the groupBy's
+    # user_id hash partitioning — no extra shuffle; the day fractions
+    # are integer-ratio doubles, so the arithmetic is bit-stable
+    # cross-engine.
+    """
+    WITH ev AS (
+      -- DECIMAL sum cast to double: bit-identical spend in both
+      -- engines, so the interpolation arithmetic (identical IEEE
+      -- expressions) needs NO rounding — Spark's shortest-repr
+      -- round(double) and DuckDB's binary round break exact ties
+      -- differently (see rolling_median_power).
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS spend
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+    spine AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    ),
+    grid AS (
+      SELECT u.user_id, s.d
+      FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN spine s
+    ),
+    j AS (
+      SELECT g.user_id, g.d, ev.spend
+      FROM grid g LEFT JOIN ev ON g.user_id = ev.user_id AND g.d = ev.d
+    ),
+    n AS (
+      SELECT user_id, d, spend,
+             last_value(spend IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN spend IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wp AS pd,
+             first_value(spend IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN spend IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wf AS nd
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           CASE
+             WHEN spend IS NOT NULL THEN spend
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * ((d - pd) * 1.0 / (nd - pd))
+             WHEN pv IS NOT NULL THEN pv
+           END AS spend_li,
+           CAST(spend IS NOT NULL AS INT) AS observed
+    FROM n
+    """,
+)
+def q_gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("spend"))
+    )
+    spine = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    j = grid.join(ev, ["user_id", "d"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("spend").isNotNull(), F.col("d"))
+    pv = F.last("spend", ignorenulls=True).over(wp)
+    pd_ = F.last(obs_d, ignorenulls=True).over(wp)
+    nv = F.first("spend", ignorenulls=True).over(wf)
+    nd = F.first(obs_d, ignorenulls=True).over(wf)
+    frac = F.datediff(F.col("d"), pd_) / F.datediff(nd, pd_)
+    filled = (
+        F.when(F.col("spend").isNotNull(), F.col("spend"))
+        .when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac)
+        .when(pv.isNotNull(), pv)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        filled.alias("spend_li"),
+        F.col("spend").isNotNull().cast("int").alias("observed"),
+    )
+
+
+@_register(
+    "rolling_median_power",
+    # Rolling 7-row median of daily gold power per metric — median as a
+    # WINDOW aggregate over a rows frame (Spark 4 allows any aggregate
+    # in a frame; DuckDB's median is the same interpolated quantile).
+    # Frame is row-count-based so both engines see identical member
+    # sets; round guards the even-count midpoint average.
+    """
+    WITH daily AS (
+      -- DECIMAL sum: exact and associative, so both engines derive the
+      -- bit-IDENTICAL double (a plain double avg is summation-order-
+      -- dependent). No rounding anywhere in this query: Spark's
+      -- round(double) rounds the SHORTEST decimal repr (Double.
+      -- toString) while DuckDB rounds the full binary value, and a
+      -- median of rounded values lands on exact ties they break
+      -- differently. Identical doubles need no rounding to compare.
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           median(v) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+    FROM daily
+    """,
+)
+def q_rolling_median_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+    # Spark rejects median() with a window frame (INVALID_WINDOW_SPEC
+    # _FOR_AGGREGATION_FUNC) — build it: collect the frame, sort, take
+    # the interpolated middle. The frame is <= 7 elements, so the
+    # per-row array is constant-bounded.
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(arr)
+    mid_odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    # DuckDB's quantile interpolation is lo + (hi-lo)*0.5, which is NOT
+    # the same double as (lo+hi)/2 — match its expression exactly.
+    lo_mid = F.element_at(arr, (n / 2).cast("int"))
+    hi_mid = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_even = lo_mid + (hi_mid - lo_mid) * F.lit(0.5)
+    med = F.when(n % 2 == 1, mid_odd).otherwise(mid_even)
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        med.alias("med7"),
+    )
