@@ -367,6 +367,13 @@ def session_window_stream(
     by the same watermark that gates emission. Input: a parquet
     directory of events rows (event_id, ts, user_id, event_type,
     value).
+
+    Skew guard at scale: a never-idle key (bot traffic) holds its
+    session open past every watermark and its state grows without
+    bound — the production escalation is a max-session-length cap
+    (split the session on a secondary gap or row budget), which
+    ``F.session_window``'s dynamic-gap form expresses as a gap
+    expression that shrinks once a session exceeds the cap.
     """
     ev = spark.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint, "
