@@ -3209,3 +3209,83 @@ def q_rolling_median_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         med.alias("med7"),
     )
+
+
+@_register(
+    "hll_distinct_rollup",
+    # Mergeable-sketch distinct rollup: per-day HLL sketches unioned
+    # per metric (operators/sketches.py) — the re-aggregable
+    # alternative to count(DISTINCT), which cannot be pre-aggregated.
+    # The estimate itself has no SQL twin; what the oracle pins is the
+    # ACCURACY CONTRACT: the unioned estimate must land within 5% of
+    # the exact distinct (lgK=12 ≈ 1.6% rel. std. error), emitted as a
+    # boolean the oracle states as a literal. If sketch accuracy ever
+    # regresses, the Spark side emits false and the gate fails.
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.sketches import (
+        hll_daily_sketches,
+        hll_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_rollup(hll_daily_sketches(ev)).select(
+        "event_type",
+        "est_distinct",
+        F.col("n_sketches").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
+@_register(
+    "cms_heavy_hitters",
+    # Count-min-sketch frequency estimates for the top-10 users by
+    # exact event count. The CMS guarantee est >= exact is one-sided
+    # and deterministic (xxhash64 buckets) — the oracle pins the exact
+    # top-10 (total (count desc, user_id) tiebreak) plus the guarantee
+    # as a literal boolean; a broken sketch (est < exact, meaning a
+    # lost update) fails the gate.
+    """
+    SELECT user_id, count(*) AS exact_cnt, TRUE AS est_ge_exact
+    FROM events GROUP BY user_id
+    ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    est = cms_estimate(cms, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        (F.col("est_count") >= F.col("exact_cnt")).alias("est_ge_exact"),
+    )
