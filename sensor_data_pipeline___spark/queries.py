@@ -3289,3 +3289,70 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         (F.col("est_count") >= F.col("exact_cnt")).alias("est_ge_exact"),
     )
+
+
+@_register(
+    "equi_depth_histogram",
+    # Equi-DEPTH (quantile) histogram: ntile(10) over a total order —
+    # the complement of value_histogram's equi-width bins. The (value,
+    # event_id) tiebreak makes bucket assignment deterministic at tied
+    # values. Single global sort: acceptable for a profiling query
+    # whose output is 10 rows; the scale path samples bounds via
+    # approx_percentile and bins with a broadcast range join instead.
+    """
+    WITH t AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@_register(
+    "scd2_purchase_values",
+    # Slowly-changing-dimension type 2 from an event stream: each
+    # purchase opens a version valid [ts, next ts); the latest version
+    # per user is open-ended and flagged current. One lead() over the
+    # user partition — the groupBy shuffle is the only exchange, and
+    # the dimension build is incremental at scale (only users with new
+    # events need their tail version reclosed, same affected-key
+    # pattern as the reference's affected-day recompute,
+    # mart_daily_power.sql:36-46).
+    f"""
+    SELECT user_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(lead(ts) OVER w, '{_TS_FMT_DUCK}') AS valid_to,
+           round(value, 4) AS value,
+           CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT_SPARK).alias("valid_to"),
+        F.round("value", 4).alias("value"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
