@@ -133,3 +133,68 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def zorder_key(df: DataFrame, col_a: str, col_b: str, bits: int = 16) -> DataFrame:
+    """Attach a Z-order (Morton) key interleaving two numeric columns.
+
+    Each column is min-max normalized to a ``bits``-bit integer
+    (bounds via one broadcast agg — the same two-pass shape as the
+    histogram queries), then bit-interleaved into ``_z``. Sorting the
+    layout by ``_z`` clusters rows so that EVERY file's min/max
+    bounding box is tight in BOTH dimensions at once — a single-column
+    sort gives tight boxes in that column only. Parquet/ORC footer
+    stats then prune files/row-groups for 2-D predicates, which
+    single-dimension partitioning cannot do.
+
+    The interleave is a static 2·bits-term expression chain —
+    JVM-side, codegen'd once; no UDF.
+    """
+    bounds = df.agg(
+        F.min(col_a).alias("_za_lo"),
+        F.max(col_a).alias("_za_hi"),
+        F.min(col_b).alias("_zb_lo"),
+        F.max(col_b).alias("_zb_hi"),
+    )
+    scale = (1 << bits) - 1
+    with_b = df.crossJoin(F.broadcast(bounds))
+
+    def norm(c, lo, hi):
+        span = F.col(hi) - F.col(lo)
+        frac = F.when(span > 0, (F.col(c) - F.col(lo)) / span).otherwise(F.lit(0.0))
+        return F.least(F.floor(frac * scale), F.lit(scale - 1)).cast("long")
+
+    ia, ib = norm(col_a, "_za_lo", "_za_hi"), norm(col_b, "_zb_lo", "_zb_hi")
+    # Column & / | are LOGICAL operators in PySpark — bit ops need the
+    # explicit methods, and bitwiseAND requires matching operand types.
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ia, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ib, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return with_b.withColumn("_z", z).drop("_za_lo", "_za_hi", "_zb_lo", "_zb_hi")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write parquet clustered by the Z-order key of (col_a, col_b):
+    range-partition by ``_z`` (one skew-resistant sampled shuffle),
+    sort within partitions, drop the key. Downstream scans prune via
+    footer min/max on BOTH columns; no query-side change needed."""
+    (
+        zorder_key(df, col_a, col_b, bits)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
