@@ -3356,3 +3356,86 @@ def q_scd2_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+@_register(
+    "psi_value_drift",
+    # Population-stability-index drift detection: split the feed at
+    # its midpoint timestamp, histogram each half over SHARED global
+    # bins (broadcast bounds, same two-pass shape as value_histogram),
+    # PSI = sum((p-q)*ln(p/q)) with Laplace-smoothed shares so empty
+    # bins stay finite. One scan feeds both halves (conditional aggs
+    # on the bucket groupBy) — no second pass over the data. Shares
+    # are ratios of exact integers and ln evaluates on the identical
+    # doubles in both engines, so the statistic is bit-stable.
+    """
+    WITH bounds AS (
+      -- midpoint in DOUBLE epoch seconds: interval division truncates
+      -- differently across engines at sub-second precision
+      SELECT min(value) AS mn, max(value) AS mx,
+             (min(epoch(ts)) + max(epoch(ts))) / 2 AS mid
+      FROM events
+    ),
+    bucketed AS (
+      SELECT event_type,
+             least(CAST(floor((value - mn) / (mx - mn) * 10) AS BIGINT), 9)
+               AS bucket,
+             CAST(epoch(ts) < mid AS INT) AS early
+      FROM events CROSS JOIN bounds
+    ),
+    counts AS (
+      SELECT event_type, bucket,
+             sum(early) AS n_a, sum(1 - early) AS n_b
+      FROM bucketed GROUP BY event_type, bucket
+    ),
+    shares AS (
+      SELECT event_type, bucket,
+             (n_a + 1) * 1.0 / (sum(n_a) OVER (PARTITION BY event_type) + 10)
+               AS p,
+             (n_b + 1) * 1.0 / (sum(n_b) OVER (PARTITION BY event_type) + 10)
+               AS q
+      FROM counts
+    )
+    SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi,
+           count(*) AS n_buckets
+    FROM shares GROUP BY event_type
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        (
+            (
+                F.min(F.col("ts").cast("double"))
+                + F.max(F.col("ts").cast("double"))
+            )
+            / 2
+        ).alias("mid"),
+    )
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 10),
+        F.lit(9),
+    )
+    early = (F.col("ts").cast("double") < F.col("mid")).cast("int")
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("event_type", bucket.alias("bucket"), early.alias("early"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("early").alias("n_a"),
+            F.sum(1 - F.col("early")).alias("n_b"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    p = (F.col("n_a") + 1) / (F.sum("n_a").over(wt) + 10)
+    q = (F.col("n_b") + 1) / (F.sum("n_b").over(wt) + 10)
+    return (
+        counts.select("event_type", (p - q).alias("_d"), F.log(p / q).alias("_l"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("_d") * F.col("_l")), 6).alias("psi"),
+            F.count("*").alias("n_buckets"),
+        )
+    )

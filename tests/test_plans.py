@@ -145,3 +145,34 @@ def test_hash_split_is_narrow(spark):
     df = sampling.hash_split(docs, "doc_id")
     # split assignment must add no shuffle — it's a projection
     assert explain.exchange_count(df) == 0, explain.formatted_plan(df)
+
+
+def test_set_similarity_join_never_goes_cartesian(spark):
+    """The prefix filter's whole point: candidate generation is a
+    token-keyed equi-join, not a cross join over document pairs. The
+    only cross join allowed in the plan is broadcast-scalar (bounds /
+    count rows), never row×row."""
+    df = QUERIES["set_similarity_pairs"](spark, SF)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_histogram_bounds_are_broadcast_scalar(spark):
+    """Two-pass equi-width histogram: the bounds side must reach the
+    row scan as a broadcast (1-row build), not a shuffle."""
+    for name in ("value_histogram", "psi_value_drift"):
+        df = QUERIES[name](spark, SF)
+        plan = explain.formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+            name,
+            plan,
+        )
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_tfidf_document_frequency_join_is_broadcast(spark):
+    """The per-term document-frequency table is vocabulary-sized —
+    must join broadcast, not shuffle the (doc, term) pairs twice."""
+    df = QUERIES["tfidf_top_terms"](spark, SF)
+    assert explain.broadcast_join_count(df) >= 1, explain.formatted_plan(df)
