@@ -3439,3 +3439,99 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_buckets"),
         )
     )
+
+
+@_register(
+    "set_except_all_customers",
+    # Multiset EXCEPT ALL (exceptAll): per-element multiplicity is
+    # count_left - count_right, floored at zero — the bag semantics
+    # `subtract`/EXCEPT DISTINCT discards. Emitted as (key, surviving
+    # multiplicity) so the oracle is order-free.
+    """
+    WITH l AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+         r AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT k AS custkey, count(*) AS n
+    FROM (SELECT k FROM l EXCEPT ALL SELECT k FROM r)
+    GROUP BY k
+    """,
+)
+def q_set_except_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.exceptAll(right).groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "set_intersect_all_customers",
+    # Multiset INTERSECT ALL (intersectAll): per-element multiplicity
+    # is min(count_left, count_right).
+    """
+    WITH l AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+         r AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT k AS custkey, count(*) AS n
+    FROM (SELECT k FROM l INTERSECT ALL SELECT k FROM r)
+    GROUP BY k
+    """,
+)
+def q_set_intersect_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.intersectAll(right).groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "full_outer_click_purchase",
+    # FULL OUTER join of two per-user aggregates: users who only click,
+    # only purchase, or both — the reconciliation shape (which side is
+    # missing?) that semi/anti joins can't express in one pass.
+    # coalesce(-1) keys the null side deterministically.
+    """
+    WITH c AS (
+      SELECT user_id, count(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, count(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(n_clicks, 0) AS n_clicks,
+           coalesce(n_purchases, 0) AS n_purchases,
+           CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+                WHEN p.user_id IS NULL THEN 'click_only'
+                ELSE 'both' END AS presence
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def q_full_outer_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    j = c.join(p, "user_id", "full_outer")
+    # note: join on the USING column keeps one coalesced user_id
+    return j.select(
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.when(F.col("n_clicks").isNull(), "purchase_only")
+        .when(F.col("n_purchases").isNull(), "click_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
