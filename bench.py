@@ -37,6 +37,15 @@ BENCH_QUERIES = [
     "gapfill_forward_fill",
     "mad_outliers",
     "pack_sequences",
+    # NOT set_similarity_pairs: the synthetic corpus's 31-word vocab
+    # makes ~all doc pairs 0.9-Jaccard matches at sf0.1 — the OUTPUT is
+    # quadratic (~1M pairs), so the query measures result size, not
+    # engine speed. It stays oracle-gated at sf0.01.
+    "tfidf_top_terms",
+    "session_window_batch",
+    "hll_distinct_rollup",
+    "psi_value_drift",
+    "m4_downsample",
 ]
 
 
