@@ -3535,3 +3535,96 @@ def q_full_outer_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@_register(
+    "daily_new_vs_returning",
+    # Growth accounting: per day, users active for the FIRST time vs
+    # returning, plus the running distinct-user total — the cumulative
+    # distinct count expressed scalably: distinct (user, day) activity,
+    # min-day per user (one agg), then a day-level rollup + running
+    # sum, never a per-day distinct scan.
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), firsts AS (
+      SELECT user_id, min(d) AS first_d FROM activity GROUP BY user_id
+    ), daily AS (
+      SELECT a.d,
+             sum(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN a.d > f.first_d THEN 1 ELSE 0 END) AS n_returning
+      FROM activity a JOIN firsts f USING (user_id)
+      GROUP BY a.d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_new, n_returning,
+           sum(n_new) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    daily = (
+        activity.join(firsts, "user_id")
+        .groupBy("d")
+        .agg(
+            F.sum((F.col("d") == F.col("first_d")).cast("int")).alias("n_new"),
+            F.sum((F.col("d") > F.col("first_d")).cast("int")).alias(
+                "n_returning"
+            ),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        "n_returning",
+        F.sum("n_new").over(w).alias("cumulative_users"),
+    )
+
+
+@_register(
+    "cohort_retention",
+    # Cohort retention matrix: users grouped by first-active month,
+    # counted per month-offset of later activity. Month arithmetic is
+    # integer (year*12+month), identical in both engines — no interval
+    # truncation hazards. Two shuffles (per-user min, then cohort
+    # cell agg); the matrix is O(months²) rows regardless of input.
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             year(ts) * 12 + month(ts) AS ym
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(ym) AS cohort_ym FROM activity GROUP BY user_id
+    )
+    -- (ym-1) arithmetic: with ym = y*12 + m (m in 1..12), plain ym/12
+    -- would label December into the NEXT year
+    SELECT CAST((cohort_ym - 1) / 12 AS INT) AS cohort_year,
+           (cohort_ym - 1) % 12 + 1 AS cohort_month,
+           ym - cohort_ym AS month_offset,
+           count(*) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY cohort_ym, ym
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", (F.year("ts") * 12 + F.month("ts")).alias("ym")
+    ).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("ym").alias("cohort_ym"))
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_ym", "ym")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            ((F.col("cohort_ym") - 1) / 12).cast("int").alias("cohort_year"),
+            ((F.col("cohort_ym") - 1) % 12 + 1).alias("cohort_month"),
+            (F.col("ym") - F.col("cohort_ym")).alias("month_offset"),
+            "n_active",
+        )
+    )
