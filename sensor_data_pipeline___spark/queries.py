@@ -3628,3 +3628,41 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active",
         )
     )
+
+
+@_register(
+    "fuzzy_name_pairs",
+    # Blocked fuzzy entity matching: distinct part names, blocked on
+    # their noun token (never an unblocked cross join), verified with
+    # classic Levenshtein <= 2. The block key bounds candidate buckets
+    # the same way LSH bands do for minhash — fuzzy matching at scale
+    # is blocking + cheap verify, not a distance matrix. Both engines
+    # implement the same Wagner-Fischer edit distance.
+    """
+    WITH names AS (
+      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS noun
+      FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        _t(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("noun", F.split("p_name", " ").getItem(1))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "noun")
+    b = names.select(F.col("p_name").alias("name_b"), "noun")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 2)
+        .select("name_a", "name_b", dist.alias("dist"))
+    )
