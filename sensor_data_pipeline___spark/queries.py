@@ -3666,3 +3666,62 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("name_a", "name_b", dist.alias("dist"))
     )
+
+
+@_register(
+    "embedding_dim_variance",
+    # Per-dimension moments of the embedding matrix (dead/collapsed
+    # dimension detection): posexplode → one agg keyed by dimension.
+    # Cross-engine exactness via 26-bit FIXED-POINT quantization:
+    # floor(x·2²⁶) is the identical integer in both engines (float→
+    # decimal casts are NOT portable — Spark goes through shortest-repr
+    # strings), integer Σq/Σq² are order-independent, and the final
+    # double arithmetic is the same expression on identical inputs.
+    # Quantization biases the variance by O(2⁻²⁶) — far below any
+    # signal a dead-dimension check needs. O(dim) output.
+    """
+    WITH dims AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(unnest(embedding) * 67108864.0) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, count(*) AS n, sum(q) AS sq, sum(q * q) AS sqq
+      FROM dims GROUP BY dim
+    )
+    -- variance numerator n·Σq² − (Σq)² in EXACT integer arithmetic
+    -- (HUGEINT here, DECIMAL(38,0) on the Spark side): one identical
+    -- integer→double rounding, then identical scalar divisions —
+    -- a double expression chain differed in the last ulp
+    SELECT dim, n,
+           (sq * 1.0 / n) / 67108864.0 AS mean_x,
+           CAST(CAST(n AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq AS DOUBLE)
+             / n / n / 4503599627370496.0 AS var_x
+    FROM stats
+    """,
+)
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = 67108864.0  # 2^26
+    q = F.floor(F.col("x").cast("double") * scale).cast("long")
+    dims = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", q.alias("q")
+    )
+    stats = dims.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    mean_q = F.col("sq") * 1.0 / F.col("n")
+    var_num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sqq")
+        - F.col("sq").cast("decimal(38,0)") * F.col("sq")
+    ).cast("double")
+    return stats.select(
+        "dim",
+        "n",
+        (mean_q / scale).alias("mean_x"),
+        (var_num / F.col("n") / F.col("n") / F.lit(scale * scale)).alias(
+            "var_x"
+        ),
+    )
