@@ -3725,3 +3725,101 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_x"
         ),
     )
+
+
+@_register(
+    "asof_next_click",
+    # FORWARD as-of join: for each purchase, the user's first click in
+    # the following hour (the mirror of asof_last_purchase's backward
+    # lookup). Equi-blocked on user_id, the time range bounds the
+    # per-user candidate fan-out, min_by picks the earliest — no
+    # window over the joined product. Purchases with no such click are
+    # kept (left join semantics) with NULLs.
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    )
+    SELECT purchase_id,
+           p.user_id,
+           strftime(pts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           strftime(min(cts), '{_TS_FMT_DUCK}') AS next_click_ts
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND cts > pts AND cts <= pts + INTERVAL 1 HOUR
+    GROUP BY purchase_id, p.user_id, pts
+    """,
+)
+def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") > F.col("pts"))
+        & (F.col("cts") <= F.col("pts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return j.groupBy("purchase_id", "user_id", "pts").agg(
+        F.min("cts").alias("_next")
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.date_format("pts", _TS_FMT_SPARK).alias("purchase_ts"),
+        F.date_format("_next", _TS_FMT_SPARK).alias("next_click_ts"),
+    )
+
+
+@_register(
+    "revenue_share_by_nation",
+    # Percent-of-total (ratio_to_report): each nation's share of global
+    # revenue via a windowed grand total over the aggregated rows —
+    # the second pass runs over |nations| rows, not the fact table.
+    # DECIMAL sums keep the shares bit-stable cross-engine.
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30, 10))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share
+    FROM rev
+    """,
+)
+def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    amt = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(amt).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
