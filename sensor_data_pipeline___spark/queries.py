@@ -3823,3 +3823,30 @@ def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 2).alias("revenue"),
         F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
     )
+
+
+@_register(
+    "embedding_component_stats",
+    # Higher-order functions over the embedding array — filter/
+    # array_max/array_min run JVM-side per row with NO explode, no
+    # shuffle: the row count never changes. Only order-free exact ops
+    # (counts, float extremes) — elementwise float comparisons are
+    # bit-identical cross-engine, unlike float sums.
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           len(embedding) AS dim,
+           list_max(embedding) AS c_max,
+           list_min(embedding) AS c_min
+    FROM embeddings
+    """,
+)
+def q_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.size("embedding").alias("dim"),
+        F.array_max("embedding").alias("c_max"),
+        F.array_min("embedding").alias("c_min"),
+    )
