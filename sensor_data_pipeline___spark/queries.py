@@ -3850,3 +3850,40 @@ def q_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").alias("c_max"),
         F.array_min("embedding").alias("c_min"),
     )
+
+
+@_register(
+    "interarrival_histogram",
+    # Sampling-rate health: distribution of per-metric inter-arrival
+    # gaps, bucketed to whole seconds (capped at 1h). Gaps in DOUBLE
+    # epoch seconds (identical cross-engine; interval arithmetic is
+    # not portable at sub-second precision). The lag runs inside the
+    # metric partition — one shuffle, reused by the rollup.
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS dt
+      FROM events
+    )
+    SELECT event_type,
+           least(CAST(floor(dt) AS BIGINT), 3600) AS gap_s,
+           count(*) AS n
+    FROM gaps WHERE dt IS NOT NULL
+    GROUP BY event_type, least(CAST(floor(dt) AS BIGINT), 3600)
+    """,
+)
+def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = F.col("ts").cast("double")
+    dt = e - F.lag(e).over(w)
+    return (
+        ev.select("event_type", dt.alias("dt"))
+        .filter(F.col("dt").isNotNull())
+        .groupBy(
+            "event_type",
+            F.least(F.floor("dt").cast("long"), F.lit(3600)).alias("gap_s"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
