@@ -3887,3 +3887,69 @@ def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@_register(
+    "text_normalization",
+    # Text normalization (the first stage of every LLM-data pipeline):
+    # lowercase → trim → collapse whitespace runs. The md5 of the
+    # normalized text proves both engines produce BYTE-IDENTICAL
+    # output — a hash mismatch catches any regex/locale divergence
+    # that visual spot checks miss.
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS norm_hash,
+           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS norm_len
+    FROM documents
+    """,
+)
+def q_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+@_register(
+    "top_bigrams",
+    # Bigram mining: adjacent token pairs via a zip of the token array
+    # with its own tail (no per-index slicing — the arrays_zip shape
+    # measured ~3x faster than slice-in-transform), exploded and
+    # counted; top-25 with a total (count desc, bigram asc) tiebreak.
+    """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), bigrams AS (
+      SELECT unnest(list_zip(t, list_slice(t, 2, len(t)))) AS z FROM toks
+    ), named AS (
+      -- list_zip yields ANONYMOUS-field structs: extract positionally
+      SELECT struct_extract(z, 1) || ' ' || struct_extract(z, 2) AS bigram
+      FROM bigrams
+      WHERE struct_extract(z, 2) IS NOT NULL
+    )
+    SELECT bigram, count(*) AS n FROM named
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 25
+    """,
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    tail = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    pairs = F.arrays_zip(t.alias("a"), tail.alias("b"))
+    return (
+        docs.select(F.explode(pairs).alias("z"))
+        .filter(F.col("z.b").isNotNull())
+        .select(
+            F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(25)
+    )
