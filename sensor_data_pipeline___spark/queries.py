@@ -3953,3 +3953,64 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(25)
     )
+
+
+@_register(
+    "pit_join_click_version",
+    # POINT-IN-TIME join: each click is joined to the purchase-value
+    # version that was valid AT click time — the feature-store
+    # correctness shape (training rows must see the feature value as
+    # of the event, never a later one; leakage = joining current
+    # values). Versions come from the SCD2 build (lead() intervals);
+    # the join is equi-blocked on user_id with half-open interval
+    # containment, so candidate fan-out per click is the user's
+    # version count, never the full history.
+    f"""
+    WITH v AS (
+      SELECT user_id, value AS ver_value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT click_id, c.user_id,
+           strftime(cts, '{_TS_FMT_DUCK}') AS click_ts,
+           round(ver_value, 4) AS value_asof
+    FROM c JOIN v
+      ON c.user_id = v.user_id
+     AND cts >= valid_from
+     AND (valid_to IS NULL OR cts < valid_to)
+    """,
+)
+def q_pit_join_click_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("value").alias("ver_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+        )
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    j = c.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("cts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("cts") < F.col("valid_to"))),
+    )
+    return j.select(
+        "click_id",
+        "user_id",
+        F.date_format("cts", _TS_FMT_SPARK).alias("click_ts"),
+        F.round("ver_value", 4).alias("value_asof"),
+    )
