@@ -55,11 +55,17 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     QUERIES["in_list_filter"](spark, sf_dir).collect()
 
+    # best-of-2 per query: this host's timings swing up to 3x run-to-
+    # run (shared VM); the minimum is the standard noise-robust
+    # estimator of the query's true cost
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        start = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
