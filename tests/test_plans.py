@@ -176,3 +176,14 @@ def test_tfidf_document_frequency_join_is_broadcast(spark):
     must join broadcast, not shuffle the (doc, term) pairs twice."""
     df = QUERIES["tfidf_top_terms"](spark, SF)
     assert explain.broadcast_join_count(df) >= 1, explain.formatted_plan(df)
+
+
+def test_blocked_joins_never_go_cartesian(spark):
+    """PIT, forward-as-of, and fuzzy joins are equi-blocked with a
+    secondary range/verify predicate — the block key must appear as a
+    join key, never a nested-loop over the full product."""
+    for name in ("pit_join_click_version", "asof_next_click", "fuzzy_name_pairs"):
+        df = QUERIES[name](spark, SF)
+        plan = explain.formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
