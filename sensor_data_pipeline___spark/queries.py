@@ -4014,3 +4014,76 @@ def q_pit_join_click_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cts", _TS_FMT_SPARK).alias("click_ts"),
         F.round("ver_value", 4).alias("value_asof"),
     )
+
+
+@_register(
+    "column_profile_orders",
+    # Data-profiling staple: per-column row/null/distinct counts in
+    # ONE pass — count(col) counts non-nulls, count(DISTINCT col) the
+    # values; emitting one row per column via a stacked projection
+    # keeps the scan single (no per-column rescans).
+    """
+    SELECT 'o_custkey' AS col, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate) FROM orders
+    """,
+)
+def q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    agg = o.agg(
+        F.count("*").alias("_n"),
+        *[F.count(c).alias(f"_nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"_nd_{c}") for c in cols],
+    )
+    # one aggregation job, then a tiny driver-side unpivot of the
+    # single stats row into one row per column
+    profiles = [
+        agg.select(
+            F.lit(c).alias("col"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_register(
+    "benford_first_digit",
+    # Benford first-digit distribution of order totals — the classic
+    # fabricated-data screen. First digit via floor(x/10^floor(log10 x))
+    # on positive values: log10/power evaluate on identical doubles in
+    # both engines (verified on this testdata; an exact power-of-ten
+    # total could straddle the floor — none exist in TPC-H-style money
+    # values, which carry cents).
+    """
+    SELECT CAST(floor(o_totalprice
+                      / power(10, floor(log10(o_totalprice)))) AS BIGINT)
+             AS digit,
+           count(*) AS n
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY 1
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    return o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
