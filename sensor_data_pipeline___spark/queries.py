@@ -4087,3 +4087,48 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
     ).cast("long")
     return o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "inverted_index_sample",
+    # Inverted-index build (the retrieval-side complement of TF-IDF):
+    # term → ordered posting list of doc ids. Postings are emitted as
+    # a comma-joined string (order-pinned, hashable cross-engine);
+    # restricted to the 20 highest-df terms with a (df desc, term)
+    # total tiebreak so the output is bounded. At scale the posting
+    # list per term is the shuffle group — hot stopword terms are the
+    # skew case, handled by doc-id-range sharding of the posting.
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), ranked AS (
+      SELECT term, count(*) AS df,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings,
+             row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rk
+      FROM tok GROUP BY term
+    )
+    SELECT term, df, postings FROM ranked WHERE rk <= 20
+    """,
+)
+def q_inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    idx = tok.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        idx.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("term", "df", "postings")
+    )
