@@ -23,31 +23,46 @@ scheduler.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sensor_data_pipeline___spark.functions import parsing
 from sensor_data_pipeline___spark.operators import incremental
 from sensor_data_pipeline___spark.warehouse import BRONZE, Warehouse
 
+#: Streaming bronze surrogate ids: ``batch_id * _ID_STRIDE + row_number``.
+#: Deterministic across micro-batch REPLAYS (unlike
+#: ``monotonically_increasing_id`` + max-id offset) and still strictly
+#: increasing across batches, which is all the J1 watermark needs.
+_ID_STRIDE = 1 << 40
 
-def ingest_stream(
-    spark: SparkSession,
-    drop_dir: str,
-    wh: Warehouse,
-    checkpoint_dir: str,
-    reject_dir: str | None = None,
-):
-    """File-source stream → bronze + silver + gold via foreachBatch.
 
-    Per micro-batch (all-or-nothing F6 semantics per the reference's
-    per-POST transaction, applied per batch): blank lines are skipped;
-    if ANY line is invalid the whole batch is diverted to
-    ``reject_dir`` (or dropped) and nothing persists; otherwise the
-    batch is appended to bronze and the incremental silver/gold runs
-    execute. Returns the started StreamingQuery (availableNow trigger).
+def _ingest_batch_fn(wh: Warehouse, reject_dir: str | None):
+    """The foreachBatch body for :func:`ingest_stream`, exposed for
+    replay testing. IDEMPOTENT per ``batch_id``: a batch that replays
+    after a failure between the bronze write and the checkpoint commit
+    rewrites exactly its own state instead of appending duplicates —
+
+    - bronze rows carry deterministic ids (batch-ordinal × stride +
+      dense per-batch row_number over the sorted lines; the file source
+      replays identical content) and land in a ``batch_id=N`` partition
+      written with dynamic partition overwrite, so a replay REPLACES the
+      prior attempt's partition byte-for-byte (modulo audit
+      ``ingested_at``);
+    - the downstream silver merge keys on ``raw_id``, so re-running the
+      incremental pipeline over a replaced batch upserts identical rows
+      (M1) and the gold day recompute (M2) is value-idempotent;
+    - rejects overwrite ``{reject_dir}/batch_id=N`` rather than append.
+
+    A stream-fed bronze is therefore partitioned by ``batch_id`` (not
+    ``ingest_date``); readers are unaffected — the medallion transforms
+    select columns by name and never prune on bronze partitions.
+
+    The per-batch ``row_number`` is a single-partition window: fine for
+    micro-batch-sized data (bounded by the trigger), never for tables.
     """
-    raw = spark.readStream.format("text").load(drop_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         raw_lines = batch_df.select(F.col("value").alias("raw_line"))
@@ -63,20 +78,52 @@ def ingest_stream(
         ).first()
         if int(counts["invalid"] or 0) > 0:
             if reject_dir is not None:
-                raw_lines.write.mode("append").parquet(reject_dir)
+                raw_lines.write.mode("overwrite").parquet(
+                    os.path.join(reject_dir, f"batch_id={batch_id}")
+                )
             return  # F6: reject whole batch, nothing persists
         valid = flagged.filter(~F.col("_blank")).select("raw_line")
-        offset = wh.max_id(BRONZE)
         bronze_rows = valid.select(
-            (F.monotonically_increasing_id() + F.lit(offset) + 1).alias("id"),
+            (
+                F.lit(batch_id * _ID_STRIDE).cast("long")
+                + F.row_number().over(Window.orderBy("raw_line"))
+            ).cast("long").alias("id"),
             "raw_line",
             F.current_timestamp().alias("ingested_at"),
+            F.lit(batch_id).alias("batch_id"),
         )
-        wh.append(BRONZE, bronze_rows)
+        # dynamic partitionOverwriteMode (session default): only the
+        # batch_id=N partition present in this frame is replaced
+        bronze_rows.write.mode("overwrite").partitionBy("batch_id").parquet(
+            wh.path(BRONZE)
+        )
         incremental.run_pipeline(wh)
 
+    return process_batch
+
+
+def ingest_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    wh: Warehouse,
+    checkpoint_dir: str,
+    reject_dir: str | None = None,
+):
+    """File-source stream → bronze + silver + gold via foreachBatch.
+
+    Per micro-batch (all-or-nothing F6 semantics per the reference's
+    per-POST transaction, applied per batch): blank lines are skipped;
+    if ANY line is invalid the whole batch is diverted to
+    ``reject_dir`` (or dropped) and nothing persists; otherwise the
+    batch is written to bronze and the incremental silver/gold runs
+    execute. End-to-end effectively-once: the checkpoint gives
+    at-least-once batch delivery and the batch body (see
+    :func:`_ingest_batch_fn`) is idempotent keyed on ``batch_id``.
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    raw = spark.readStream.format("text").load(drop_dir)
     return (
-        raw.writeStream.foreachBatch(process_batch)
+        raw.writeStream.foreachBatch(_ingest_batch_fn(wh, reject_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sensor_data_pipeline___spark.operators.skew import salted_join, two_phase_agg
@@ -29,6 +30,45 @@ def test_salted_join_matches_plain_join(spark):
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_replica_duplicating_how(spark):
+    # right/full outer would emit each unmatched small-side row once per
+    # salt replica — must refuse, not silently duplicate
+    li = readers.table(spark, "lineitem", SF).select("l_orderkey")
+    orders = readers.table(spark, "orders", SF).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="not result-preserving"):
+            salted_join(li, orders, on="l_orderkey", how=how)
+
+
+def test_salted_join_left_family_matches_plain(spark):
+    # left outer keeps unmatched BIG rows exactly once (one salt each);
+    # semi/anti see every replica of their key, so membership is exact
+    orders = readers.table(spark, "orders", SF).select("o_custkey")
+    cust = readers.table(spark, "customer", SF).filter(
+        F.col("c_acctbal") > 5000
+    ).select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    for how in ("left", "left_semi", "left_anti"):
+        plain = orders.join(cust, on="o_custkey", how=how)
+        salted = salted_join(orders, cust, on="o_custkey", salt=4, how=how)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
+
+
+def test_two_phase_agg_rejects_non_decomposable_aggregates(spark):
+    li = readers.table(spark, "lineitem", SF)
+    for bad in (
+        F.avg("l_quantity"),
+        F.count_distinct("l_partkey"),
+        F.sum_distinct(F.col("l_quantity")),
+        F.median("l_quantity"),
+    ):
+        with pytest.raises(ValueError, match="two_phase_agg"):
+            two_phase_agg(li, "l_returnflag", {"x": bad}, salt=4)
 
 
 def test_two_phase_agg_matches_plain_agg(spark):

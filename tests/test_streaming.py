@@ -59,6 +59,41 @@ def test_stream_ingest_end_to_end(spark, dirs):
     assert gold[0]["metric_value"] == pytest.approx(((1.34 + 1.35 + 2.65) / 3) * 13.0)
 
 
+def test_ingest_batch_replay_is_idempotent(spark, dirs):
+    """A micro-batch that replays after a failure between the bronze
+    write and the checkpoint commit (at-least-once delivery) must not
+    duplicate rows: the batch body overwrites its own batch_id
+    partition with deterministic ids and the silver merge keys on
+    raw_id."""
+    from sensor_data_pipeline___spark.sources.ingest import lines_df
+
+    wh = Warehouse(spark, dirs["wh"])
+    process = sp._ingest_batch_fn(wh, None)
+    batch = lines_df(spark, GOLDEN_LINES).withColumnRenamed("raw_line", "value")
+
+    process(batch, 0)
+    first = sorted(
+        (r["id"], r["raw_line"]) for r in wh.read(BRONZE).collect()
+    )
+    process(batch, 0)  # replay of the SAME batch id
+    second = sorted(
+        (r["id"], r["raw_line"]) for r in wh.read(BRONZE).collect()
+    )
+    assert first == second  # same rows, same deterministic ids
+    assert wh.read(SILVER).count() == 4
+    gold = wh.read(GOLD).collect()
+    assert len(gold) == 1
+    assert gold[0]["metric_value"] == pytest.approx(17.485)
+
+    # a DIFFERENT batch id appends (ids strictly above batch 0's)
+    late = lines_df(
+        spark, ["1649941819 Voltage 2.65"]
+    ).withColumnRenamed("raw_line", "value")
+    process(late, 1)
+    assert wh.read(BRONZE).count() == 5
+    assert wh.read(SILVER).count() == 5
+
+
 def test_stream_rejects_invalid_batch(spark, dirs):
     wh = Warehouse(spark, dirs["wh"])
     _drop(dirs, "bad.txt", GOLDEN_LINES + ["notanumber Voltage 1.34"])
