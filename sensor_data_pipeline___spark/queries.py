@@ -62,6 +62,83 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return readers.table(spark, name, sf_dir)
 
 
+def _epoch(col) -> "F.Column":
+    """Fractional-seconds epoch that is legal on BOTH timestamp flavors.
+
+    ``ts.cast("double")`` throws DATATYPE_MISMATCH on TIMESTAMP_NTZ
+    input (tz-naive parquet). Routing through ``timestamp_ltz`` first is
+    a no-op on LTZ columns and a pure type re-tag on NTZ under the
+    pinned-UTC session timezone, so the resulting epoch matches DuckDB's
+    ``epoch(ts)`` bit-for-bit on either flavor.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ltz").cast("double")
+
+
+def _range_shard(df: DataFrame, col: str, n_shards: int) -> "F.Column":
+    """Order-consistent range-shard assignment for global-order windows.
+
+    Cuts ``col`` at approx-percentile bounds and returns a column
+    counting how many bounds the row exceeds — so x < y implies
+    shard(x) <= shard(y), which is the only property the shard-and-
+    stitch running-sum/rank pattern needs (ANY cut points give the
+    identical global result; the approximation affects balance, never
+    values). Ties on ``col`` always land in one shard, so secondary
+    tiebreak columns stay intra-shard. The bounds collect is an
+    n_shards-row driver scalar, the same class as the watermark scalar
+    (operators/incremental.py:38).
+    """
+    fracs = [i / n_shards for i in range(1, n_shards)]
+    row = df.agg(F.percentile_approx(col, fracs, 10_000).alias("b")).head()
+    bounds = sorted({b for b in (row["b"] or []) if b is not None})
+    expr = F.lit(0)
+    for b in bounds:
+        expr = expr + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+    return expr
+
+
+def _shard_offsets(df: DataFrame, agg_col) -> tuple[dict, int]:
+    """Per-shard exclusive prefix totals for stitching local windows.
+
+    Aggregates ``agg_col`` per ``_shard`` (one map-side-combined
+    shuffle of n_shards rows), collects the tiny frame, and returns
+    ({shard: sum of all lower shards}, grand_total). Driver-side on
+    purpose: a global running sum over n_shards rows as a DataFrame
+    window would itself be an unpartitioned WindowExec.
+    """
+    rows = df.groupBy("_shard").agg(agg_col.alias("_tot")).collect()
+    totals = {r["_shard"]: (r["_tot"] or 0) for r in rows}
+    offsets: dict = {}
+    acc = 0
+    for s in sorted(totals):
+        offsets[s] = acc
+        acc += totals[s]
+    return offsets, acc
+
+
+def _ntile_from_rank(rank_col: str, n_rows: int, k: int) -> "F.Column":
+    """ntile(k) as a pure function of the global 1-based rank and N —
+    the first N%k buckets get ceil(N/k) rows, the rest floor(N/k).
+    Lets ntile run over sharded/stitched ranks instead of one
+    unpartitioned window."""
+    q, rem = divmod(n_rows, k)
+    if q == 0:
+        return F.col(rank_col)
+    head = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return F.when(
+        F.col(rank_col) <= head, F.floor((F.col(rank_col) - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((F.col(rank_col) - head - 1) / q) + 1)
+
+
+def _lookup_literal(mapping: dict, col: str) -> "F.Column":
+    """Broadcast a tiny driver-side dict as a literal CASE chain (stays
+    inside whole-stage codegen; no join, no shuffle)."""
+    expr = F.lit(0)
+    for k, v in mapping.items():
+        expr = F.when(F.col(col) == F.lit(k), F.lit(v)).otherwise(expr)
+    return expr
+
+
 def events_as_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table in silver.stg_readings shape."""
     return _t(spark, sf_dir, "events").select(
@@ -1387,12 +1464,38 @@ def q_lag_daily_power_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_exact_stats",
+    # The exact-dedup half of the pipeline summary, split out so it is
+    # oracle-HASH-verifiable (DuckDB has md5 too): corpus size, distinct
+    # texts surviving exact dedup, and rows removed. The MinHash half
+    # stays in dedup_pipeline_stats (engine-seeded hashing → rows-only
+    # by the driver contract).
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_representatives,
+           count(*) - count(DISTINCT md5(text)) AS n_exact_dup_rows
+    FROM documents
+    """,
+)
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import exact_dedup
+
+    groups = exact_dedup(_t(spark, sf_dir, "documents"))
+    return groups.agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count("*").alias("n_representatives"),
+        F.sum(F.col("n_copies") - 1).alias("n_exact_dup_rows"),
+    )
+
+
 @_register("dedup_pipeline_stats", None)
 def q_dedup_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # End-to-end corpus-cleaning summary: exact dedup → MinHash near-dup
     # over representatives (the pipeline order documented in
     # operators/dedup.py — exact first keeps LSH buckets meaningful).
-    # Engine-seeded hashing → rows-only.
+    # Engine-seeded hashing → rows-only; the exact half is hash-checked
+    # separately by dedup_exact_stats.
     from sensor_data_pipeline___spark.operators.dedup import dedup_pipeline
 
     docs = _t(spark, sf_dir, "documents")
@@ -2188,8 +2291,10 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ntile_deciles",
     # Rank-family windows (ntile) — decile cut of order prices with
-    # per-decile bounds. One full-sort window; at 100 TB you'd switch
-    # to approx_percentile boundaries (see approx_percentile_prices).
+    # per-decile bounds. The oracle's global ntile is the spec; the
+    # Spark side derives identical deciles from sharded global ranks
+    # (same shard-and-stitch machinery as equi_depth_histogram), so
+    # the full-table sort never lands on one task.
     """
     WITH d AS (
       SELECT o_totalprice,
@@ -2203,10 +2308,16 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    k = 10
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    sharded = o.withColumn("_shard", _range_shard(o, "o_totalprice", 32))
+    offsets, n_rows = _shard_offsets(sharded, F.count("*"))
+    w = Window.partitionBy("_shard").orderBy("o_totalprice", "o_orderkey")
+    rank = F.row_number().over(w) + _lookup_literal(offsets, "_shard")
+    decile = _ntile_from_rank("_r", n_rows, k)
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        sharded.withColumn("_r", rank)
+        .select("o_totalprice", decile.cast("int").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),
@@ -2368,7 +2479,7 @@ def q_gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("double")
+    epoch = _epoch("ts")
     dt = F.lead(epoch).over(w) - epoch
     dt_dec = F.col("dt").cast("decimal(30,10)")
     return (
@@ -2691,10 +2802,11 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Training-sequence packing (concat-and-chunk): documents in a
     # deterministic order are concatenated and cut into fixed
     # token-budget chunks; each doc reports the chunk span it lands in.
-    # One running-sum window expresses the whole layout — no stateful
-    # loop. The global-order window is the correctness spec; at 100 TB
-    # packing runs per shard (partitionBy(shard) windows over
-    # hash-assigned shards), which changes layout but not the contract.
+    # One running sum expresses the whole layout — no stateful loop.
+    # The oracle's global-order window is the correctness spec; the
+    # Spark side computes the SAME cumsum sharded (range-cut doc_id,
+    # partitioned local windows, offsets stitched), so no single task
+    # ever holds the corpus.
     """
     WITH t AS (
       SELECT doc_id,
@@ -2713,14 +2825,30 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sharded running sum — the 100 TB formulation (a single
+    # unpartitioned window moves every row to one task). doc_id ranges
+    # are cut at approx-percentile bounds; each shard computes a local
+    # cumsum behind a PARTITIONED window, and per-shard totals (a tiny
+    # n_shards-row scalar collect, same class as the watermark pattern
+    # in operators/incremental.py:38) stitch the global offsets. Any
+    # order-consistent cut points give the identical global cumsum, so
+    # approx bounds don't affect correctness.
     budget = 2048
+    n_shards = 32
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    shard = _range_shard(docs, "doc_id", n_shards)
+    sharded = docs.withColumn("_shard", shard)
+    offsets, _ = _shard_offsets(sharded, F.sum("n_tokens"))
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    t = sharded.withColumn(
+        "cum", F.sum("n_tokens").over(w) + _lookup_literal(offsets, "_shard")
+    )
     start_chunk = F.floor((F.col("cum") - F.col("n_tokens")) / budget)
     end_chunk = F.floor((F.col("cum") - 1) / budget)
     return t.select(
@@ -3296,9 +3424,10 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Equi-DEPTH (quantile) histogram: ntile(10) over a total order —
     # the complement of value_histogram's equi-width bins. The (value,
     # event_id) tiebreak makes bucket assignment deterministic at tied
-    # values. Single global sort: acceptable for a profiling query
-    # whose output is 10 rows; the scale path samples bounds via
-    # approx_percentile and bins with a broadcast range join instead.
+    # values. The oracle's global ntile window is the spec; the Spark
+    # side derives the identical buckets from sharded global ranks
+    # (range-cut value, partitioned windows, stitched offsets) so no
+    # single task ever sorts the full table.
     """
     WITH t AS (
       SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
@@ -3311,10 +3440,22 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    # Sharded exact ntile — the scale path its round-2 comment promised.
+    # ntile(k) is a pure function of the row's GLOBAL rank and N, so:
+    # range-shard on value (ties stay intra-shard), row_number behind a
+    # partitioned window, stitch ranks with per-shard count offsets,
+    # then apply ntile's first-(N%k)-buckets-get-one-extra formula
+    # directly. Bit-identical to the global window, no single-task sort.
+    k = 10
+    ev = _t(spark, sf_dir, "events").select("value", "event_id")
+    sharded = ev.withColumn("_shard", _range_shard(ev, "value", 32))
+    offsets, n_rows = _shard_offsets(sharded, F.count("*"))
+    w = Window.partitionBy("_shard").orderBy("value", "event_id")
+    rank = F.row_number().over(w) + _lookup_literal(offsets, "_shard")
+    bucket = _ntile_from_rank("_r", n_rows, k)
     return (
-        ev.select("value", F.ntile(10).over(w).alias("bucket"))
+        sharded.withColumn("_r", rank)
+        .select("value", bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
@@ -3406,19 +3547,13 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
-        (
-            (
-                F.min(F.col("ts").cast("double"))
-                + F.max(F.col("ts").cast("double"))
-            )
-            / 2
-        ).alias("mid"),
+        ((F.min(_epoch("ts")) + F.max(_epoch("ts"))) / 2).alias("mid"),
     )
     bucket = F.least(
         F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 10),
         F.lit(9),
     )
-    early = (F.col("ts").cast("double") < F.col("mid")).cast("int")
+    early = (_epoch("ts") < F.col("mid")).cast("int")
     counts = (
         ev.crossJoin(F.broadcast(bounds))
         .select("event_type", bucket.alias("bucket"), early.alias("early"))
@@ -3876,7 +4011,7 @@ def q_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    e = F.col("ts").cast("double")
+    e = _epoch("ts")
     dt = e - F.lag(e).over(w)
     return (
         ev.select("event_type", dt.alias("dt"))
@@ -4126,9 +4261,11 @@ def q_inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    # top-k via orderBy+limit, which compiles to TakeOrderedAndProject
+    # (per-partition top-20 then a 20-row merge on the driver) — no
+    # unpartitioned row_number window over the vocabulary.
     return (
-        idx.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        idx.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
         .select("term", "df", "postings")
     )

@@ -13,6 +13,7 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TESTDATA_TABLES = (
     "region",
@@ -51,6 +52,24 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
         return ()
 
 
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Canonicalize timestamp columns to session-TZ TIMESTAMP (LTZ).
+
+    Parquet writers flip between tz-aware (``timestamp[us, tz=UTC]`` →
+    Spark TIMESTAMP) and tz-naive (``timestamp[us]`` → TIMESTAMP_NTZ)
+    flavors depending on how the file was produced; downstream epoch
+    arithmetic (``cast("double")``) is only legal on the LTZ flavor.
+    The session timezone is pinned UTC, so NTZ → LTZ is a pure type
+    re-tag: the same wall-clock instant, bit-identical epoch values,
+    and identical to DuckDB's treatment of naive timestamps. Top-level
+    columns only — the testdata schema has no nested timestamps.
+    """
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ltz"))
+    return df
+
+
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one testdata table (``{sf_dir}/{name}.parquet``)."""
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -64,7 +83,7 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
         # lose sub-ms precision for 2024-epoch nanos > 2^53);
         # truncation toward zero matches DuckDB's ns→µs conversion.
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return df
+    return _normalize_event_time(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:

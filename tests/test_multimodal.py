@@ -4,6 +4,8 @@ the NotImplementedError gate for real codecs."""
 
 from __future__ import annotations
 
+import importlib.util
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -55,9 +57,56 @@ def test_frame_sample(media):
 
 
 def test_unknown_codec_raises(spark, media):
+    # Without Pillow the real-codec path raises NotImplementedError;
+    # with Pillow installed these bytes aren't a valid image, so PIL
+    # rejects them instead — either way the decode must fail loudly.
     real = media.withColumn("codec", F.lit("jpeg"))
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="NotImplementedError|codec|identify"):
         mm.extract_features(real).collect()
+
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+def _png_payload(w: int, h: int, body: bytes) -> bytes:
+    import io
+
+    from PIL import Image
+
+    im = Image.frombytes("L", (w, h), body)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "codec",
+    [
+        mm.FAKE_CODEC,
+        pytest.param(
+            "png",
+            marks=pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed"),
+        ),
+    ],
+)
+def test_decode_real_and_fake_codecs(spark, codec):
+    # Same 4x2 luminance image through either codec — identical
+    # decoded dims, body bytes, and downstream feature rows.
+    body = bytes(range(8))
+    if codec == mm.FAKE_CODEC:
+        payload = _fake_payload(4, 2, 1, body)
+    else:
+        payload = _png_payload(4, 2, body)
+    meta = mm._decode_payload(payload, codec)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (4, 2, 1)
+    assert bytes(meta["body"]) == body
+    df = spark.createDataFrame(
+        [(1, payload, "image", codec)],
+        "media_id long, payload binary, media_type string, codec string",
+    )
+    feats = mm.extract_features(df).collect()
+    assert feats[0]["width"] == 4 and feats[0]["height"] == 2
+    assert sum(feats[0]["feature"]) == pytest.approx(1.0)
 
 
 def test_resize_nearest_neighbor(media):
