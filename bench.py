@@ -60,23 +60,27 @@ def main() -> None:
 
     # best-of-2 per query: this host's timings swing up to 3x run-to-
     # run (shared VM); the minimum is the standard noise-robust
-    # estimator of the query's true cost. One broken query must NOT
-    # zero the whole artifact (the BENCH_r02 failure mode): failures
-    # are recorded per-query and the JSON line is emitted regardless.
+    # estimator of the query's true cost. The repetitions are
+    # INTERLEAVED (full pass over all queries, then a second pass) so a
+    # multi-second noise burst degrades one rep of several queries
+    # instead of both reps of one. One broken query must NOT zero the
+    # whole artifact (the BENCH_r02 failure mode): failures are
+    # recorded per-query and the JSON line is emitted regardless.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
+    for _rep in range(2):
+        for name in BENCH_QUERIES:
+            if name in errors:
+                continue
             try:
                 start = time.perf_counter()
                 QUERIES[name](spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - start)
+                elapsed = time.perf_counter() - start
             except Exception as exc:  # noqa: BLE001 — record, keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                break
-        if best != float("inf"):
-            timings[name] = round(best, 3)
+                timings.pop(name, None)
+                continue
+            timings[name] = round(min(timings.get(name, elapsed), elapsed), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -63,3 +63,23 @@ def exchange_count(df: DataFrame) -> int:
     the details section — count only the numbered detail headers."""
     plan = formatted_plan(df)
     return len(re.findall(r"^\(\d+\) Exchange\s*$", plan, flags=re.M))
+
+
+def single_partition_exchange_count(df: DataFrame) -> int:
+    """Exchanges that funnel EVERYTHING to one task (the physical
+    footprint of an unpartitioned window / global sort without limit).
+    Zero means no stage collapses to a single partition — the property
+    the sharded running-sum/rank formulations exist to guarantee."""
+    return formatted_plan(df).count("Arguments: SinglePartition")
+
+
+def hash_exchange_count(df: DataFrame) -> int:
+    """Operator-induced shuffles only: hash/range-partitioned
+    exchanges. Excludes the round-robin spread the read boundary adds
+    when a file has too few row groups to feed the cluster
+    (sources/readers.py parallelism floor) — that exchange reflects
+    file layout, not the operator under test."""
+    plan = formatted_plan(df)
+    return len(
+        re.findall(r"Arguments: (?:hashpartitioning|rangepartitioning)", plan)
+    )

@@ -2200,7 +2200,10 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.limit(8)
+    # content-deterministic query set — a bare limit() follows
+    # partition layout and would change with the reader's
+    # parallelism floor
+    q = emb.orderBy("vec_id").limit(8)
     cents = ivf_centroids(emb, ncells=8, iters=1)
     return ivf_topk(q, emb, cents, k=5, nprobe=2)
 

@@ -83,6 +83,16 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
         # lose sub-ms precision for 2024-epoch nanos > 2^53);
         # truncation toward zero matches DuckDB's ns→µs conversion.
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # NOTE on scan parallelism: the testdata packs each table into a
+    # single parquet row group, so every scan runs as one task (the
+    # row group is parquet's split unit). An automatic round-robin
+    # "parallelism floor" after the scan was measured here (interleaved
+    # best-of-3 A/B at sf0.1) and REJECTED: it wins only on the
+    # shingle-heavy minhash path (~20%) and costs 2-3x on every
+    # scan→aggregate query, because Catalyst keeps narrow compute below
+    # the added exchange while the shuffle overhead is pure cost. At
+    # production scale real tables carry many row groups / files and
+    # the question disappears.
     return _normalize_event_time(df)
 
 

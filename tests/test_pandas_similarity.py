@@ -45,7 +45,9 @@ def test_ivf_topk_exact_when_probing_all_cells(spark):
     from sensor_data_pipeline___spark.sources import readers
 
     emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
-    q = emb.limit(8)
+    # content-deterministic query set (bare limit follows partition
+    # layout, which the reader's parallelism floor can change)
+    q = emb.orderBy("vec_id").limit(8)
     cents = sim.ivf_centroids(emb, ncells=8, iters=0)
     exact = sorted(map(tuple, sim.ivf_topk(q, emb, cents, k=5, nprobe=8).collect()))
     bf = sorted(map(tuple, sim.brute_force_topk(q, emb, k=5).collect()))
@@ -70,7 +72,10 @@ def test_ivf_recall_with_probing(spark):
     from sensor_data_pipeline___spark.sources import readers
 
     emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
-    q = emb.limit(8)
+    # orderBy before limit: a bare limit() picks whatever rows arrive
+    # first, which changes with the reader's partition layout — the
+    # query set must be content-deterministic for a stable recall
+    q = emb.orderBy("vec_id").limit(8)
     cents = sim.ivf_centroids(emb, ncells=8, iters=1)
     approx = sim.ivf_topk(q, emb, cents, k=5, nprobe=2)
     ap = {(r.query_id, r.vec_id) for r in approx.collect()}

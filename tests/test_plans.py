@@ -38,8 +38,10 @@ def test_q5_broadcasts_small_dims(spark):
 
 def test_q1_single_shuffle(spark):
     df = QUERIES["q1_pricing_summary"](spark, SF)
-    # one groupBy → exactly one exchange (partial agg map-side)
-    assert explain.exchange_count(df) <= 1, explain.formatted_plan(df)
+    # one groupBy → exactly one hash exchange (partial agg map-side);
+    # the reader's parallelism floor may add a round-robin spread,
+    # which is file-layout compensation, not an operator shuffle
+    assert explain.hash_exchange_count(df) <= 1, explain.formatted_plan(df)
     assert "partial" in explain.formatted_plan(df).lower()
 
 
@@ -143,8 +145,10 @@ def test_hash_split_is_narrow(spark):
 
     docs = readers.table(spark, "documents", SF)
     df = sampling.hash_split(docs, "doc_id")
-    # split assignment must add no shuffle — it's a projection
-    assert explain.exchange_count(df) == 0, explain.formatted_plan(df)
+    # split assignment must add no hash shuffle — it's a projection
+    # (the reader's round-robin parallelism floor is file-layout
+    # compensation, not part of the operator)
+    assert explain.hash_exchange_count(df) == 0, explain.formatted_plan(df)
 
 
 def test_set_similarity_join_never_goes_cartesian(spark):
@@ -187,3 +191,24 @@ def test_blocked_joins_never_go_cartesian(spark):
         plan = explain.formatted_plan(df)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_sharded_windows_never_single_partition(spark):
+    """The round-3 resharded formulations (range-shard + partitioned
+    window + stitched offsets) must never collapse a stage to one
+    task — the failure mode of a global ORDER BY window at scale."""
+    for name in ("pack_sequences", "equi_depth_histogram", "ntile_deciles"):
+        df = QUERIES[name](spark, SF)
+        assert explain.single_partition_exchange_count(df) == 0, (
+            name,
+            explain.formatted_plan(df),
+        )
+
+
+def test_inverted_index_topk_is_take_ordered(spark):
+    """Top-20 terms must compile to TakeOrderedAndProject (distributed
+    partial top-k), not a global row_number window."""
+    df = QUERIES["inverted_index_sample"](spark, SF)
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert explain.single_partition_exchange_count(df) == 0, plan
