@@ -102,3 +102,53 @@ def run_pipeline(wh: Warehouse, full_refresh: bool = False) -> tuple[int, int]:
     """The hourly DAG body: staging then marts, ordinary call order
     (reference airflow/dags/sensor_data_pipeline.py:88,101)."""
     return run_silver(wh, full_refresh), run_gold(wh, full_refresh)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC snapshot diff: classify every key as insert/update/delete.
+
+    Full outer join on the key, then compare a single md5 digest of the
+    tracked columns per side — the comparison row stays constant-width
+    no matter how wide the table is, so the shuffle carries (key,
+    digest) rather than two full row copies. Unchanged keys are
+    filtered out before the result materializes. This is the
+    change-data-feed a warehouse without Delta/Iceberg table history
+    derives by diffing snapshots (the MERGE sources M1/M2 consume the
+    OUTPUT of exactly this shape).
+
+    Returns (key_cols..., change_type) with change_type in
+    ('insert', 'update', 'delete').
+    """
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in key_cols
+    ]
+    # concat_ws silently DROPS null inputs — ("x", NULL) and (NULL, "x")
+    # would digest identically. Coalesce to a NUL-byte sentinel so null
+    # occupies a position (NUL can't appear in a cast-to-string value).
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in compare_cols
+            ],
+        )
+    )
+    o = old.select(*key_cols, digest.alias("_old_digest"))
+    n = new.select(*key_cols, digest.alias("_new_digest"))
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_old_digest").isNull(), F.lit("insert"))
+        .when(F.col("_new_digest").isNull(), F.lit("delete"))
+        .when(F.col("_old_digest") != F.col("_new_digest"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

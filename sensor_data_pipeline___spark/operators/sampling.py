@@ -67,3 +67,34 @@ def stratified_sample(
     own rows). ``fractions`` maps stratum value → keep probability;
     strata absent from the map are dropped entirely."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Fixed-size k-per-stratum sample keyed on CONTENT, not layout.
+
+    Seeded ``sample``/``sampleBy`` follow partition layout — a file
+    rewrite or repartition re-deals the sample. This instead keeps the
+    k rows with the smallest ``md5(salt|id)`` per stratum: md5 order is
+    uniform pseudo-random in the ids, identical across engines,
+    layouts, cluster sizes and reruns, and corpus growth can only evict
+    border rows (the same stability argument as :func:`hash_split`).
+    One shuffle on the stratum; per-stratum state is a k-row heap
+    (TopK inside the window sort at scale). The reference keeps all
+    sampling seeded-random; content-keyed sampling is the
+    reproducible-training-subset variant a 100 TB corpus needs.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -102,3 +102,87 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pre-filter
+# ---------------------------------------------------------------------------
+#
+# Spark's own runtime row-level filtering (InjectRuntimeFilter /
+# bloom_filter_agg) is an internal optimizer rule not exposed to SQL or
+# the DataFrame API, so the pattern is built explicitly from DataFrame
+# ops: the build side is one explode + bit_or groupBy (map-side
+# combined, num_bits/64 result rows), the probe is a pure codegen
+# expression against a literal word array. The 100 TB story is shuffle
+# avoidance: fact rows whose key cannot exist on the dim side are
+# dropped at the SCAN, before the join exchange moves them.
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, num_bits: int = 1 << 16, num_hashes: int = 5
+) -> list[int]:
+    """Build a Bloom filter over ``df[key_col]`` as a list of 64-bit
+    words (driver-side, ``num_bits/8`` bytes — broadcast-sized state,
+    the same class as a collected watermark). Bit positions come from
+    ``xxhash64(key, i)`` for i in [0, num_hashes)."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("p")
+    rows = (
+        df.select(pos)
+        .select(
+            F.expr("cast(p div 64 as int)").alias("w"),
+            F.expr("cast(p % 64 as int)").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(1L, b))").alias("word"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_might_contain(
+    words: list[int], key_col: str, num_bits: int, num_hashes: int = 5
+) -> "F.Column":
+    """Membership predicate against a built filter — pure JVM
+    expression (element_at + bit ops on a literal array), false
+    negatives impossible. For filters too big to inline as a literal
+    (num_bits beyond ~2^20), the escalation is the same bitmap as a
+    (word_idx, word) table joined broadcast on ``p div 64``."""
+    arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    checks = []
+    for i in range(num_hashes):
+        p = f"pmod(xxhash64({key_col}, {i}), {num_bits})"
+        checks.append(
+            f"(element_at({arr_sql}, cast({p} div 64 as int) + 1)"
+            f" & shiftleft(1L, cast({p} % 64 as int))) != 0"
+        )
+    return F.expr(" AND ".join(checks))
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """LEFT SEMI join with a Bloom runtime pre-filter on the fact side.
+
+    Result is EXACTLY ``fact.join(dim, key, "left_semi")`` — the bloom
+    admits no false negatives and the real semi join removes its false
+    positives — but fact rows that cannot match are dropped before the
+    join exchange. At 1000 executors this is the difference between
+    shuffling the full fact table and shuffling the matching slice.
+    """
+    words = bloom_build(dim, key, num_bits, num_hashes)
+    pre = fact.filter(bloom_might_contain(words, key, num_bits, num_hashes))
+    return pre.join(dim.select(key).distinct(), key, "left_semi")

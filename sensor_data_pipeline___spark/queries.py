@@ -4272,3 +4272,118 @@ def q_inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("term", "df", "postings")
     )
+
+
+@_register(
+    "snapshot_diff_orders",
+    # CDC snapshot diff: derive the change feed between two table
+    # versions (insert/update/delete per key) — what a warehouse
+    # without Delta/Iceberg table history feeds its MERGE (M1/M2) with.
+    # The "new" snapshot is derived deterministically in-query: keys
+    # divisible by 97 deleted, totals of keys divisible by 7 bumped,
+    # keys divisible by 53 re-inserted under shifted ids.
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ), n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM o WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice
+      FROM o WHERE o_orderkey % 53 = 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice <> n.o_totalprice THEN 'update'
+           END AS change_type
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice <> n.o_totalprice)
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.incremental import table_diff
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    survivors = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 53 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "o_totalprice"
+    )
+    new = survivors.unionByName(inserts)
+    return table_diff(o, new, ["o_orderkey"], compare_cols=["o_totalprice"])
+
+
+@_register(
+    "deterministic_stratified_sample",
+    # Content-keyed fixed-size sampling: the 20 docs per language with
+    # the smallest md5(salt|doc_id). Unlike seeded sample()/sampleBy()
+    # (which follow partition layout), this sample is identical across
+    # engines, layouts, cluster sizes and reruns — md5 is bit-identical
+    # in Spark and DuckDB, so the oracle pins the EXACT sampled rows.
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample-v1|' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id FROM r WHERE rn <= 20
+    """,
+)
+def q_deterministic_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return deterministic_sample(docs, "lang", "doc_id", k=20)
+
+
+@_register(
+    "bloom_semi_join_lineitem",
+    # Bloom runtime pre-filter ahead of a semi join: lineitems of
+    # urgent finished orders. The oracle is the PLAIN semi join — the
+    # bloom must be output-invisible (no false negatives; false
+    # positives die in the real join), only the shuffle volume changes.
+    """
+    SELECT l.l_returnflag,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+    )
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.sketches import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    matched = bloom_semi_join(
+        li, urgent.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey"
+    )
+    return matched.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -97,3 +97,32 @@ def test_full_refresh_rebuilds(spark, wh):
     n_silver, n_gold = incremental.run_pipeline(wh, full_refresh=True)
     assert (n_silver, n_gold) == (4, 1)
     assert wh.read(GOLD).collect()[0]["metric_value"] == pytest.approx(17.485)
+
+
+def test_table_diff_classifies_all_change_types(spark):
+    from sensor_data_pipeline___spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    out = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent), 2 updated, 3 null→value update, 4 deleted,
+    # 5 inserted
+    assert out == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
+def test_table_diff_null_not_confused_with_shifted_value(spark):
+    """(x, NULL) vs (NULL, x): concat_ws drops nulls, so without the
+    sentinel both sides would digest to md5('x') and the update would
+    be silently missed."""
+    from sensor_data_pipeline___spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame([(1, "x", None)], "k int, a string, b string")
+    new = spark.createDataFrame([(1, None, "x")], "k int, a string, b string")
+    out = table_diff(old, new, ["k"]).collect()
+    assert len(out) == 1 and out[0].change_type == "update"

@@ -48,3 +48,26 @@ def test_stratified_sample_reproducible(spark):
         by_cls[r.cls] = by_cls.get(r.cls, 0) + 1
     # stratum 1 kept at ~10%, stratum 2 at ~90% (Bernoulli tolerance)
     assert by_cls[1] < by_cls[0] < by_cls[2]
+
+
+def test_deterministic_sample_layout_invariant(spark):
+    """The sample must depend only on content — identical under any
+    repartitioning (seeded sample()/sampleBy() fails this)."""
+    df = spark.range(3000).withColumn("cls", (F.col("id") % 4).cast("int"))
+    a = sampling.deterministic_sample(df, "cls", "id", k=15).collect()
+    b = sampling.deterministic_sample(df.repartition(7), "cls", "id", k=15).collect()
+    assert sorted((r.cls, r.id) for r in a) == sorted((r.cls, r.id) for r in b)
+    counts = {}
+    for r in a:
+        counts[r.cls] = counts.get(r.cls, 0) + 1
+    assert counts == {0: 15, 1: 15, 2: 15, 3: 15}
+
+
+def test_deterministic_sample_growth_stability(spark):
+    """Adding rows may evict border rows but never reshuffles the
+    sample: the new sample is a subset of old-sample ∪ new-rows."""
+    small = spark.range(1000).withColumn("cls", F.lit(0))
+    big = spark.range(2000).withColumn("cls", F.lit(0))
+    s_small = {r.id for r in sampling.deterministic_sample(small, "cls", "id", 50).collect()}
+    s_big = {r.id for r in sampling.deterministic_sample(big, "cls", "id", 50).collect()}
+    assert s_big <= s_small | set(range(1000, 2000))

@@ -60,3 +60,39 @@ def test_cms_estimates_are_one_sided_and_bounded(spark):
         # loose sanity bound on overestimate: 4x the expected
         # per-row collision mass
         assert r["est_count"] - r["x"] <= 4 * n_total / width, r
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from sensor_data_pipeline___spark.operators import sketches as sk
+
+    keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+    words = sk.bloom_build(keys, "k", num_bits=1 << 16, num_hashes=5)
+    # every inserted key must probe positive (bloom's hard guarantee)
+    hits = keys.filter(sk.bloom_might_contain(words, "k", 1 << 16, 5)).count()
+    assert hits == 2000
+    # disjoint probe range: false-positive rate near the theoretical
+    # (1 - e^(-kn/m))^k ≈ 0.6% at n=2000, m=65536, k=5
+    probe = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
+    fp = probe.filter(sk.bloom_might_contain(words, "k", 1 << 16, 5)).count()
+    assert fp / 10_000 < 0.05
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from sensor_data_pipeline___spark.operators import sketches as sk
+    from sensor_data_pipeline___spark.sources import readers
+
+    li = readers.table(spark, "lineitem", "/root/testdata/sf0.001")
+    orders = readers.table(spark, "orders", "/root/testdata/sf0.001")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    got = sorted(
+        r.l_orderkey
+        for r in sk.bloom_semi_join(li.select("l_orderkey"), dim, "l_orderkey")
+        .collect()
+    )
+    want = sorted(
+        r.l_orderkey
+        for r in li.select("l_orderkey").join(dim, "l_orderkey", "left_semi").collect()
+    )
+    assert got == want and len(want) > 0
