@@ -48,8 +48,6 @@ _PRIORITY = (
     "distinct_projection",
     "date_range_orders",
     "iso_multiformat_parse",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
     # TPC-H adaptation (COVERAGE.md)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -86,11 +84,15 @@ _PRIORITY = (
     "set_intersect_all_customers",
     "column_profile_orders",
     "benford_first_digit",
-    "asof_last_purchase",
-    "range_join_purchase_clicks",
     "dedup_exact",
     "dedup_exact_stats",
-    "similarity_topk",
+    # new in round 3 (CDC, content-keyed sampling, bloom pre-filter,
+    # recursive-closure-verified clustering, Spark 4 VARIANT)
+    "snapshot_diff_orders",
+    "deterministic_stratified_sample",
+    "bloom_semi_join_lineitem",
+    "connected_components_fuzzy",
+    "variant_props_extract",
 )
 
 

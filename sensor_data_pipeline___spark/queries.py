@@ -4387,3 +4387,63 @@ def q_bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@_register(
+    "variant_props_extract",
+    # Schema-free semi-structured extraction via Spark 4's VARIANT
+    # type: parse_json once into the binary variant encoding, pull
+    # typed paths with variant_get — no schema declared up front
+    # (the from_json complement, see json_extract_props). Also counts
+    # JSON keys per row (json_object_keys / json_keys) to prove the
+    # document structure survives the round-trip.
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           sum(len(json_keys(props))) AS total_keys
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(
+            F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+        ).alias("k_total"),
+        F.sum(F.size(F.expr("json_object_keys(props)"))).alias("total_keys"),
+    )
+
+
+@_register(
+    "connected_components_fuzzy",
+    # Near-dup clustering made oracle-HASH-verifiable: the min-label
+    # propagation loop (operators/dedup.py:connected_components, the
+    # step that turns pairwise near-dup output into dedup groups) is
+    # checked against DuckDB's recursive-CTE transitive closure over
+    # the SAME deterministic edge set (the blocked Levenshtein pairs of
+    # fuzzy_name_pairs). component = min reachable node on both sides.
+    """
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS noun
+      FROM part
+    ), e AS (
+      SELECT a.p_name AS a, b.p_name AS b
+      FROM names a JOIN names b
+        ON a.noun = b.noun AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), und AS (
+      SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e
+    ), reach(node, r) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+)
+def q_connected_components_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import connected_components
+
+    pairs = QUERIES["fuzzy_name_pairs"](spark, sf_dir).select("name_a", "name_b")
+    return connected_components(pairs, "name_a", "name_b")
