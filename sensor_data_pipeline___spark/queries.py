@@ -4447,3 +4447,69 @@ def q_connected_components_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = QUERIES["fuzzy_name_pairs"](spark, sf_dir).select("name_a", "name_b")
     return connected_components(pairs, "name_a", "name_b")
+
+
+@_register(
+    "approx_distinct_accuracy",
+    # The HLL accuracy CONTRACT as an oracle-checkable row (the same
+    # boolean-pinning trick as cms_heavy_hitters): exact distincts must
+    # match bit-for-bit, and approx_count_distinct must land within 5%
+    # of them (HLL++ at default rsd=0.05). A broken or re-seeded sketch
+    # flips the literal and fails the hash gate.
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_distinct"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("_est"),
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("_est") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_5pct"),
+        )
+    )
+
+
+@_register(
+    "approx_percentile_accuracy",
+    # approx_percentile's rank-error contract, oracle-pinned: the
+    # approximate p50/p95 of order totals must land between the exact
+    # neighboring percentiles (p45..p55 / p90..p99) — the GK-sketch
+    # epsilon at accuracy 10000 is far tighter than that window, so a
+    # correct implementation always emits TRUE.
+    """
+    SELECT count(*) AS n_orders,
+           TRUE AS p50_in_range,
+           TRUE AS p95_in_range
+    FROM orders
+    """,
+)
+def q_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("n_orders"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("_a50"),
+        F.percentile_approx("o_totalprice", 0.95, 10_000).alias("_a95"),
+        F.expr("percentile(o_totalprice, 0.45)").alias("_lo50"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("_hi50"),
+        F.expr("percentile(o_totalprice, 0.90)").alias("_lo95"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("_hi95"),
+    )
+    return agg.select(
+        "n_orders",
+        F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_in_range"),
+        F.col("_a95").between(F.col("_lo95"), F.col("_hi95")).alias("p95_in_range"),
+    )
