@@ -4513,3 +4513,26 @@ def q_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_in_range"),
         F.col("_a95").between(F.col("_lo95"), F.col("_hi95")).alias("p95_in_range"),
     )
+
+
+@_register(
+    "sql_api_nation_revenue",
+    # The SQL front door: the same engine surface through
+    # spark.sql(...) over registered views (readers.register_views) —
+    # what a reference user who writes SQL, not DataFrames, runs. The
+    # text below is dialect-portable and executes VERBATIM on both
+    # engines, so this also pins dialect compatibility for the shared
+    # core (joins, aggregation, round, order).
+    """
+    SELECT n.n_name AS nation,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    readers.register_views(spark, sf_dir)
+    return spark.sql(ORACLE["sql_api_nation_revenue"])
