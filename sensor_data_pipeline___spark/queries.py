@@ -75,6 +75,16 @@ def _epoch(col) -> "F.Column":
     return c.cast("timestamp_ltz").cast("double")
 
 
+def _default_shards(spark: SparkSession) -> int:
+    """Shard count for the shard-and-stitch window pattern: the
+    cluster's parallelism, floored at 32 — on local[32] that is 32, on
+    a 1000-executor cluster the windows split proportionally wider.
+    Beyond ~1000 shards the literal CASE offset lookup should become a
+    broadcast (shard → offset) join; n_shards only affects balance,
+    never results, so the switch is transparent."""
+    return max(32, spark.sparkContext.defaultParallelism)
+
+
 def _range_shard(df: DataFrame, col: str, n_shards: int) -> "F.Column":
     """Order-consistent range-shard assignment for global-order windows.
 
@@ -2313,7 +2323,9 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 10
     o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    sharded = o.withColumn("_shard", _range_shard(o, "o_totalprice", 32))
+    sharded = o.withColumn(
+        "_shard", _range_shard(o, "o_totalprice", _default_shards(spark))
+    )
     offsets, n_rows = _shard_offsets(sharded, F.count("*"))
     w = Window.partitionBy("_shard").orderBy("o_totalprice", "o_orderkey")
     rank = F.row_number().over(w) + _lookup_literal(offsets, "_shard")
@@ -2837,7 +2849,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-consistent cut points give the identical global cumsum, so
     # approx bounds don't affect correctness.
     budget = 2048
-    n_shards = 32
+    n_shards = _default_shards(spark)
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
     )
@@ -3451,7 +3463,9 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directly. Bit-identical to the global window, no single-task sort.
     k = 10
     ev = _t(spark, sf_dir, "events").select("value", "event_id")
-    sharded = ev.withColumn("_shard", _range_shard(ev, "value", 32))
+    sharded = ev.withColumn(
+        "_shard", _range_shard(ev, "value", _default_shards(spark))
+    )
     offsets, n_rows = _shard_offsets(sharded, F.count("*"))
     w = Window.partitionBy("_shard").orderBy("value", "event_id")
     rank = F.row_number().over(w) + _lookup_literal(offsets, "_shard")
