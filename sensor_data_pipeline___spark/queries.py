@@ -4550,3 +4550,79 @@ def q_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     readers.register_views(spark, sf_dir)
     return spark.sql(ORACLE["sql_api_nation_revenue"])
+
+
+@_register(
+    "trigram_repetition",
+    # Repetition scoring — the corpus-filtering signal that catches
+    # boilerplate/spam (low distinct-trigram ratio = repetitive junk).
+    # Reuses the dedup module's shifted-slice shingle machinery
+    # (operators/dedup.py:_zipped_windows — one slice per OFFSET, not
+    # per window); DuckDB builds the same trigram list with a
+    # list_transform lambda, pinning the construction cross-engine.
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+      FROM t
+    )
+    SELECT doc_id,
+           len(tri) AS n_trigrams,
+           len(list_distinct(tri)) AS n_distinct,
+           round(1 - len(list_distinct(tri)) * 1.0 / len(tri), 4) AS repetition
+    FROM g WHERE len(tri) > 0
+    """,
+)
+def q_trigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tri = F.transform(
+        _zipped_windows(toks, 3),
+        lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]),
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(tri).alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).alias("n_distinct"),
+    )
+    return out.filter(F.col("n_trigrams") > 0).select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct",
+        F.round(
+            1 - F.col("n_distinct").cast("double") / F.col("n_trigrams"), 4
+        ).alias("repetition"),
+    )
+
+
+@_register(
+    "content_pattern_profile",
+    # Regex pattern profiling over the corpus (the pre-filter pass a
+    # data pipeline runs before PII scrubbing): per-language totals of
+    # digit runs, capitalized tokens, and long words. regexp_count on
+    # the Spark side, len(regexp_extract_all) in DuckDB — simple
+    # character-class patterns chosen to behave identically in Java
+    # regex and RE2.
+    """
+    SELECT lang,
+           sum(len(regexp_extract_all(text, '[0-9]+'))) AS n_digit_runs,
+           sum(len(regexp_extract_all(text, '\\b[A-Z][a-z]+'))) AS n_capitalized,
+           sum(len(regexp_extract_all(text, '[a-z]{10,}'))) AS n_long_words
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_content_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(F.regexp_count("text", F.lit(r"[0-9]+"))).alias("n_digit_runs"),
+        F.sum(F.regexp_count("text", F.lit(r"\b[A-Z][a-z]+"))).alias(
+            "n_capitalized"
+        ),
+        F.sum(F.regexp_count("text", F.lit(r"[a-z]{10,}"))).alias("n_long_words"),
+    )
