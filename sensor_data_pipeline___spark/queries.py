@@ -1604,21 +1604,24 @@ def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     # TPC-H Q12 shape (no shipmode column → bucket by linestatus):
     # priority mix of lines shipped in a year, conditional counts.
+    # Year re-ranged from TPC-H-classic 1994 to 1996 so the predicate
+    # actually selects rows in this testdata (dates span 1995–2001);
+    # CAST(...AS BIGINT) pins DuckDB's HUGEINT sum to Spark's LongType.
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_shipdate >= DATE '1994-01-01' AND l.l_shipdate < DATE '1995-01-01'
+    WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
     GROUP BY l.l_linestatus
     """,
 )
 def q_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
     )
     o = _t(spark, sf_dir, "orders")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -2227,7 +2230,8 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex over JSON.
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_total,
            count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END)
              AS k_missing
     FROM events
@@ -2708,7 +2712,7 @@ def q_embedding_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN b < 9000 THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM s GROUP BY 1
     """,
 )
@@ -3703,15 +3707,17 @@ def q_full_outer_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, min(d) AS first_d FROM activity GROUP BY user_id
     ), daily AS (
       SELECT a.d,
-             sum(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END) AS n_new,
-             sum(CASE WHEN a.d > f.first_d THEN 1 ELSE 0 END) AS n_returning
+             CAST(sum(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN a.d > f.first_d THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returning
       FROM activity a JOIN firsts f USING (user_id)
       GROUP BY a.d
     )
     SELECT strftime(d, '%Y-%m-%d') AS day, n_new, n_returning,
-           sum(n_new) OVER (ORDER BY d
+           CAST(sum(n_new) OVER (ORDER BY d
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cumulative_users
+                AS BIGINT) AS cumulative_users
     FROM daily
     """,
 )
@@ -4413,8 +4419,9 @@ def q_bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document structure survives the round-trip.
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
-           sum(len(json_keys(props))) AS total_keys
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_total,
+           CAST(sum(len(json_keys(props))) AS BIGINT) AS total_keys
     FROM events
     GROUP BY event_type
     """,
@@ -4610,9 +4617,12 @@ def q_trigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex and RE2.
     """
     SELECT lang,
-           sum(len(regexp_extract_all(text, '[0-9]+'))) AS n_digit_runs,
-           sum(len(regexp_extract_all(text, '\\b[A-Z][a-z]+'))) AS n_capitalized,
-           sum(len(regexp_extract_all(text, '[a-z]{10,}'))) AS n_long_words
+           CAST(sum(len(regexp_extract_all(text, '[0-9]+')))
+                AS BIGINT) AS n_digit_runs,
+           CAST(sum(len(regexp_extract_all(text, '\\b[A-Z][a-z]+')))
+                AS BIGINT) AS n_capitalized,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]{10,}')))
+                AS BIGINT) AS n_long_words
     FROM documents
     GROUP BY lang
     """,

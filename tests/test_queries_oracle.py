@@ -5,6 +5,7 @@ sorted by name (BASELINE.md "Operative target")."""
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 
@@ -18,9 +19,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
 
 
 def _canon(value):
-    """Engine-independent canonical form of a cell value."""
+    """Engine-independent canonical form of a cell value.
+
+    Decimal is deliberately NOT collapsed to int: the driver's gate
+    fetches DuckDB over Arrow, where a HUGEINT aggregate arrives as
+    decimal128(38,0) and hash-mismatches Spark's LongType even when
+    values agree (the CORRECTNESS_r03 variant_props_extract failure).
+    Tagging Decimal keeps this harness exactly as strict."""
     if value is None:
         return "<null>"
+    if isinstance(value, decimal.Decimal):
+        return f"decimal:{value}"
     if isinstance(value, bool):
         return str(value)
     if isinstance(value, float):
@@ -56,9 +65,11 @@ def test_oracle_match(spark, duck, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(ORACLE[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # Fetch via Arrow — the driver's path — so DuckDB type flavors
+    # (HUGEINT→decimal128, not →int) are reproduced locally.
+    tbl = duck.execute(ORACLE[name]).arrow()
+    duck_cols = list(tbl.schema.names)
+    duck_rows = list(zip(*(tbl.column(c).to_pylist() for c in duck_cols)))
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
