@@ -1564,15 +1564,17 @@ def q_range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     # TPC-H Q10 shape: revenue lost to returned items per customer in a
     # quarter, top 20. Join order: filtered orders (broadcastable after
-    # the date cut) into lineitem, dim customer broadcast.
+    # the date cut) into lineitem, dim customer broadcast. Quarter
+    # re-ranged from TPC-H-classic 1993-Q4 to 1995-Q4 so the predicate
+    # selects real rows in this testdata (order dates span 1995–2001).
     """
     SELECT c.c_custkey, c.c_name,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderdate >= DATE '1993-10-01'
-      AND o.o_orderdate < DATE '1994-01-01'
+    WHERE o.o_orderdate >= DATE '1995-10-01'
+      AND o.o_orderdate < DATE '1996-01-01'
       AND l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name
     ORDER BY revenue DESC, c.c_custkey
@@ -1582,8 +1584,8 @@ def q_range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
@@ -2162,10 +2164,14 @@ def q_q21_sole_supplier_failed_orders(spark: SparkSession, sf_dir: str) -> DataF
 
 @_register(
     "q22_idle_rich_customers",
-    # TPC-H Q22 shape: above-average-balance customers with no orders
+    # TPC-H Q22 shape: above-average-balance customers gone idle
     # (scalar-subquery threshold + NOT EXISTS anti join), grouped by nation.
     # The threshold test is cross-multiplied into exact decimal arithmetic:
-    # acctbal * n > total, with total summed in DECIMAL.
+    # acctbal * n > total, with total summed in DECIMAL. "Idle" is
+    # recency-based (no orders since 2000-01-01) rather than classic
+    # Q22's no-orders-ever: every customer in this testdata has ≥1
+    # order, so the classic anti join is structurally empty and would
+    # verify nothing.
     """
     WITH stats AS (
       SELECT count(*) AS n, sum(c_acctbal::DECIMAL(18,2)) AS total
@@ -2175,13 +2181,17 @@ def q_q21_sole_supplier_failed_orders(spark: SparkSession, sf_dir: str) -> DataF
     FROM customer c, stats
     JOIN nation nt ON nt.n_nationkey = c.c_nationkey
     WHERE c.c_acctbal::DECIMAL(18,2) * stats.n > stats.total
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
     GROUP BY nt.n_name
     """,
 )
 def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
     n = _t(spark, sf_dir, "nation")
     stats = c.filter(F.col("c_acctbal") > 0).agg(
         F.count("*").alias("n_pos"),
