@@ -2,11 +2,12 @@
 with typed metadata, processed via Arrow-batched Pandas UDFs.
 
 The Spark-side plumbing — schema, partition shape, UDF signatures,
-batch iteration — is real and tested. The actual media decode is
-STUBBED (`decode_image` raises NotImplementedError unless given the
-deterministic fake codec) because no image/audio libraries exist in
-this container; swap `_decode_payload` for a PIL/libav call in a real
-deployment without touching any Spark code.
+batch iteration — is real and tested. Decode is real for uncompressed
+containers (PPM/PGM and BI_RGB BMP, parsed natively in numpy — no
+image library needed) plus the deterministic fake codec; compressed
+codecs (JPEG/PNG/...) route to Pillow at call time when installed and
+raise NotImplementedError otherwise, so a real deployment enables them
+by installing the library, with no Spark-side change.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — peak memory is
 one batch of payloads, not a partition; `maxRecordsPerBatch` bounds
@@ -61,19 +62,107 @@ def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def _rgb_to_luma(rgb: "Any") -> bytes:
+    """ITU-R BT.601 integer luminance of an (..., 3) uint8 array —
+    deterministic (integer arithmetic, no float rounding drift)."""
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8).tobytes()
+
+
+def _decode_pnm(payload: bytes) -> dict[str, Any]:
+    """Native decode of binary PPM (P6, RGB) / PGM (P5, grayscale):
+    whitespace/comment-tolerant header scan, then a raw 8-bit body.
+    RGB collapses to BT.601 luminance — the single-channel body layout
+    every downstream stage (featurize/resize/frame-sample) uses."""
+    import numpy as np
+
+    magic = payload[:2]
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte separates header from raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM is not supported natively")
+    if magic == b"P5":
+        body = payload[pos : pos + w * h]
+    else:  # P6
+        rgb = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+        body = _rgb_to_luma(rgb.reshape(h, w, 3))
+    return {"width": w, "height": h, "n_frames": 1, "body": body}
+
+
+def _decode_bmp(payload: bytes) -> dict[str, Any]:
+    """Native decode of uncompressed (BI_RGB) BMP: 24-bit true-color or
+    8-bit paletted, bottom-up or top-down, 4-byte-padded rows."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"only uncompressed 8/24-bit BMP decodes natively "
+            f"(got compression={compression}, bpp={bpp})"
+        )
+    h = abs(h_signed)
+    stride = (w * bpp // 8 + 3) & ~3  # rows pad to 4-byte boundaries
+    raster = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
+    rows = raster.reshape(h, stride)[:, : w * bpp // 8]
+    if h_signed > 0:  # bottom-up storage → flip to top-down
+        rows = rows[::-1]
+    if bpp == 24:
+        bgr = rows.reshape(h, w, 3)
+        body = _rgb_to_luma(bgr[..., ::-1])  # BGR on disk
+    else:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        palette = np.frombuffer(
+            payload, np.uint8, count=n_colors * 4, offset=14 + dib_size
+        ).reshape(n_colors, 4)  # BGRA entries
+        luma = np.frombuffer(
+            _rgb_to_luma(palette[:, 2::-1][:, None, :]), np.uint8
+        )
+        body = luma[rows].tobytes()
+    return {"width": w, "height": h, "n_frames": 1, "body": body}
+
+
 def _decode_payload(payload: bytes, codec: str) -> dict[str, Any]:
     """Decode one payload.
 
-    The deterministic fake codec always works; every other codec is
-    routed to Pillow AT CALL TIME (executor-side import — workers, not
-    the driver, need the library), so the stub becomes a real decoder
-    the moment the environment provides PIL, with no Spark-side change.
+    The deterministic fake codec and the uncompressed containers
+    (PPM/PGM, BI_RGB BMP — recognized by codec name or magic bytes)
+    decode natively in numpy. Every other codec is routed to Pillow AT
+    CALL TIME (executor-side import — workers, not the driver, need
+    the library), so compressed formats light up the moment the
+    environment provides PIL, with no Spark-side change.
     """
     if codec == FAKE_CODEC:
         # fake-raw-v1: header = width:height:frames as ascii, ';', raw bytes
         header, _, body = payload.partition(b";")
         w, h, n = (int(x) for x in header.split(b":"))
         return {"width": w, "height": h, "n_frames": n, "body": body}
+    if codec in ("ppm", "pgm") or payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    if codec == "bmp" or payload[:2] == b"BM":
+        return _decode_bmp(payload)
     try:
         from PIL import Image  # noqa: PLC0415 — executor-side optional dep
     except ImportError as exc:
@@ -134,13 +223,16 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
 
 
 def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
-    """Nearest-neighbor resize of every frame, re-encoded in place
-    (payload out = payload in's codec with updated dimensions).
+    """Nearest-neighbor resize of every frame. Output payloads are
+    re-encoded as ``fake-raw-v1`` luminance (and stamped with that
+    codec) regardless of input codec — the decoded body is already
+    single-channel raw, so that container is the honest one, and it
+    keeps resize→decode/featurize chains working for any input format.
 
-    With the fake codec the body is w×h×frames single-byte pixels, so
-    the resample is an index map — the exact mapInPandas shape a
-    PIL/libav-backed resize uses, including the payload-in/payload-out
-    contract that lets resizes chain with decode/featurize stages."""
+    The resample is an index map over the w×h×frames byte body — the
+    exact mapInPandas shape a PIL/libav-backed resize uses, including
+    the payload-in/payload-out contract that lets resizes chain with
+    decode/featurize stages."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -177,7 +269,10 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
                     {
                         "media_id": row.media_id,
                         "media_type": row.media_type,
-                        "codec": row.codec,
+                        # body was re-encoded into the raw container;
+                        # carrying the input codec forward would stamp
+                        # e.g. "bmp" on bytes that are no longer BMP
+                        "codec": FAKE_CODEC,
                         "payload": header + b";" + bytes(out),
                         "width": new_width,
                         "height": new_height,

@@ -79,10 +79,66 @@ def _png_payload(w: int, h: int, body: bytes) -> bytes:
     return buf.getvalue()
 
 
+def _pgm_payload(w: int, h: int, body: bytes) -> bytes:
+    return f"P5\n{w} {h}\n255\n".encode() + body
+
+
+def _ppm_gray_payload(w: int, h: int, body: bytes) -> bytes:
+    # P6 with r=g=b=v pixels: BT.601 luma of gray is identity, so the
+    # decoded body equals `body` exactly. Header includes a comment to
+    # exercise the '#' scan.
+    rgb = b"".join(bytes([v, v, v]) for v in body)
+    return f"P6\n# synthetic\n{w} {h}\n255\n".encode() + rgb
+
+
+def _bmp24_payload(w: int, h: int, body: bytes) -> bytes:
+    # Uncompressed 24-bit BMP, bottom-up, 4-byte row padding, gray
+    # pixels (BGR = v,v,v) so decoded luminance equals `body`.
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in reversed(range(h)):  # bottom-up storage order
+        row = bytearray()
+        for x in range(w):
+            v = body[y * w + x]
+            row += bytes([v, v, v])
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 54)
+    return file_hdr + dib + bytes(raster)
+
+
+def _bmp8_payload(w: int, h: int, idx_rows: bytes, palette_grays: list[int]) -> bytes:
+    # 8-bit paletted BMP: palette entry i is gray palette_grays[i].
+    import struct
+
+    n_colors = len(palette_grays)
+    stride = (w + 3) & ~3
+    raster = bytearray()
+    for y in reversed(range(h)):
+        row = bytearray(idx_rows[y * w : (y + 1) * w])
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    palette = b"".join(bytes([g, g, g, 0]) for g in palette_grays)
+    data_off = 14 + 40 + len(palette)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(raster), 0, 0, n_colors, 0
+    )
+    file_hdr = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off
+    )
+    return file_hdr + dib + palette + bytes(raster)
+
+
 @pytest.mark.parametrize(
     "codec",
     [
         mm.FAKE_CODEC,
+        "pgm",
+        "ppm",
+        "bmp",
         pytest.param(
             "png",
             marks=pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed"),
@@ -90,11 +146,18 @@ def _png_payload(w: int, h: int, body: bytes) -> bytes:
     ],
 )
 def test_decode_real_and_fake_codecs(spark, codec):
-    # Same 4x2 luminance image through either codec — identical
-    # decoded dims, body bytes, and downstream feature rows.
+    # Same 4x2 luminance image through every codec — identical decoded
+    # dims, body bytes, and downstream feature rows. pgm/ppm/bmp decode
+    # natively (no image library), so this path runs in this container.
     body = bytes(range(8))
     if codec == mm.FAKE_CODEC:
         payload = _fake_payload(4, 2, 1, body)
+    elif codec == "pgm":
+        payload = _pgm_payload(4, 2, body)
+    elif codec == "ppm":
+        payload = _ppm_gray_payload(4, 2, body)
+    elif codec == "bmp":
+        payload = _bmp24_payload(4, 2, body)
     else:
         payload = _png_payload(4, 2, body)
     meta = mm._decode_payload(payload, codec)
@@ -121,3 +184,67 @@ def test_resize_nearest_neighbor(media):
     feats = {r["media_id"]: r for r in mm.extract_features(
         mm.resize(media, 2, 1)).collect()}
     assert feats[1]["width"] == 2 and feats[1]["height"] == 1
+
+
+def test_bmp24_non_gray_luma_and_padding():
+    # 3x2 image, non-gray pixels: BT.601 integer luma, bottom-up flip,
+    # and the 3-byte row pad (stride 12) must all be honored.
+    import struct
+
+    w, h = 3, 2
+    # top-down pixel RGB values
+    px = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (200, 100, 50), (0, 0, 0)],
+    ]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in reversed(range(h)):
+        row = bytearray()
+        for r, g, b in px[y]:
+            row += bytes([b, g, r])  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    payload = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54) + dib + bytes(raster)
+    meta = mm._decode_payload(payload, "bmp")
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (3, 2, 1)
+    expect = bytes(
+        (299 * r + 587 * g + 114 * b + 500) // 1000
+        for row in px
+        for (r, g, b) in row
+    )
+    assert bytes(meta["body"]) == expect
+
+
+def test_bmp8_paletted_decode():
+    grays = [0, 10, 20, 250]
+    idx = bytes([0, 1, 2, 3, 1, 3, 2, 0, 0, 1])  # 5x2
+    payload = _bmp8_payload(5, 2, idx, grays)
+    meta = mm._decode_payload(payload, "bmp")
+    assert (meta["width"], meta["height"]) == (5, 2)
+    assert bytes(meta["body"]) == bytes(grays[i] for i in idx)
+
+
+def test_magic_sniff_without_codec_name():
+    # Payload magic alone routes to the native decoders even when the
+    # codec column carries a generic label.
+    body = bytes(range(6))
+    assert bytes(mm._decode_payload(_pgm_payload(3, 2, body), "image")["body"]) == body
+    assert bytes(mm._decode_payload(_bmp24_payload(3, 2, body), "image")["body"]) == body
+
+
+def test_resize_restamps_codec_on_reencode(spark):
+    # A resized BMP payload is re-encoded in the raw container, so the
+    # output row must say FAKE_CODEC (not "bmp") and chain into decode.
+    body = bytes(range(8))
+    df = spark.createDataFrame(
+        [(7, _bmp24_payload(4, 2, body), "image", "bmp")],
+        "media_id long, payload binary, media_type string, codec string",
+    )
+    out = mm.resize(df, 2, 1).collect()[0]
+    assert out["codec"] == mm.FAKE_CODEC
+    meta = mm._decode_payload(bytes(out["payload"]), out["codec"])
+    assert (meta["width"], meta["height"]) == (2, 1)
+    feats = mm.extract_features(mm.resize(df, 2, 1)).collect()
+    assert feats[0]["width"] == 2 and feats[0]["height"] == 1
