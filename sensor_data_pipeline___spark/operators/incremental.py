@@ -127,17 +127,13 @@ def table_diff(
     compare_cols = compare_cols or [
         c for c in old.columns if c not in key_cols
     ]
-    # concat_ws silently DROPS null inputs — ("x", NULL) and (NULL, "x")
-    # would digest identically. Coalesce to a NUL-byte sentinel so null
-    # occupies a position (NUL can't appear in a cast-to-string value).
+    # Digest the JSON encoding of the column array, not a separator
+    # join: JSON escaping makes field boundaries unambiguous (a value
+    # containing any would-be separator byte can't shift them), and
+    # SQL NULL renders as the JSON token `null`, distinct from every
+    # string including "null" (which renders quoted).
     digest = F.md5(
-        F.concat_ws(
-            "\x1f",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                for c in compare_cols
-            ],
-        )
+        F.to_json(F.array(*[F.col(c).cast("string") for c in compare_cols]))
     )
     o = old.select(*key_cols, digest.alias("_old_digest"))
     n = new.select(*key_cols, digest.alias("_new_digest"))

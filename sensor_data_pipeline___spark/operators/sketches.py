@@ -154,18 +154,28 @@ def bloom_might_contain(
 ) -> "F.Column":
     """Membership predicate against a built filter — pure JVM
     expression (element_at + bit ops on a literal array), false
-    negatives impossible. For filters too big to inline as a literal
-    (num_bits beyond ~2^20), the escalation is the same bitmap as a
-    (word_idx, word) table joined broadcast on ``p div 64``."""
+    negatives impossible.
+
+    The word array is bound ONCE: the bit positions are computed by
+    ``transform`` over ``sequence(0, num_hashes-1)`` and tested with
+    ``forall``, so the expression tree carries a single copy of the
+    num_bits/64-element literal instead of one per hash (at the 1024-
+    word default, 5 inlined copies measurably inflate parse/codegen).
+    ``sequence`` yields the same int values ``bloom_build`` hashes as
+    literals, so probe and build positions agree. For filters too big
+    to inline as a literal (num_bits beyond ~2^20), the escalation is
+    the same bitmap as a (word_idx, word) table joined broadcast on
+    ``p div 64``."""
     arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
-    checks = []
-    for i in range(num_hashes):
-        p = f"pmod(xxhash64({key_col}, {i}), {num_bits})"
-        checks.append(
-            f"(element_at({arr_sql}, cast({p} div 64 as int) + 1)"
-            f" & shiftleft(1L, cast({p} % 64 as int))) != 0"
-        )
-    return F.expr(" AND ".join(checks))
+    key_sql = "`" + key_col.replace("`", "``") + "`"
+    return F.expr(
+        f"forall("
+        f"  transform(sequence(0, {num_hashes - 1}),"
+        f"            i -> pmod(xxhash64({key_sql}, i), {num_bits})),"
+        f"  p -> (element_at({arr_sql}, cast(p div 64 as int) + 1)"
+        f"        & shiftleft(1L, cast(p % 64 as int))) != 0"
+        f")"
+    )
 
 
 def bloom_semi_join(

@@ -4484,13 +4484,16 @@ def q_connected_components_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_accuracy",
     # The HLL accuracy CONTRACT as an oracle-checkable row (the same
     # boolean-pinning trick as cms_heavy_hitters): exact distincts must
-    # match bit-for-bit, and approx_count_distinct must land within 5%
-    # of them (HLL++ at default rsd=0.05). A broken or re-seeded sketch
-    # flips the literal and fails the hash gate.
+    # match bit-for-bit, and approx_count_distinct must land within
+    # 3×rsd = 15% of them (rsd=0.05 is only a ~1-sigma bound, so a 5%
+    # envelope could legitimately flip on a testdata regeneration or an
+    # HLL++ implementation change; 3 sigma is stable for a correct
+    # sketch while a broken/re-seeded one still trips it). Kept OUT of
+    # the first-50 driver gate window regardless.
     """
     SELECT event_type,
            count(DISTINCT user_id) AS exact_distinct,
-           TRUE AS within_5pct
+           TRUE AS within_3rsd
     FROM events
     GROUP BY event_type
     """,
@@ -4508,8 +4511,8 @@ def q_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
             (
                 F.abs(F.col("_est") - F.col("exact_distinct"))
-                <= 0.05 * F.col("exact_distinct")
-            ).alias("within_5pct"),
+                <= 3 * 0.05 * F.col("exact_distinct")
+            ).alias("within_3rsd"),
         )
     )
 

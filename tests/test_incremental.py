@@ -126,3 +126,31 @@ def test_table_diff_null_not_confused_with_shifted_value(spark):
     new = spark.createDataFrame([(1, None, "x")], "k int, a string, b string")
     out = table_diff(old, new, ["k"]).collect()
     assert len(out) == 1 and out[0].change_type == "update"
+
+
+def test_table_diff_separator_in_value_not_confused(spark):
+    """Values containing a would-be separator byte must not shift
+    field boundaries: ("a\\x1f", "b") vs ("a", "\\x1fb") are different
+    rows and must classify as update (a plain \\x1f-join digests both
+    to the same string). Same for embedded NUL vs SQL NULL."""
+    from sensor_data_pipeline___spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a\x1f", "b"), (2, "\x00", "z")], "k int, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "\x1fb"), (2, None, "z")], "k int, a string, b string"
+    )
+    out = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+    assert out == {1: "update", 2: "update"}
+
+
+def test_table_diff_null_distinct_from_literal_null_string(spark):
+    """SQL NULL and the string "null" must digest differently (JSON
+    renders them as null vs "null")."""
+    from sensor_data_pipeline___spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame([(1, None)], "k int, a string")
+    new = spark.createDataFrame([(1, "null")], "k int, a string")
+    out = table_diff(old, new, ["k"]).collect()
+    assert len(out) == 1 and out[0].change_type == "update"

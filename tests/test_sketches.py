@@ -96,3 +96,16 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
         for r in li.select("l_orderkey").join(dim, "l_orderkey", "left_semi").collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_bloom_probe_key_needing_backticks(spark):
+    # A key column whose name needs quoting (dot/space) must work —
+    # the probe splices the column into generated SQL.
+    from sensor_data_pipeline___spark.operators import sketches as sk
+
+    keys = spark.range(100).select(F.col("id").alias("odd name.dot"))
+    words = sk.bloom_build(keys, "`odd name.dot`", num_bits=1 << 12, num_hashes=3)
+    hits = keys.filter(
+        sk.bloom_might_contain(words, "odd name.dot", 1 << 12, 3)
+    ).count()
+    assert hits == 100
