@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "gapfill_forward_fill",
     "mad_outliers",
     "pack_sequences",
+    # second sharded-window rep: tracks the shard-and-stitch premium
+    # round-over-round alongside pack_sequences (different stitch
+    # shape: range-cut histogram vs running-sum packing)
+    "equi_depth_histogram",
     # NOT set_similarity_pairs: the synthetic corpus's 31-word vocab
     # makes ~all doc pairs 0.9-Jaccard matches at sf0.1 — the OUTPUT is
     # quadratic (~1M pairs), so the query measures result size, not
