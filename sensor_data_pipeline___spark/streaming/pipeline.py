@@ -39,6 +39,21 @@ from sensor_data_pipeline___spark.warehouse import BRONZE, Warehouse
 _ID_STRIDE = 1 << 40
 
 
+def _line_stream(
+    spark: SparkSession, drop_dir: str | None, lines: DataFrame | None
+) -> DataFrame:
+    """Resolve the raw-line source for a streaming entry point: an
+    injected streaming DataFrame (any transport from
+    ``sources.connectors`` — socket, synthetic rate feed) or the
+    default file-drop directory. Normalizes the column to ``value``,
+    the name the text source produces."""
+    if lines is not None:
+        if "value" not in lines.columns:
+            return lines.select(F.col(lines.columns[0]).alias("value"))
+        return lines
+    return spark.readStream.format("text").load(drop_dir)
+
+
 def _ingest_batch_fn(wh: Warehouse, reject_dir: str | None):
     """The foreachBatch body for :func:`ingest_stream`, exposed for
     replay testing. IDEMPOTENT per ``batch_id``: a batch that replays
@@ -104,12 +119,18 @@ def _ingest_batch_fn(wh: Warehouse, reject_dir: str | None):
 
 def ingest_stream(
     spark: SparkSession,
-    drop_dir: str,
+    drop_dir: str | None,
     wh: Warehouse,
     checkpoint_dir: str,
     reject_dir: str | None = None,
+    lines: DataFrame | None = None,
+    trigger: dict | None = None,
 ):
-    """File-source stream → bronze + silver + gold via foreachBatch.
+    """Raw-line stream → bronze + silver + gold via foreachBatch.
+
+    Source is the ``drop_dir`` file drop by default, or any injected
+    streaming ``lines`` DataFrame (socket / synthetic rate feed from
+    ``sources.connectors``) — the transform is transport-agnostic.
 
     Per micro-batch (all-or-nothing F6 semantics per the reference's
     per-POST transaction, applied per batch): blank lines are skipped;
@@ -119,13 +140,15 @@ def ingest_stream(
     execute. End-to-end effectively-once: the checkpoint gives
     at-least-once batch delivery and the batch body (see
     :func:`_ingest_batch_fn`) is idempotent keyed on ``batch_id``.
-    Returns the started StreamingQuery (availableNow trigger).
+    Returns the started StreamingQuery (availableNow trigger by
+    default; pass e.g. ``trigger={"processingTime": "0 seconds"}``
+    for a continuous soak run).
     """
-    raw = spark.readStream.format("text").load(drop_dir)
+    raw = _line_stream(spark, drop_dir, lines)
     return (
         raw.writeStream.foreachBatch(_ingest_batch_fn(wh, reject_dir))
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
@@ -348,10 +371,12 @@ def click_purchase_join_stream(
 
 def dedup_stream(
     spark: SparkSession,
-    drop_dir: str,
+    drop_dir: str | None,
     out_dir: str,
     checkpoint_dir: str,
     watermark: str = "1 hour",
+    lines: DataFrame | None = None,
+    trigger: dict | None = None,
 ):
     """Streaming exact dedup with BOUNDED state:
     ``dropDuplicatesWithinWatermark`` keyed on the raw line's md5.
@@ -367,7 +392,7 @@ def dedup_stream(
     ``watermark`` of event time are NOT caught here (the batch exact
     dedup downstream is the backstop); that is the documented trade.
     """
-    raw = spark.readStream.format("text").load(drop_dir)
+    raw = _line_stream(spark, drop_dir, lines)
     line = F.col("value")
     ts_str, name, value_str = parsing.silver_tokens(line)
     readings = (
@@ -389,7 +414,7 @@ def dedup_stream(
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
