@@ -76,17 +76,17 @@ def main() -> None:
     except Exception:
         pass
 
-    # best-of-2 per query: this host's timings swing up to 3x run-to-
+    # best-of-3 per query: this host's timings swing up to 3x run-to-
     # run (shared VM); the minimum is the standard noise-robust
     # estimator of the query's true cost. The repetitions are
-    # INTERLEAVED (full pass over all queries, then a second pass) so a
-    # multi-second noise burst degrades one rep of several queries
-    # instead of both reps of one. One broken query must NOT zero the
+    # INTERLEAVED (full passes over all queries) so a multi-second
+    # noise burst degrades one rep of several queries instead of every
+    # rep of one; the first pass doubles as per-query warmup. One broken query must NOT zero the
     # whole artifact (the BENCH_r02 failure mode): failures are
     # recorded per-query and the JSON line is emitted regardless.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _rep in range(2):
+    for _rep in range(3):
         for name in BENCH_QUERIES:
             if name in errors:
                 continue

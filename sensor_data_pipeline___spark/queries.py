@@ -4649,3 +4649,78 @@ def q_content_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.regexp_count("text", F.lit(r"[a-z]{10,}"))).alias("n_long_words"),
     )
+
+
+@_register(
+    "ewma_daily_value",
+    # Batch twin of streaming/pipeline.py's ewma_drift_stream: per
+    # event type, an EWMA (alpha=0.3, adjust-free recursion) over the
+    # day-ordered daily means. The recursion inputs are rounded to 6dp
+    # on BOTH sides first, and both engines then evaluate the identical
+    # IEEE expression 0.3*x + 0.7*e in the same order, so the fold is
+    # bit-reproducible across engines; DuckDB replays it as a
+    # recursive CTE over row_number-chained days.
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             ROUND(avg(value), 6) AS daily_mean
+      FROM events GROUP BY 1, 2
+    ), numbered AS (
+      SELECT event_type, d, daily_mean,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily
+    ), rec AS (
+      SELECT event_type, d, daily_mean, rn, daily_mean AS ewma
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.d, n.daily_mean, n.rn,
+             0.3 * n.daily_mean + 0.7 * r.ewma
+      FROM numbered n
+      JOIN rec r ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, daily_mean,
+           ROUND(ewma, 6) AS ewma
+    FROM rec
+    """,
+)
+def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential per-key recurrence as a batch operator: daily-mean
+    EWMA per event type via ``applyInPandas`` (the engine's documented
+    escape hatch for genuinely order-dependent semantics — a linear
+    recurrence has no built-in window form).
+
+    Scale notes: groups are keyed by event_type (entity id at
+    production scale), each group's series arrives as one Arrow batch
+    and folds in O(days); state never leaves the executor. For series
+    too long for one batch, the recurrence is linear
+    (e_out = A*e_in + B per shard), so the shard-and-stitch scheme of
+    pack_sequences applies: fold shards independently, then stitch
+    with one pass over the O(shards) coefficients.
+    """
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("daily_mean"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        ewma = []
+        e = None
+        for x in pdf["daily_mean"]:
+            # same op order as the oracle's recursive step
+            e = x if e is None else 0.3 * x + 0.7 * e
+            ewma.append(e)
+        pdf["ewma"] = ewma
+        return pdf
+
+    folded = daily.groupBy("event_type").applyInPandas(
+        fold, "event_type string, d date, daily_mean double, ewma double"
+    )
+    return folded.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "daily_mean",
+        F.round("ewma", 6).alias("ewma"),
+    )

@@ -474,3 +474,214 @@ def session_window_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _reading_value_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """Parsed (metric_name, metric_value) stream off the plaintext drop
+    dir — the shared front end of the stateful drift operators."""
+    raw = spark.readStream.format("text").load(drop_dir)
+    line = F.col("value")
+    ts_str, name, value_str = parsing.silver_tokens(line)
+    return (
+        raw.filter(parsing.nonempty_line(line))
+        .select(ts_str.alias("ts"), name.alias("metric_name"), value_str.alias("v"))
+        .filter(parsing.silver_valid(F.col("ts"), F.col("metric_name"), F.col("v")))
+        .select("metric_name", F.col("v").cast("double").alias("metric_value"))
+    )
+
+
+def _append_changelog(updated: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Update-mode rows can't go straight to a parquet sink (append-
+    only); foreachBatch appends them as a changelog."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        updated.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+#: Output schema shared by both EWMA drift implementations.
+_EWMA_SCHEMA = (
+    "metric_name string, n_readings long, batch_mean double, "
+    "ewma double, drift double"
+)
+
+
+def ewma_drift_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    alpha: float = 0.3,
+):
+    """Per-metric EWMA drift tracking (``applyInPandasWithState``).
+
+    One EWMA step per micro-batch and key:
+    ``ewma' = alpha * batch_mean + (1 - alpha) * ewma`` — deterministic
+    regardless of intra-batch row order (a per-row EWMA over an
+    unordered text source would not be). Emits a changelog row per
+    (batch, updated key): cumulative count, the batch mean, the updated
+    EWMA, and ``drift`` = |batch_mean − previous EWMA| (0.0 on a key's
+    first batch) — the signal a monitoring sink alerts on.
+
+    State is one fixed-width (n, ewma) tuple per live metric key,
+    Arrow-batched per key group; the shuffle key is metric_name, so a
+    high-cardinality keyspace spreads across executors while per-key
+    state stays O(1). See :func:`ewma_drift_stream_tws` for the
+    Spark-4 ``transformWithState`` formulation with RocksDB state and
+    TTL key expiry.
+
+    Reference analog: the drift/alerting layer over the reference's
+    hourly gold rollup (airflow/dags/readings_hourly.py) — not a
+    reference feature, but the monitoring query its operators imply.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    readings = _reading_value_stream(spark, drop_dir)
+
+    def update(key, pdf_iter, state):
+        batch_n, batch_sum = 0, 0.0
+        for pdf in pdf_iter:
+            batch_n += len(pdf)
+            batch_sum += float(pdf["metric_value"].sum())
+        if batch_n == 0:
+            return
+        batch_mean = batch_sum / batch_n
+        if state.exists:
+            prev_n, prev_ewma = state.get
+            n = prev_n + batch_n
+            drift = abs(batch_mean - prev_ewma)
+            ewma = alpha * batch_mean + (1.0 - alpha) * prev_ewma
+        else:
+            n, ewma, drift = batch_n, batch_mean, 0.0
+        state.update((n, ewma))
+        yield pd.DataFrame(
+            {
+                "metric_name": [key[0]],
+                "n_readings": [n],
+                "batch_mean": [batch_mean],
+                "ewma": [ewma],
+                "drift": [drift],
+            }
+        )
+
+    updated = readings.groupBy("metric_name").applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_SCHEMA,
+        stateStructType="n long, ewma double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _append_changelog(updated, out_dir, checkpoint_dir)
+
+
+def _tws_available() -> bool:
+    """``transformWithStateInPandas`` ships its driver/worker protocol
+    over protobuf; without the ``protobuf`` package the streaming
+    Python runner crashes at query start."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def ewma_drift_stream_tws(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    alpha: float = 0.3,
+    state_ttl_ms: int | None = None,
+):
+    """:func:`ewma_drift_stream` on ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful API (typed state variables on the
+    RocksDB state store, the successor to ``applyInPandasWithState``).
+
+    Same algorithm and output schema as :func:`ewma_drift_stream`
+    (their parity is pinned by test when the API's protobuf dependency
+    is installed). What the newer API adds for the 100 TB posture:
+
+    - **RocksDB state** — per-key state lives off-heap with incremental
+      checkpointing, not in executor JVM heap.
+    - **TTL key expiry** (``state_ttl_ms``) — keys that stop reporting
+      expire from the store, the unbounded-keyspace guard (per-device
+      metrics with device churn) that ``applyInPandasWithState`` can
+      only approximate with manual timeout handling. TTL requires
+      processing-time semantics, so the query runs in
+      ``timeMode="ProcessingTime"``.
+
+    Raises ``ImportError`` where the ``protobuf`` package is absent
+    (this container): the API's streaming Python runner needs it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if not _tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package; "
+            "use ewma_drift_stream (applyInPandasWithState) instead"
+        )
+
+    # transformWithState requires the RocksDB state store provider
+    # (bundled rocksdbjni); HDFSBackedStateStoreProvider is rejected.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    readings = _reading_value_stream(spark, drop_dir)
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "ewma", "n long, ewma double", ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_n, batch_sum = 0, 0.0
+            for pdf in rows:
+                batch_n += len(pdf)
+                batch_sum += float(pdf["metric_value"].sum())
+            if batch_n == 0:
+                return
+            batch_mean = batch_sum / batch_n
+            prior = self._state.get()  # None on first batch / after TTL
+            if prior is None:
+                n, ewma, drift = batch_n, batch_mean, 0.0
+            else:
+                n = prior[0] + batch_n
+                drift = abs(batch_mean - prior[1])
+                ewma = alpha * batch_mean + (1.0 - alpha) * prior[1]
+            self._state.update((n, ewma))
+            yield pd.DataFrame(
+                {
+                    "metric_name": [key[0]],
+                    "n_readings": [n],
+                    "batch_mean": [batch_mean],
+                    "ewma": [ewma],
+                    "drift": [drift],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    updated = readings.groupBy("metric_name").transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(),
+        outputStructType=_EWMA_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    return _append_changelog(updated, out_dir, checkpoint_dir)

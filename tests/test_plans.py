@@ -212,3 +212,14 @@ def test_inverted_index_topk_is_take_ordered(spark):
     plan = explain.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert explain.single_partition_exchange_count(df) == 0, plan
+
+
+def test_ewma_daily_value_plan_shape(spark):
+    """The EWMA fold must shuffle on the group key, never collapse to
+    one task, and partially aggregate the daily means before the
+    exchange (map-side combine ahead of the applyInPandas stage)."""
+    df = QUERIES["ewma_daily_value"](spark, SF)
+    plan = explain.formatted_plan(df)
+    assert explain.single_partition_exchange_count(df) == 0, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "partial_avg" in plan or "partial_" in plan, plan

@@ -273,3 +273,62 @@ def test_session_window_stream_matches_batch_closed_sessions(spark, tmp_path):
     }
     assert len(got) > 0
     assert got == expected
+
+
+def test_ewma_drift_stream(spark, dirs):
+    """Stateful EWMA drift: one EWMA step per (micro-batch, key),
+    state surviving a restart through the checkpoint, drift =
+    |batch_mean - previous ewma|."""
+    _drop(dirs, "b1.txt", GOLDEN_LINES)
+    q = sp.ewma_drift_stream(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    first = {
+        r["metric_name"]: r
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    # first batch: ewma == batch mean, drift 0
+    assert first["Voltage"]["n_readings"] == 2
+    assert first["Voltage"]["batch_mean"] == pytest.approx(1.345)
+    assert first["Voltage"]["ewma"] == pytest.approx(1.345)
+    assert first["Voltage"]["drift"] == 0.0
+    assert first["Current"]["ewma"] == pytest.approx(13.0)
+
+    # restart: Voltage jumps to 2.0 — EWMA pulls 30% toward it and the
+    # drift column records the jump; Current state must persist intact
+    _drop(dirs, "b2.txt", ["1649941819 Voltage 2.0", "1649941819 Voltage 2.0"])
+    q2 = sp.ewma_drift_stream(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(dirs["out"]).collect()
+    volt = max(
+        (r for r in rows if r["metric_name"] == "Voltage"),
+        key=lambda r: r["n_readings"],
+    )
+    assert volt["n_readings"] == 4
+    assert volt["drift"] == pytest.approx(abs(2.0 - 1.345))
+    assert volt["ewma"] == pytest.approx(0.3 * 2.0 + 0.7 * 1.345)
+    # Current saw no rows in batch 2 -> exactly one changelog row ever
+    assert sum(1 for r in rows if r["metric_name"] == "Current") == 1
+
+
+@pytest.mark.skipif(
+    not sp._tws_available(), reason="protobuf not installed (transformWithState dep)"
+)
+def test_ewma_drift_stream_tws_parity(spark, dirs):
+    """The transformWithStateInPandas twin produces byte-identical
+    changelog rows to the applyInPandasWithState implementation."""
+    _drop(dirs, "b1.txt", GOLDEN_LINES)
+    q = sp.ewma_drift_stream_tws(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    rows = {
+        r["metric_name"]: r for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    assert rows["Voltage"]["ewma"] == pytest.approx(1.345)
+    assert rows["Current"]["ewma"] == pytest.approx(13.0)
+    assert rows["Voltage"]["drift"] == 0.0
+
+
+def test_ewma_drift_stream_tws_raises_without_protobuf(spark, dirs):
+    if sp._tws_available():
+        pytest.skip("protobuf installed; gating path not reachable")
+    with pytest.raises(ImportError, match="protobuf"):
+        sp.ewma_drift_stream_tws(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
