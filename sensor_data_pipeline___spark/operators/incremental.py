@@ -27,6 +27,8 @@ not table size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -102,6 +104,57 @@ def run_pipeline(wh: Warehouse, full_refresh: bool = False) -> tuple[int, int]:
     """The hourly DAG body: staging then marts, ordinary call order
     (reference airflow/dags/sensor_data_pipeline.py:88,101)."""
     return run_silver(wh, full_refresh), run_gold(wh, full_refresh)
+
+
+def backfill_gold(wh: Warehouse, start_date: str, end_date: str) -> int:
+    """Bounded-range gold recompute: rebuild every day in
+    ``[start_date, end_date]`` (inclusive ISO dates) directly from
+    silver, ignoring the watermark. The surgical middle ground the
+    reference runs as ``dbt run --full-refresh`` scoped by a date var:
+    watermark-incremental (run_gold) can't repair days whose silver
+    was corrected OUTSIDE an ingest (a manual patch doesn't bump
+    processed_at), and full refresh (M5) pays the whole table.
+
+    Two-part write: recomputed days land via dynamic partition
+    overwrite (only their partitions rewritten); days in range that no
+    longer have ANY silver rows get their gold partition DROPPED
+    (ALTER TABLE DROP PARTITION analog — dynamic overwrite alone
+    cannot delete a partition by writing zero rows for it, the classic
+    silent-staleness gap of overwrite-based backfills). Out-of-range
+    partitions are untouched bytes. Idempotent: re-running the same
+    range rewrites the same partitions to the same content.
+
+    Returns the number of day-metric gold rows written.
+    """
+    import shutil
+
+    lo, hi = F.lit(start_date).cast("date"), F.lit(end_date).cast("date")
+    silver = wh.read(SILVER).filter(
+        F.col("reading_date").between(lo, hi)
+    )
+    new_gold = silver_to_gold(silver)
+    n = new_gold.count()
+    if n > 0:
+        wh.write(GOLD, new_gold)  # dynamic overwrite: touched days only
+    if wh.exists(GOLD):
+        live = {
+            str(r["reading_date"])
+            for r in new_gold.select("reading_date").distinct().collect()
+        }
+        stale = (
+            wh.read(GOLD)
+            .filter(F.col("reading_date").between(lo, hi))
+            .select("reading_date")
+            .distinct()
+        )
+        for r in stale.collect():
+            day = str(r["reading_date"])
+            if day not in live:
+                shutil.rmtree(
+                    os.path.join(wh.path(GOLD), f"reading_date={day}"),
+                    ignore_errors=True,
+                )
+    return n
 
 
 def table_diff(

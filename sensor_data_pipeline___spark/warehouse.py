@@ -110,6 +110,85 @@ class Warehouse:
         val = self.read(table).agg(F.max("id")).first()[0]
         return int(val or 0)
 
+    def file_stats(self, table: str) -> dict[str, tuple[int, int]]:
+        """{partition_dir: (n_files, total_bytes)} from a filesystem
+        listing — the input to the compaction decision. Local walk
+        here; on HDFS/S3 the identical listing comes from the
+        FileSystem API / S3 LIST (what table formats keep in their
+        manifest instead)."""
+        stats: dict[str, tuple[int, int]] = {}
+        root = self.path(table)
+        for dirpath, _dirs, files in os.walk(root):
+            parts = [f for f in files if f.endswith(".parquet")]
+            if not parts:
+                continue
+            rel = os.path.relpath(dirpath, root)
+            total = sum(os.path.getsize(os.path.join(dirpath, f)) for f in parts)
+            stats[rel] = (len(parts), total)
+        return stats
+
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 << 20,
+        small_file_threshold: float = 0.5,
+    ) -> list[str]:
+        """Rewrite partitions suffering small-files fragmentation so
+        each holds ~``target_file_bytes`` parquet files. Returns the
+        partition dirs rewritten (empty list = nothing to do).
+
+        Streaming/incremental appends leave one file per (micro-batch,
+        partition); a year of hourly batches is ~8 760 files per
+        partition and scan planning, footer reads, and shuffle-read
+        fan-in all degrade with file COUNT, not bytes — the classic
+        100 TB operational failure. Compaction = maintenance rewrite:
+        per fragmented partition, ``repartition(partition_col)`` routes
+        its rows to one task and ``maxRecordsPerFile`` re-splits output
+        at the target size, so large partitions still produce multiple
+        right-sized files. Only partitions whose average file size is
+        below ``small_file_threshold × target`` AND holding >1 file are
+        rewritten (dynamic partition overwrite — untouched partitions
+        keep their files byte-identical, so the rewrite is idempotent
+        and re-run-safe, the same guarantee as the M1/M2 merges).
+
+        Skew note: one task per fragmented partition is the safe
+        default while partitions are partition-pruning-sized (the
+        design point, SURVEY.md §7.3.6); a pathologically large
+        partition compacts via ``write_zordered``-style range
+        repartitioning instead.
+        """
+        part_col = _PARTITION_COL[table]
+        stats = self.file_stats(table)
+        frag = [
+            rel
+            for rel, (n, total) in stats.items()
+            if n > 1 and total / n < small_file_threshold * target_file_bytes
+        ]
+        if not frag:
+            return []
+        # partition dir names are hive-style "<col>=<value>"
+        values = [rel.split("=", 1)[1] for rel in frag]
+        df = self.read(table).filter(F.col(part_col).cast("string").isin(values))
+        rows = df.count()
+        if rows == 0:
+            return []
+        # estimate records per target file from the fragmented
+        # partitions' own on-disk bytes-per-row
+        frag_bytes = sum(stats[rel][1] for rel in frag)
+        per_row = max(frag_bytes / rows, 1.0)
+        max_records = max(int(target_file_bytes / per_row), 1)
+        out = df.repartition(F.col(part_col))
+        if table == SILVER:
+            # preserve the composite-index analog (see write())
+            out = out.sortWithinPartitions(part_col, "metric_name")
+        (
+            out.write.mode("overwrite")
+            .partitionBy(part_col)
+            .option("maxRecordsPerFile", max_records)
+            .parquet(self.path(table))
+        )
+        return sorted(frag)
+
 
 def write_bucketed(
     df: DataFrame,

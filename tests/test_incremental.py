@@ -154,3 +154,58 @@ def test_table_diff_null_distinct_from_literal_null_string(spark):
     new = spark.createDataFrame([(1, "null")], "k int, a string")
     out = table_diff(old, new, ["k"]).collect()
     assert len(out) == 1 and out[0].change_type == "update"
+
+
+def test_backfill_gold_range(spark, wh):
+    """Bounded-range backfill: repairs a manually patched day the
+    watermark can't see, drops gold partitions whose silver vanished,
+    and leaves out-of-range days byte-untouched."""
+    from pyspark.sql import functions as F
+
+    day2 = ["1650028217 Voltage 2.0", "1650028218 Current 10.0"]  # 2022-04-15
+    day4 = ["1650201017 Voltage 1.0", "1650201018 Current 2.0"]  # 2022-04-17
+    _ingest(spark, wh, GOLDEN_LINES + day2 + day4)
+    incremental.run_pipeline(wh)
+    gold0 = {str(r["reading_date"]): r for r in wh.read(GOLD).collect()}
+    assert set(gold0) == {"2022-04-14", "2022-04-15", "2022-04-17"}
+
+    # manual silver patch WITHOUT bumping processed_at: drop 04-15's
+    # Current rows and double 04-14's Voltage; the watermark path
+    # would never recompute either day
+    silver = wh.read(SILVER)
+    patched = silver.filter(
+        ~(
+            (F.col("reading_date") == F.lit("2022-04-15").cast("date"))
+            & (F.col("metric_name") == "Current")
+        )
+    ).withColumn(
+        "metric_value",
+        F.when(
+            (F.col("reading_date") == F.lit("2022-04-14").cast("date"))
+            & (F.col("metric_name") == "Voltage"),
+            F.col("metric_value") * 2,
+        ).otherwise(F.col("metric_value")),
+    )
+    wh.write(SILVER, patched.localCheckpoint())
+
+    # watermark-incremental run sees nothing new -> gold unchanged
+    assert incremental.run_gold(wh) == 0
+
+    n = incremental.backfill_gold(wh, "2022-04-14", "2022-04-16")
+    assert n == 1  # only 04-14 still has both metrics in range
+    gold = {str(r["reading_date"]): r for r in wh.read(GOLD).collect()}
+    # 04-14 recomputed with doubled voltage
+    assert gold["2022-04-14"]["metric_value"] == pytest.approx(
+        2 * ((1.34 + 1.35) / 2) * 13.0
+    )
+    # 04-15 lost its Current rows -> no power row -> partition dropped
+    assert "2022-04-15" not in gold
+    # 04-17 out of range: bitwise-identical row (same calculated_at)
+    assert gold["2022-04-17"]["calculated_at"] == gold0["2022-04-17"]["calculated_at"]
+    assert gold["2022-04-17"]["metric_value"] == gold0["2022-04-17"]["metric_value"]
+
+    # idempotent: same range again -> same content
+    incremental.backfill_gold(wh, "2022-04-14", "2022-04-16")
+    gold2 = {str(r["reading_date"]): r for r in wh.read(GOLD).collect()}
+    assert set(gold2) == set(gold)
+    assert gold2["2022-04-14"]["metric_value"] == gold["2022-04-14"]["metric_value"]

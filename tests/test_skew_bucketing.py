@@ -172,3 +172,67 @@ def test_zorder_layout_prunes_files_in_both_dimensions(spark, tmp_path):
     assert z_hit <= z_tot // 2, (z_hit, z_tot)
     # and the z layout loses no rows
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_warehouse_compaction(spark, tmp_path):
+    """Small-files compaction: repeated micro-appends fragment a
+    partition into one file each; compact() rewrites fragmented
+    partitions to the target file size, preserves every row, leaves
+    healthy partitions' files untouched, and re-running is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.warehouse import SILVER, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(40).select(
+        F.col("id").alias("raw_id"),
+        F.to_timestamp(F.lit("2022-04-14 10:00:00")).alias("reading_timestamp"),
+        F.concat(F.lit("M"), (F.col("id") % 4).cast("string")).alias("metric_name"),
+        (F.col("id") * 1.5).alias("metric_value"),
+        F.current_timestamp().alias("processed_at"),
+        F.to_date(F.lit("2022-04-14")).alias("reading_date"),
+    )
+    # 6 micro-appends -> >=6 files in the one partition
+    for i in range(6):
+        wh.append(SILVER, base.withColumn("raw_id", F.col("raw_id") + i * 40))
+    before = wh.file_stats(SILVER)
+    (frag_dir,) = before.keys()
+    assert before[frag_dir][0] >= 6
+    rows_before = sorted(
+        (r["raw_id"], r["metric_name"], r["metric_value"])
+        for r in wh.read(SILVER).collect()
+    )
+
+    rewritten = wh.compact(SILVER, target_file_bytes=1 << 30)
+    assert rewritten == [frag_dir]
+    after = wh.file_stats(SILVER)
+    assert after[frag_dir][0] == 1  # everything fits one target file
+    rows_after = sorted(
+        (r["raw_id"], r["metric_name"], r["metric_value"])
+        for r in wh.read(SILVER).collect()
+    )
+    assert rows_after == rows_before
+
+    # re-run: single healthy file -> nothing fragmented -> no-op
+    mtimes = {
+        f: os.path.getmtime(os.path.join(wh.path(SILVER), frag_dir, f))
+        for f in os.listdir(os.path.join(wh.path(SILVER), frag_dir))
+        if f.endswith(".parquet")
+    }
+    assert wh.compact(SILVER, target_file_bytes=1 << 30) == []
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(wh.path(SILVER), frag_dir, f)) == m
+
+    # tiny target: the same data re-splits into multiple right-sized
+    # files via maxRecordsPerFile
+    frag_bytes = after[frag_dir][1]
+    per_row = frag_bytes / 240
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    for i in range(6):
+        wh2.append(SILVER, base.withColumn("raw_id", F.col("raw_id") + i * 40))
+    wh2.compact(SILVER, target_file_bytes=max(int(per_row * 60), 1))
+    n_files, _ = wh2.file_stats(SILVER)[frag_dir]
+    assert n_files >= 3  # 240 rows / ~60-row files
+    assert wh2.read(SILVER).count() == 240
