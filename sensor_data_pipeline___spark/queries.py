@@ -3858,13 +3858,17 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dims GROUP BY dim
     )
     -- variance numerator n·Σq² − (Σq)² in EXACT integer arithmetic
-    -- (HUGEINT here, DECIMAL(38,0) on the Spark side): one identical
-    -- integer→double rounding, then identical scalar divisions —
-    -- a double expression chain differed in the last ulp
+    -- (HUGEINT here, DECIMAL(38,0) on the Spark side). Once the
+    -- numerator exceeds 2^53 (it does past ~1k rows: ~6e21 at 2000
+    -- rows) the integer→double conversion itself rounds, and the two
+    -- engines' big-integer→double paths differ in the last ulp — so
+    -- var_x is display-rounded to 12 dp (1e-12 absolute, six orders
+    -- above ulp noise; the integer moments stay exact)
     SELECT dim, n,
            (sq * 1.0 / n) / 67108864.0 AS mean_x,
-           CAST(CAST(n AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq AS DOUBLE)
-             / n / n / 4503599627370496.0 AS var_x
+           ROUND(CAST(CAST(n AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq
+                      AS DOUBLE)
+                 / n / n / 4503599627370496.0, 12) AS var_x
     FROM stats
     """,
 )
@@ -3889,9 +3893,9 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         "n",
         (mean_q / scale).alias("mean_x"),
-        (var_num / F.col("n") / F.col("n") / F.lit(scale * scale)).alias(
-            "var_x"
-        ),
+        F.round(
+            var_num / F.col("n") / F.col("n") / F.lit(scale * scale), 12
+        ).alias("var_x"),
     )
 
 
