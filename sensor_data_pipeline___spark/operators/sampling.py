@@ -98,3 +98,46 @@ def deterministic_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows —
+    Efraimidis–Spirakis A-ES (one-pass weighted reservoir sampling,
+    Inf. Proc. Letters 97(5), 2006): each row draws a uniform
+    u ∈ (0, 1] and the k LARGEST keys u^(1/w) win, which selects rows
+    with probability proportional to ``weight_col`` without
+    replacement.
+
+    The uniform is derived from md5(salt|id) (the module's
+    content-stable recipe, +1 so u is never 0), NOT an RNG: the sample
+    is identical across engines, layouts, cluster sizes, and reruns,
+    and changing ``salt`` names a new sample version. Rows with
+    non-positive weight are excluded (they have probability 0 and
+    1/w would be undefined or select-never anyway).
+
+    Physical shape: narrow projection → global top-k, which Spark
+    compiles to ``TakeOrderedAndProject`` (per-partition partial
+    top-k, then a k-row merge on one reducer) — no global sort, no
+    single-partition stage over the data. The use case is
+    quality-weighted corpus subsetting (sample long/high-quality
+    documents preferentially) where seeded ``sample()`` would re-deal
+    on every layout change.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + 1) / F.lit(
+        4294967296.0
+    )
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_wkey")
+    )

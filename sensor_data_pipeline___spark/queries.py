@@ -4728,3 +4728,35 @@ def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily_mean",
         F.round("ewma", 6).alias("ewma"),
     )
+
+
+@_register(
+    "weighted_sample_docs",
+    # Efraimidis-Spirakis weighted sampling with md5-derived uniforms
+    # (operators/sampling.py:weighted_sample): 100 docs selected with
+    # probability proportional to n_chars. The EXACT winning set is
+    # cross-engine reproducible, so the oracle replays the selection;
+    # the float sort key itself is excluded from the output (pow() may
+    # differ in the last ulp between libm and the JVM — rank flips
+    # would need adjacent keys within ~1e-16, far tighter than the
+    # ~1e-4 order-statistic gaps at this corpus size).
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             POWER(
+               (CAST(('0x' || substr(md5('wsample-v1' || '|' ||
+                                         CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 1) / 4294967296.0,
+               1.0 / n_chars) AS wkey
+      FROM documents WHERE n_chars > 0
+    )
+    ORDER BY wkey DESC, doc_id ASC LIMIT 100
+    """,
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", 100).select(
+        "doc_id", "lang", "n_chars"
+    )

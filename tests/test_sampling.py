@@ -71,3 +71,31 @@ def test_deterministic_sample_growth_stability(spark):
     s_small = {r.id for r in sampling.deterministic_sample(small, "cls", "id", 50).collect()}
     s_big = {r.id for r in sampling.deterministic_sample(big, "cls", "id", 50).collect()}
     assert s_big <= s_small | set(range(1000, 2000))
+
+
+def test_weighted_sample_layout_invariant_and_weighted(spark):
+    """A-ES weighted sampling: the winning set is identical under any
+    partition layout, excludes non-positive weights, and is biased
+    toward heavy rows (sample mean weight > corpus mean weight)."""
+    from sensor_data_pipeline___spark.operators.sampling import weighted_sample
+    from sensor_data_pipeline___spark.sources.readers import table
+
+    docs = table(spark, "documents", "/root/testdata/sf0.001")
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    s1 = ids(weighted_sample(docs, "n_chars", 50))
+    s2 = ids(weighted_sample(docs.repartition(17), "n_chars", 50))
+    s3 = ids(weighted_sample(docs.coalesce(1), "n_chars", 50))
+    assert s1 == s2 == s3
+    assert len(s1) == 50
+
+    from pyspark.sql import functions as F
+
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = (
+        weighted_sample(docs, "n_chars", 50).agg(F.avg("n_chars")).first()[0]
+    )
+    assert sample_mean > corpus_mean
+
+    # a different salt names a different (but equally stable) sample
+    s4 = ids(weighted_sample(docs, "n_chars", 50, salt="wsample-v2"))
+    assert s4 != s1
