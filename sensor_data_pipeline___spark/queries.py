@@ -4760,3 +4760,73 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "n_chars", 100).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@_register(
+    "train_test_contamination",
+    # Decontamination check (the C4/Dolma-style pre-training hygiene
+    # pass): a train document is CONTAMINATED if any of its word
+    # 8-grams also appears in the test split. Splits are the
+    # content-stable md5 buckets of hash_split — deterministic, so the
+    # whole check is oracle-replayable. Grams are deduped per (doc,
+    # gram) BEFORE the join: the join key space is distinct grams, and
+    # membership (not multiplicity) defines contamination.
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split-v1' || '|' ||
+                                      CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS b,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+    ), labeled AS (
+      SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split, w
+      FROM s
+    ), grams AS (
+      SELECT DISTINCT doc_id, split, array_to_string(w[i:i+7], ' ') AS g
+      FROM labeled, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    )
+    SELECT
+      (SELECT count(*) FROM labeled WHERE split = 'train') AS n_train,
+      (SELECT count(*) FROM labeled WHERE split = 'test') AS n_test,
+      (SELECT count(DISTINCT tr.doc_id)
+       FROM grams tr JOIN grams te ON tr.g = te.g
+       WHERE tr.split = 'train' AND te.split = 'test')
+        AS n_contaminated_train
+    """,
+)
+def q_train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: explode → per-doc-distinct grams → equi-join keyed
+    on the gram — the shuffle key is content, never a cross product;
+    test-side grams are tiny after distinct (broadcast candidate). At
+    100 TB the test side is the fixed benchmark suite: build its
+    distinct-gram set once, broadcast or bloom-prefilter the train
+    scan against it (operators/sketches.py:bloom_semi_join is exactly
+    that shape)."""
+    from sensor_data_pipeline___spark.operators.sampling import hash_split
+
+    n = 8
+    docs = hash_split(_t(spark, sf_dir, "documents"), "doc_id")
+    w = F.split(F.lower("text"), " ", -1)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    grams = docs.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+        ).alias("g"),
+    ).distinct()
+    tr = grams.filter(F.col("split") == "train").select("doc_id", "g")
+    te = grams.filter(F.col("split") == "test").select("g").distinct()
+    n_contam = (
+        tr.join(te, "g", "left_semi")
+        .agg(F.count_distinct("doc_id").alias("n_contaminated_train"))
+    )
+    counts = docs.groupBy().agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    return counts.crossJoin(n_contam)
