@@ -121,3 +121,34 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.xxhash64(F.col(text_col)).alias("xxh64"),
         F.array_min(window_hashes).alias("min_window_hash"),
     )
+
+
+#: Redaction rules: (pattern, replacement token), applied in order.
+#: Simple character-class patterns only — identical semantics in Java
+#: regex (Spark) and RE2/PCRE-style engines, so redaction output is
+#: cross-engine verifiable. Order matters: hex runs would otherwise be
+#: partially eaten by the digit rule.
+REDACTION_RULES: tuple[tuple[str, str], ...] = (
+    (r"[0-9a-fA-F]{16,}", "<HEX>"),  # long hex runs (keys, hashes)
+    (r"[0-9]{7,}", "<ID>"),  # long digit runs (phone/account numbers)
+    (r"[0-9]+", "<NUM>"),  # remaining numerics
+)
+
+
+def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pattern redaction — the ACTION stage of the PII-scrub pass whose
+    detection stage is the ``content_pattern_profile`` query: replace
+    sensitive-shaped spans with stable placeholder tokens, in rule
+    order. A pure ``regexp_replace`` chain: JVM-side, codegen'd, no
+    UDF; the transform is a narrow projection (no shuffle), so it
+    composes into any scan at zero extra passes.
+
+    Replaces ``text_col`` in place and records the original length in
+    ``orig_n_chars`` so downstream stats can measure redaction volume.
+    """
+    out = F.col(text_col)
+    for pattern, token in REDACTION_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return docs.withColumn("orig_n_chars", F.length(F.col(text_col))).withColumn(
+        text_col, out
+    )

@@ -4830,3 +4830,43 @@ def q_train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
     )
     return counts.crossJoin(n_contam)
+
+
+@_register(
+    "redaction_stats",
+    # The ACTION stage paired with content_pattern_profile's detection:
+    # apply the ordered redaction rules (hex runs -> <HEX>, long digit
+    # runs -> <ID>, remaining numerics -> <NUM>) and measure the
+    # per-language redaction volume. regexp_replace chains behave
+    # identically for these character-class patterns in Java regex and
+    # DuckDB's RE2 ('g' flag = Spark's replace-all default).
+    """
+    WITH r AS (
+      SELECT lang, len(text) AS orig_n_chars,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[0-9a-fA-F]{16,}', '<HEX>', 'g'),
+                 '[0-9]{7,}', '<ID>', 'g'),
+               '[0-9]+', '<NUM>', 'g') AS redacted
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(orig_n_chars) AS BIGINT) AS total_chars_before,
+           CAST(sum(len(redacted)) AS BIGINT) AS total_chars_after,
+           CAST(sum(len(redacted) - len(replace(redacted, '<NUM>', ''))) / 5
+                AS BIGINT) AS n_num_tokens
+    FROM r GROUP BY lang
+    """,
+)
+def q_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.text import redact
+
+    docs = redact(_t(spark, sf_dir, "documents"))
+    num_len = F.length("text") - F.length(F.replace(F.col("text"), F.lit("<NUM>")))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("orig_n_chars").alias("total_chars_before"),
+        F.sum(F.length("text")).alias("total_chars_after"),
+        (F.sum(num_len) / 5).cast("long").alias("n_num_tokens"),
+    )

@@ -162,7 +162,11 @@ class Warehouse:
         frag = [
             rel
             for rel, (n, total) in stats.items()
-            if n > 1 and total / n < small_file_threshold * target_file_bytes
+            # "=" filters out non-hive dirs (an unpartitioned layout's
+            # root-level files are not compactable by partition value)
+            if "=" in rel
+            and n > 1
+            and total / n < small_file_threshold * target_file_bytes
         ]
         if not frag:
             return []
