@@ -476,10 +476,18 @@ def session_window_stream(
     )
 
 
-def _reading_value_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+def _reading_value_stream(
+    spark: SparkSession, drop_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Parsed (metric_name, metric_value) stream off the plaintext drop
-    dir — the shared front end of the stateful drift operators."""
-    raw = spark.readStream.format("text").load(drop_dir)
+    dir — the shared front end of the stateful drift operators.
+    ``max_files_per_trigger`` caps files per micro-batch (admission
+    control under backlog; also what makes the batch sequence — and
+    thus any per-batch stateful fold — deterministic in tests)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(drop_dir)
     line = F.col("value")
     ts_str, name, value_str = parsing.silver_tokens(line)
     return (
@@ -519,6 +527,7 @@ def ewma_drift_stream(
     out_dir: str,
     checkpoint_dir: str,
     alpha: float = 0.3,
+    max_files_per_trigger: int | None = None,
 ):
     """Per-metric EWMA drift tracking (``applyInPandasWithState``).
 
@@ -544,7 +553,7 @@ def ewma_drift_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    readings = _reading_value_stream(spark, drop_dir)
+    readings = _reading_value_stream(spark, drop_dir, max_files_per_trigger)
 
     def update(key, pdf_iter, state):
         batch_n, batch_sum = 0, 0.0

@@ -123,3 +123,52 @@ def test_soak_dedup_stream_state_bounded(spark, tmp_path):
         f"\ndedup soak: batches={max(batches) + 1} total_rows={total_rows} "
         f"state_peak={peak} state_tail={tail[-5:]}"
     )
+
+
+def test_soak_ewma_drift_replay_equivalence(spark, tmp_path):
+    """Drive the stateful EWMA fold through 12 single-file micro-batches
+    (maxFilesPerTrigger=1; the file source orders batches by file
+    modification time) and check the final state equals a driver-side
+    replay of the same batch-mean sequence — the multi-step correctness
+    property the 2-batch unit test can't see. Also pins changelog
+    volume: one row per (batch, updated key), never more."""
+    import os
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    batch_means = [1.0, 3.0, 2.0, 6.0, 4.0, 5.0, 0.5, 7.0, 1.5, 2.5, 8.0, 3.5]
+    for i, m in enumerate(batch_means):
+        # two rows per batch, straddling the mean -> batch_mean == m
+        lines = [
+            f"{1649941817 + i} Voltage {m - 0.5}",
+            f"{1649941817 + i} Voltage {m + 0.5}",
+        ]
+        path = drop / f"b{i:02d}.txt"
+        path.write_text("\n".join(lines))
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    q = sp.ewma_drift_stream(
+        spark,
+        str(drop),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+
+    rows = sorted(
+        spark.read.parquet(str(tmp_path / "out")).collect(),
+        key=lambda r: r["n_readings"],
+    )
+    assert len(rows) == len(batch_means)  # one changelog row per batch
+
+    # driver-side replay of the fold
+    e = None
+    expected = []
+    for m in batch_means:
+        e = m if e is None else 0.3 * m + 0.7 * e
+        expected.append(e)
+    for row, m, exp in zip(rows, batch_means, expected):
+        assert row["batch_mean"] == pytest.approx(m)
+        assert row["ewma"] == pytest.approx(exp, rel=1e-12)
+    assert rows[-1]["n_readings"] == 2 * len(batch_means)
