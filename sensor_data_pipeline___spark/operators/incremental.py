@@ -132,7 +132,10 @@ def backfill_gold(wh: Warehouse, start_date: str, end_date: str) -> int:
     silver = wh.read(SILVER).filter(
         F.col("reading_date").between(lo, hi)
     )
-    new_gold = silver_to_gold(silver)
+    # localCheckpoint materializes the silver-to-gold aggregation ONCE;
+    # the count, the gold write, and the live-day collect below all
+    # read the materialized partitions instead of re-running the scan.
+    new_gold = silver_to_gold(silver).localCheckpoint(eager=True)
     n = new_gold.count()
     if n > 0:
         wh.write(GOLD, new_gold)  # dynamic overwrite: touched days only

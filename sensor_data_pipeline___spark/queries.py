@@ -4811,7 +4811,13 @@ def q_train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 8
     docs = hash_split(_t(spark, sf_dir, "documents"), "doc_id")
     w = F.split(F.lower("text"), " ", -1)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, and slice(w, 0, n)
+    # then throws INVALID_PARAMETER_VALUE.START — so a doc with fewer
+    # than n words must map to an explicitly empty index array (the
+    # oracle's generate_series(1, len-7) already yields no rows there).
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = docs.select(
         "doc_id",
         "split",

@@ -264,17 +264,8 @@ def stateful_totals_stream(
     )
 
     # update-mode rows can't go straight to a parquet sink (append-only);
-    # foreachBatch appends them as a changelog
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
-
-    return (
-        updated.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # foreachBatch lands them as a batch_id-keyed idempotent changelog
+    return _append_changelog(updated, out_dir, checkpoint_dir)
 
 
 def compact_changelog(
@@ -498,12 +489,31 @@ def _reading_value_stream(
     )
 
 
+def _write_changelog_batch(
+    batch_df: DataFrame, batch_id: int, out_dir: str
+) -> None:
+    """One changelog micro-batch body: dynamic overwrite of the batch's
+    own ``batch_id=N`` partition — the unit a checkpoint replay
+    re-executes, exposed at module level so the replay contract is
+    directly testable."""
+    batch_df.withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(out_dir)
+
+
 def _append_changelog(updated: DataFrame, out_dir: str, checkpoint_dir: str):
     """Update-mode rows can't go straight to a parquet sink (append-
-    only); foreachBatch appends them as a changelog."""
+    only); foreachBatch lands them as a changelog. IDEMPOTENT per
+    micro-batch: each batch overwrites its own ``batch_id=N`` partition
+    (dynamic partition overwrite, session default), so an
+    at-least-once replay — a failure between the parquet write and the
+    checkpoint commit — REPLACES its rows instead of duplicating them,
+    preserving the one-row-per-(batch, key) invariant the soak test
+    pins. Readers see ``batch_id`` as a discovered partition column
+    (same contract as the bronze ingest sink, pipeline.py:112)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        _write_changelog_batch(batch_df, batch_id, out_dir)
 
     return (
         updated.writeStream.foreachBatch(write_batch)
@@ -643,13 +653,6 @@ def ewma_drift_stream_tws(
             "use ewma_drift_stream (applyInPandasWithState) instead"
         )
 
-    # transformWithState requires the RocksDB state store provider
-    # (bundled rocksdbjni); HDFSBackedStateStoreProvider is rejected.
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-
     readings = _reading_value_stream(spark, drop_dir)
 
     class EwmaProcessor(StatefulProcessor):
@@ -693,4 +696,23 @@ def ewma_drift_stream_tws(
         outputMode="Update",
         timeMode="ProcessingTime",
     )
-    return _append_changelog(updated, out_dir, checkpoint_dir)
+
+    # transformWithState requires the RocksDB state store provider
+    # (bundled rocksdbjni); HDFSBackedStateStoreProvider is rejected.
+    # Streaming queries snapshot session confs at .start(), so the
+    # session-level value is restored immediately after — mirroring
+    # Warehouse.write — rather than silently changing the provider for
+    # every stream started later on the shared session.
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return _append_changelog(updated, out_dir, checkpoint_dir)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prior)

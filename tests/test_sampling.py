@@ -99,3 +99,37 @@ def test_weighted_sample_layout_invariant_and_weighted(spark):
     # a different salt names a different (but equally stable) sample
     s4 = ids(weighted_sample(docs, "n_chars", 50, salt="wsample-v2"))
     assert s4 != s1
+
+
+def test_contamination_short_docs_no_crash(spark, tmp_path):
+    """Regression: docs with fewer than 8 words (including empty text)
+    used to hit Spark's descending sequence(1, 0) == [1, 0] and crash
+    slice(w, 0, 8) with INVALID_PARAMETER_VALUE.START. Short docs must
+    simply contribute no 8-grams, matching the oracle's
+    generate_series(1, len-7) empty-range semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sensor_data_pipeline___spark.queries import QUERIES
+
+    texts = [
+        "",  # 0 meaningful words (splits to [''])
+        "one",
+        "a b c d e f g",  # 7 words: one short of a gram
+        "a b c d e f g h",  # exactly 8: one gram
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["fixture"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    row = QUERIES["train_test_contamination"](spark, str(tmp_path)).first()
+    assert row["n_train"] + row["n_test"] <= len(texts)
+    assert 0 <= row["n_contaminated_train"] <= row["n_train"]

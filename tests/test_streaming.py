@@ -332,3 +332,23 @@ def test_ewma_drift_stream_tws_raises_without_protobuf(spark, dirs):
         pytest.skip("protobuf installed; gating path not reachable")
     with pytest.raises(ImportError, match="protobuf"):
         sp.ewma_drift_stream_tws(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
+
+
+def test_changelog_batch_replay_is_idempotent(spark, dirs):
+    """A changelog micro-batch that replays after a failure between the
+    parquet write and the checkpoint commit must REPLACE its own
+    batch_id partition, not append a duplicate — the invariant behind
+    the soak test's one-row-per-(batch, key) check."""
+    rows = spark.createDataFrame(
+        [("Voltage", 2, 1.345, 1.345, 0.0)],
+        "metric_name string, n_readings long, batch_mean double, "
+        "ewma double, drift double",
+    )
+    sp._write_changelog_batch(rows, 0, dirs["out"])
+    sp._write_changelog_batch(rows, 0, dirs["out"])  # replay of batch 0
+    log = spark.read.parquet(dirs["out"])
+    assert log.count() == 1
+    # a genuinely new batch still appends alongside the old one
+    sp._write_changelog_batch(rows, 1, dirs["out"])
+    assert spark.read.parquet(dirs["out"]).count() == 2
+    assert {r["batch_id"] for r in log.select("batch_id").collect()} == {0}
