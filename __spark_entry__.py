@@ -36,8 +36,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # round, and the advanced joins/set-ops/profiling families. Rows-only
 # (no-oracle) entries ride the local replica harness
 # (tests/test_queries_oracle.py) instead of spending gate slots.
+# Round-5 rotation (VERDICT r4 directive #1): the gate window swaps
+# ~24 long-green veterans for never-driver-checked oracle-backed
+# entries, so the driver independently verifies fresh families (as-of
+# joins, range join, sessionization, OLAP rollup/pivot, gap-fill,
+# sketch rollups, EWMA fold, decontamination, redaction, weighted
+# sampling). Displaced veterans (TPC-H mid-pack q2-q9/q13-q21,
+# interarrival_histogram, ntile_deciles, inverted_index_sample,
+# set_*_all_customers, column_profile_orders, benford_first_digit,
+# trigram_repetition, content_pattern_profile) stay green on the local
+# replica harness (tests/test_queries_oracle.py), which mirrors the
+# driver's Arrow fetch exactly; all 132 were re-verified green at
+# sf0.01 under a hostile session before this rotation landed.
 _PRIORITY = (
-    # reference parity core (SURVEY.md §2)
+    # reference parity core (SURVEY.md §2) — never rotates out
     "silver_parse",
     "gold_daily_power",
     "serving_union",
@@ -45,59 +57,60 @@ _PRIORITY = (
     "affected_days_recompute",
     "coalesce_last_purchase",
     "date_range_orders",
-    # TPC-H adaptation (COVERAGE.md)
+    # TPC-H flagships + the three re-ranged in round 4 (one more
+    # independent check on the formerly vacuous predicates)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_order_priority",
     "q5_region_revenue",
-    "q6_revenue_change",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
     "q10_returned_revenue",
     "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_brand_revenue_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q21_sole_supplier_failed_orders",
     "q22_idle_rich_customers",
-    # fixed / resharded in round 3
+    # long-horizon composites that keep their slot
     "time_weighted_avg",
-    "psi_value_drift",
-    "interarrival_histogram",
     "pack_sequences",
     "equi_depth_histogram",
-    "ntile_deciles",
-    "inverted_index_sample",
-    # advanced joins, set ops, SCD2/PIT, profiling, LLM-pipeline reps
     "set_similarity_pairs",
     "pit_join_click_version",
     "scd2_purchase_values",
-    "set_except_all_customers",
-    "set_intersect_all_customers",
-    "column_profile_orders",
-    "benford_first_digit",
     "dedup_exact",
     "dedup_exact_stats",
-    # new in round 3 (CDC, content-keyed sampling, bloom pre-filter,
-    # recursive-closure-verified clustering, Spark 4 VARIANT)
     "snapshot_diff_orders",
     "deterministic_stratified_sample",
     "bloom_semi_join_lineitem",
     "connected_components_fuzzy",
     "variant_props_extract",
-    # promoted in round 4 (oracle-cast fixes landed): text profiling
-    # and the spark.sql front-door path. Displaced in_list_filter /
-    # distinct_projection / iso_multiformat_parse — single-op parity
-    # entries, green since round 1, still covered by the local replica
-    # harness and the golden pipeline tests.
-    "trigram_repetition",
-    "content_pattern_profile",
     "sql_api_nation_revenue",
+    # --- first-time gate entries (24) ---
+    # round-4 additions, never driver-checked
+    "train_test_contamination",
+    "redaction_stats",
+    "weighted_sample_docs",
+    "ewma_daily_value",
+    # time-series repair + robust stats
+    "gapfill_linear_interp",
+    "gapfill_forward_fill",
+    "rolling_median_power",
+    "mad_outliers",
+    # behavioral analytics
+    "cohort_retention",
+    "sessionization",
+    "session_window_batch",
+    # as-of / range temporal joins
+    "asof_last_purchase",
+    "asof_next_click",
+    "range_join_purchase_clicks",
+    # fuzzy matching
+    "fuzzy_name_pairs",
+    # window + OLAP shapes
+    "window_topk_orders",
+    "rollup_lineitem",
+    "pivot_daily_avg",
+    "unpivot_charges",
+    # text / similarity / multimodal / sketches
+    "tfidf_top_terms",
+    "m4_downsample",
+    "similarity_topk",
+    "multimodal_binary_meta",
+    "hll_distinct_rollup",
 )
 
 
