@@ -209,3 +209,73 @@ def test_backfill_gold_range(spark, wh):
     gold2 = {str(r["reading_date"]): r for r in wh.read(GOLD).collect()}
     assert set(gold2) == set(gold)
     assert gold2["2022-04-14"]["metric_value"] == gold["2022-04-14"]["metric_value"]
+
+
+def test_crashed_overwrite_leaves_old_partition_intact(spark, wh):
+    """Fault-injected commit atomicity — the Spark analog of the
+    reference's transaction rollback (reference src/db/connection.py:
+    71-89). A dynamic-partition-overwrite that dies mid-write (a task
+    raising before job commit) must leave the destination exactly as it
+    was: the FileOutputCommitter stages task output under _temporary/
+    and only swaps partition directories at JOB commit, so an abort is
+    a rollback. A subsequent reader must see the OLD partition in full
+    — never a torn mix — and re-running the write must converge."""
+    from pyspark.sql import functions as F
+
+    _ingest(spark, wh, GOLDEN_LINES)
+    incremental.run_pipeline(wh)
+    before = sorted(map(tuple, wh.read(GOLD).collect()))
+    assert len(before) == 1
+
+    @F.udf("double")
+    def boom(v):
+        raise RuntimeError("injected task failure")
+
+    poisoned = wh.read(GOLD).withColumn("metric_value", boom("metric_value"))
+    with pytest.raises(Exception, match="injected task failure"):
+        wh.write(GOLD, poisoned)
+
+    # reader sees the old partition, complete and uncorrupted
+    after = sorted(map(tuple, wh.read(GOLD).collect()))
+    assert after == before
+    # the aborted write's staging debris is invisible to readers
+    assert wh.read(GOLD).count() == 1
+
+    # re-running the same merge converges to the correct state
+    n_gold = incremental.run_gold(wh, full_refresh=True)
+    assert n_gold == 1
+    final = wh.read(GOLD).collect()
+    assert final[0]["metric_value"] == pytest.approx(17.485)
+
+
+def test_crashed_multiday_overwrite_is_all_or_nothing(spark, wh):
+    """Two-day variant: a write that REPLACES one day and ADDS another
+    aborts mid-flight — neither partition may change (no 'new day
+    committed, old day half-replaced' state)."""
+    from pyspark.sql import functions as F
+
+    _ingest(spark, wh, GOLDEN_LINES)  # 2022-04-14
+    _ingest(
+        spark,
+        wh,
+        ["1650028217 Voltage 2.0", "1650028218 Current 10.0"],  # 2022-04-15
+    )
+    incremental.run_pipeline(wh)
+    before = sorted(map(tuple, wh.read(GOLD).collect()))
+    assert len(before) == 2
+
+    # poison only the NEW day's rows: the old day's tasks may finish
+    # cleanly, but job abort must roll back both
+    @F.udf("double")
+    def boom_new_day(v, d):
+        if str(d) >= "2022-04-15":
+            raise RuntimeError("injected task failure")
+        return v
+
+    poisoned = wh.read(GOLD).withColumn(
+        "metric_value", boom_new_day("metric_value", "reading_date")
+    ).repartition("reading_date")
+    with pytest.raises(Exception, match="injected task failure"):
+        wh.write(GOLD, poisoned)
+
+    assert sorted(map(tuple, wh.read(GOLD).collect())) == before
