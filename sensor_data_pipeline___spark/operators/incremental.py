@@ -68,9 +68,12 @@ def run_silver(wh: Warehouse, full_refresh: bool = False) -> int:
     # that are NOT re-processed (left-anti on the merge key), new rows win.
     affected = new_silver.select("reading_date").distinct()
     existing_affected = existing.join(F.broadcast(affected), "reading_date", "left_semi")
+    # allowMissingColumns: after a silver schema evolution, surviving
+    # rows keep their evolved columns and re-derived rows carry null
+    # there (bronze_to_silver only produces the declared columns)
     merged = existing_affected.join(
         new_silver.select("raw_id"), "raw_id", "left_anti"
-    ).unionByName(new_silver)
+    ).unionByName(new_silver, allowMissingColumns=True)
     n = new_silver.count()
     wh.write(SILVER, merged)  # dynamic overwrite of touched partitions only
     return n

@@ -59,7 +59,17 @@ class Warehouse:
         return os.path.isdir(self.path(table))
 
     def read(self, table: str) -> DataFrame:
-        """Read a table; empty-with-schema if it doesn't exist yet."""
+        """Read a table; empty-with-schema if it doesn't exist yet.
+
+        ``mergeSchema`` is on: after an in-place schema evolution (new
+        parquet files carry a column the old files lack), the read
+        exposes the union schema with nulls for the old files — default
+        parquet inference samples ONE footer and would surface or drop
+        the new column at random. Cost note for 100 TB: merge-schema
+        inference is a distributed footer-read job over the table's
+        files; a catalog-backed table format (Delta/Iceberg, absent in
+        this container) records the evolved schema in metadata and
+        makes this free — this is the documented emulation tradeoff."""
         if not self.exists(table):
             schema = _SCHEMA[table]
             part = _PARTITION_COL[table]
@@ -68,7 +78,9 @@ class Warehouse:
                     list(schema.fields) + [T.StructField(part, T.DateType(), True)]
                 )
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self.path(table))
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.path(table)
+        )
 
     def write(
         self, table: str, df: DataFrame, mode: str = "overwrite", wipe: bool = False

@@ -279,3 +279,88 @@ def test_crashed_multiday_overwrite_is_all_or_nothing(spark, wh):
         wh.write(GOLD, poisoned)
 
     assert sorted(map(tuple, wh.read(GOLD).collect())) == before
+
+
+def test_silver_schema_evolution_mid_stream(spark, wh):
+    """Schema evolution without a catalog: new silver files gain a
+    column old files lack. The merged read must expose the union schema
+    (nulls for pre-evolution files), the incremental merge must keep
+    evolved values on untouched rows while re-derived rows carry null,
+    and the gold recompute must be unaffected."""
+    from pyspark.sql import functions as F
+
+    _ingest(spark, wh, GOLDEN_LINES)
+    incremental.run_pipeline(wh)
+
+    # evolution event: a manual enrichment lands files that carry a new
+    # sensor_location column (old partition files untouched)
+    patch = (
+        wh.read(SILVER)
+        .filter(F.col("metric_name") == "Voltage")
+        .withColumn("sensor_location", F.lit("rack-7"))
+        # fresh processed_at so the patch is itself late-arriving data
+        .withColumn("processed_at", F.current_timestamp())
+    )
+    wh.append(SILVER, patch)
+
+    evolved = wh.read(SILVER)
+    assert "sensor_location" in evolved.columns  # mergeSchema read path
+    # old files surface null, new files their value
+    locs = {
+        (r["metric_name"], r["sensor_location"])
+        for r in evolved.select("metric_name", "sensor_location").collect()
+    }
+    assert ("Voltage", "rack-7") in locs
+    assert ("Current", None) in locs
+
+    # quality assertions tolerate the evolution (column-targeted)
+    from sensor_data_pipeline___spark.functions import quality as q
+
+    results = q.assert_checks(
+        q.not_null(evolved, "raw_id"),
+        q.not_null(evolved, "metric_value"),
+        q.accepted_values(evolved, "metric_name", ["Voltage", "Current"]),
+    )
+    assert all(r.passed for r in results)
+
+    # gold recompute sees the evolved silver and is unaffected by it
+    n_gold = incremental.run_gold(wh, full_refresh=True)
+    assert n_gold == 1
+    gold = wh.read(GOLD).collect()
+    assert gold[0]["metric_value"] == pytest.approx(17.485)
+    assert "sensor_location" not in wh.read(GOLD).columns
+
+
+def test_silver_merge_after_evolution(spark, wh):
+    """New bronze data arriving AFTER the evolution: the merge must not
+    fail on the column mismatch; re-derived rows carry null in the
+    evolved column, surviving evolved rows keep their values."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    _ingest(spark, wh, GOLDEN_LINES)
+    incremental.run_pipeline(wh)
+
+    # materialize before overwriting the files being read
+    evolved_all = (
+        wh.read(SILVER)
+        .withColumn("sensor_location", F.lit("rack-7"))
+        .localCheckpoint(eager=True)
+    )
+    # rewrite the whole table with the evolved schema (static overwrite)
+    wh.write(SILVER, evolved_all, wipe=True)
+
+    _time.sleep(1.1)
+    # a late reading for the same day re-opens the partition
+    _ingest(spark, wh, ["1649941819 Voltage 2.65"])
+    n = incremental.run_silver(wh)
+    assert n == 1
+
+    silver = wh.read(SILVER)
+    assert silver.count() == 5
+    by_val = {
+        r["metric_value"]: r["sensor_location"] for r in silver.collect()
+    }
+    assert by_val[2.65] is None  # re-derived row: no evolved value
+    assert by_val[1.34] == "rack-7"  # surviving row kept its value
