@@ -25,7 +25,7 @@ absent rather than stubbed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: Wire format of one reading (reference README.md:33-37).
@@ -94,3 +94,121 @@ def synthetic_sensor_stream(
             F.concat_ws(" ", (idx + F.lit(start_epoch)).cast("string"), metric),
         ).otherwise(line)
     return src.select(line.alias(LINE_COLUMN))
+
+
+class OffsetReplaySource:
+    """Kafka-shaped offset-replay contract over plain files (the
+    container ships no broker; reference analog: the retrying POST
+    clients, airflow/config/settings.py — 3 retries with backoff).
+
+    A *topic* directory holds per-partition append-only segment files
+    (``part-<n>.log``, one record per line); a record's explicit offset
+    is its line position within its partition. Consumption is
+    poll/commit, exactly a Kafka consumer group's shape:
+
+    - :meth:`poll` returns every record STRICTLY PAST the committed
+      offsets as a DataFrame ``(partition int, offset long, value
+      string)`` — delivery, not consumption;
+    - :meth:`commit` durably records the new positions (single JSON
+      file written atomically via temp + ``os.replace``);
+    - a consumer that crashes AFTER its sink write but BEFORE
+      ``commit()`` re-polls the same records on restart: at-least-once
+      redelivery, the precise failure window a checkpoint/offset log
+      protects. Pairing redelivered batches with
+      ``streaming.pipeline.dedup_stream`` (content-hash
+      ``dropDuplicatesWithinWatermark``) or the ``batch_id``-keyed
+      idempotent bronze writer yields effectively-once downstream —
+      the contract this class exists to make testable.
+
+    Scale note: poll reads segments with the distributed text reader
+    and filters on (partition, offset) — predicate-pushdown-friendly;
+    the committed-offset map is O(partitions) driver state, the same
+    cardinality a Kafka consumer carries.
+    """
+
+    def __init__(self, spark: SparkSession, topic_dir: str, commit_path: str):
+        self.spark = spark
+        self.topic_dir = topic_dir
+        self.commit_path = commit_path
+
+    # -- producer side (test/load-generator helper) --------------------
+    def append(self, partition: int, lines: list[str]) -> None:
+        """Append records to a partition's segment (producer analog)."""
+        import os
+
+        os.makedirs(self.topic_dir, exist_ok=True)
+        seg = os.path.join(self.topic_dir, f"part-{partition}.log")
+        with open(seg, "a") as f:
+            for line in lines:
+                f.write(line + "\n")
+
+    # -- consumer side -------------------------------------------------
+    def committed(self) -> dict[int, int]:
+        """{partition: next-offset-to-deliver}; empty before the first
+        commit (earliest semantics)."""
+        import json
+        import os
+
+        if not os.path.exists(self.commit_path):
+            return {}
+        with open(self.commit_path) as f:
+            return {int(k): int(v) for k, v in json.load(f).items()}
+
+    def poll(self) -> DataFrame:
+        """All records past the committed offsets, with their explicit
+        (partition, offset) identity."""
+        import glob
+        import os
+
+        committed = self.committed()
+        segs = sorted(glob.glob(os.path.join(self.topic_dir, "part-*.log")))
+        frames = []
+        for seg in segs:
+            part = int(os.path.basename(seg)[len("part-") : -len(".log")])
+            df = (
+                self.spark.read.text(seg)
+                .select(
+                    F.lit(part).alias("partition"),
+                    # monotone position within the partition segment =
+                    # the record's durable, replay-stable offset. The
+                    # single-partition window is bounded by the segment
+                    # rotation size (Kafka's own per-segment index
+                    # shape); a real broker SERVES offsets instead of
+                    # recomputing them.
+                    (F.row_number().over(
+                        Window.orderBy(F.monotonically_increasing_id())
+                    ) - 1).cast("long").alias("offset"),
+                    F.col("value"),
+                )
+                .filter(F.col("offset") >= F.lit(committed.get(part, 0)))
+            )
+            frames.append(df)
+        if not frames:
+            return self.spark.createDataFrame(
+                [], "partition int, offset long, value string"
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def next_offsets(self, polled: DataFrame) -> dict[int, int]:
+        """End positions of a polled batch — the argument to
+        :meth:`commit` after the sink write succeeds."""
+        ends = self.committed()
+        for r in polled.groupBy("partition").agg(
+            F.max("offset").alias("last")
+        ).collect():
+            ends[int(r["partition"])] = int(r["last"]) + 1
+        return ends
+
+    def commit(self, offsets: dict[int, int]) -> None:
+        """Atomically persist consumer positions (temp + rename — a
+        reader never sees a torn commit file)."""
+        import json
+        import os
+
+        tmp = self.commit_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in offsets.items()}, f)
+        os.replace(tmp, self.commit_path)

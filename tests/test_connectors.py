@@ -115,3 +115,72 @@ def test_socket_reading_stream(spark):
         finally:
             srv.done.set()  # type: ignore[attr-defined]
             srv.shutdown()
+
+
+def _deliver(polled, drop_dir, batch_name):
+    """Consumer sink step: land a polled batch as a text file in the
+    drop dir (the transport into the streaming pipeline)."""
+    import os
+
+    os.makedirs(drop_dir, exist_ok=True)
+    lines = [r["value"] for r in polled.orderBy("partition", "offset").collect()]
+    with open(os.path.join(drop_dir, batch_name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return lines
+
+
+def test_offset_replay_at_least_once_then_effectively_once(spark, tmp_path):
+    """The Kafka-shaped offset contract, end to end: a consumer crash
+    between the sink write and commit() redelivers the batch on restart
+    (at-least-once — the duplicate file really lands), and dedup_stream
+    downstream collapses the redelivery to effectively-once output."""
+    from sensor_data_pipeline___spark.streaming import pipeline as sp
+
+    topic = str(tmp_path / "topic")
+    commit = str(tmp_path / "offsets.json")
+    drop = str(tmp_path / "drop")
+
+    src = connectors.OffsetReplaySource(spark, topic, commit)
+    src.append(0, ["1649941817 Voltage 1.34", "1649941818 Voltage 1.35"])
+    src.append(1, ["1649941817 Current 12.0", "1649941818 Current 14.0"])
+
+    # batch 1: poll → deliver → commit (the happy path)
+    b1 = src.poll()
+    rows1 = {(r["partition"], r["offset"]) for r in b1.collect()}
+    assert rows1 == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    _deliver(b1, drop, "batch-0.txt")
+    src.commit(src.next_offsets(b1))
+    assert src.committed() == {0: 2, 1: 2}
+
+    # batch 2 arrives; consumer delivers but CRASHES before commit
+    src.append(0, ["1649941819 Voltage 2.65"])
+    src.append(1, ["1649941819 Current 13.0"])
+    b2 = src.poll()
+    assert {(r["partition"], r["offset"]) for r in b2.collect()} == {
+        (0, 2),
+        (1, 2),
+    }
+    delivered_before_crash = _deliver(b2, drop, "batch-1.txt")
+    # (no commit — the injected mid-batch crash)
+
+    # restart: a FRESH consumer on the same topic + commit file
+    src2 = connectors.OffsetReplaySource(spark, topic, commit)
+    assert src2.committed() == {0: 2, 1: 2}  # batch 2 not committed
+    b2_replay = src2.poll()
+    redelivered = _deliver(b2_replay, drop, "batch-2.txt")
+    # at-least-once: the SAME records were delivered twice
+    assert sorted(redelivered) == sorted(delivered_before_crash)
+    src2.commit(src2.next_offsets(b2_replay))
+
+    # a post-commit poll is empty — offsets are explicit and durable
+    assert src2.poll().count() == 0
+
+    # downstream: dedup_stream over the drop dir (which now holds the
+    # duplicate delivery) yields each record exactly once
+    q = sp.dedup_stream(
+        spark, drop, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 6  # 4 + 2, not 4 + 2 + 2
+    assert out.select("raw_line").distinct().count() == 6
