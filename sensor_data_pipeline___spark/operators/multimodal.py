@@ -3,11 +3,15 @@ with typed metadata, processed via Arrow-batched Pandas UDFs.
 
 The Spark-side plumbing — schema, partition shape, UDF signatures,
 batch iteration — is real and tested. Decode is real for uncompressed
-containers (PPM/PGM and BI_RGB BMP, parsed natively in numpy — no
-image library needed) plus the deterministic fake codec; compressed
-codecs (JPEG/PNG/...) route to Pillow at call time when installed and
-raise NotImplementedError otherwise, so a real deployment enables them
-by installing the library, with no Spark-side change.
+containers (PPM/PGM and BI_RGB BMP images, RIFF/WAVE PCM audio — all
+parsed natively in numpy, no media library needed) plus the
+deterministic fake codec; compressed codecs (JPEG/PNG/...) route to
+Pillow at call time when installed and raise NotImplementedError
+otherwise, so a real deployment enables them by installing the
+library, with no Spark-side change. Audio adds the encode twin
+(``encode_wav_pcm16``) and the envelope reduction
+(``waveform_downsample``), with a DuckDB-oracle round-trip proof in
+``queries.py`` (``waveform_envelope``).
 
 Scale notes: ``mapInPandas`` streams Arrow batches — peak memory is
 one batch of payloads, not a partition; `maxRecordsPerBatch` bounds
@@ -163,6 +167,20 @@ def _decode_payload(payload: bytes, codec: str) -> dict[str, Any]:
         return _decode_pnm(payload)
     if codec == "bmp" or payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if codec in ("wav", "pcm") or payload[:4] == b"RIFF":
+        # audio in the generic pipeline: the 1×n_samples "image" whose
+        # bytes are midpoint-128 8-bit amplitude — featurize/resize
+        # work unchanged; waveform_downsample is the full-precision path
+        wav = _decode_wav(payload)
+        body = (
+            (wav["samples"].astype("int32") >> 8) + 128
+        ).astype("uint8").tobytes()
+        return {
+            "width": wav["n_samples"],
+            "height": 1,
+            "n_frames": 1,
+            "body": body,
+        }
     try:
         from PIL import Image  # noqa: PLC0415 — executor-side optional dep
     except ImportError as exc:
@@ -322,3 +340,141 @@ def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
     return media.select("media_id", "payload", "codec").mapInPandas(
         sample, schema=out_schema
     )
+
+
+def _decode_wav(payload: bytes) -> dict[str, Any]:
+    """Native decode of RIFF/WAVE PCM audio (mirrors ``_decode_pnm``:
+    header + body parse in numpy, zero audio-library dependency).
+
+    Supports integer PCM (format tag 1), 8-bit unsigned or 16-bit
+    signed, any channel count; chunks are walked by the RIFF grammar
+    (even-byte padded), so extra chunks (LIST, fact, ...) are skipped
+    rather than assumed absent. Multi-channel audio is mixed to mono by
+    integer mean — deterministic, like the BT.601 luma collapse on the
+    image side. Returns int16 mono ``samples`` plus the container
+    facts (``sample_rate``, ``n_channels``, ``n_samples``)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_chunk = data_chunk = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt_chunk = payload[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data_chunk = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunk bodies pad to even offsets
+    if fmt_chunk is None or data_chunk is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack_from(
+        "<HHI", fmt_chunk, 0
+    )
+    bits = struct.unpack_from("<H", fmt_chunk, 14)[0]
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only integer PCM 8/16-bit WAV decodes natively "
+            f"(got format={audio_format}, bits={bits})"
+        )
+    if bits == 16:
+        raw = np.frombuffer(
+            data_chunk, "<i2", count=len(data_chunk) // 2
+        ).astype(np.int16)
+    else:  # 8-bit WAV is unsigned midpoint-128
+        raw = (
+            (np.frombuffer(data_chunk, np.uint8).astype(np.int16) - 128) << 8
+        )
+    frames = raw[: (raw.shape[0] // n_channels) * n_channels].reshape(
+        -1, n_channels
+    )
+    mono = (frames.astype(np.int32).sum(axis=1) // n_channels).astype(np.int16)
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "n_samples": int(mono.shape[0]),
+        "samples": mono,
+    }
+
+
+def waveform_downsample(media: DataFrame, n_points: int = 64) -> DataFrame:
+    """Waveform envelope downsample — ``frame_sample``'s audio analog
+    and the audio cousin of the M4 query: per payload, bucket the mono
+    samples into ``n_points`` equal-width time buckets and keep each
+    bucket's (min, max) amplitude in [-1, 1]. That is the lossless-for-
+    rendering reduction a 100 TB audio corpus ships to a browser or a
+    feature store instead of raw PCM.
+
+    mapInPandas streams Arrow batches; per-row work is O(n_samples)
+    numpy, output is O(n_points) — constant-width rows downstream."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("duration_s", T.DoubleType(), False),
+            T.StructField("env_min", T.ArrayType(T.FloatType()), False),
+            T.StructField("env_max", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                wav = _decode_wav(row.payload)
+                s = wav["samples"].astype(np.float32) / 32768.0
+                n = s.shape[0]
+                # equal-width buckets via the same integer cut the
+                # nearest-neighbor resize uses; empty buckets (fewer
+                # samples than points) emit 0.0
+                env_min, env_max = [], []
+                for i in range(n_points):
+                    lo, hi = i * n // n_points, (i + 1) * n // n_points
+                    if hi > lo:
+                        env_min.append(float(s[lo:hi].min()))
+                        env_max.append(float(s[lo:hi].max()))
+                    else:
+                        env_min.append(0.0)
+                        env_max.append(0.0)
+                rows.append(
+                    {
+                        "media_id": row.media_id,
+                        "sample_rate": wav["sample_rate"],
+                        "n_samples": n,
+                        "duration_s": n / wav["sample_rate"],
+                        "env_min": env_min,
+                        "env_max": env_max,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "duration_s", "env_min", "env_max",
+                ],
+            )
+
+    return media.select("media_id", "payload", "codec").mapInPandas(
+        process, schema=out_schema
+    )
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Producer twin of :func:`_decode_wav`: mono 16-bit PCM RIFF/WAVE
+    bytes from an int sequence — the deterministic payload builder the
+    synthetic-media queries and tests use (decode(encode(x)) == x)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -859,6 +859,78 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "waveform_envelope",
+    # Audio codec round-trip proof: Spark synthesizes a deterministic
+    # PCM sample sequence per doc, ENCODES it as RIFF/WAVE bytes,
+    # decodes via the native numpy WAV parser, and computes the 8-point
+    # min/max waveform envelope (operators/multimodal.py). DuckDB
+    # computes the identical envelope straight from the sample formula
+    # — equality holds only if the container encode/decode is lossless.
+    # n_samples is a multiple of 8, so buckets cut exactly; int16/2^15
+    # is exact in float32, so REAL comparison is bit-stable.
+    """
+    WITH params AS (
+      SELECT doc_id, 8 * (25 + doc_id % 8) AS n FROM documents
+    ), samples AS (
+      SELECT doc_id, n, i,
+             ((doc_id * 9176 + i * 65) % 65536) - 32768 AS s
+      FROM params, UNNEST(generate_series(0, n - 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(i // (n // 8) AS INT) AS bucket,
+           CAST(min(s) / 32768.0 AS REAL) AS env_min,
+           CAST(max(s) / 32768.0 AS REAL) AS env_max
+    FROM samples
+    GROUP BY doc_id, CAST(i // (n // 8) AS INT)
+    """,
+)
+def q_waveform_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: synth and decode are both mapInPandas over the doc
+    partitioning (no shuffle until the final explode, which is narrow);
+    payload bytes live only inside Arrow batches. At 100 TB the synth
+    stage is replaced by the real audio scan — the decode + envelope
+    stages are unchanged."""
+    from sensor_data_pipeline___spark.operators.multimodal import (
+        encode_wav_pcm16,
+        waveform_downsample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 8 * (25 + d % 8)
+                samples = [
+                    ((d * 9176 + i * 65) % 65536) - 32768 for i in range(n)
+                ]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "payload": encode_wav_pcm16(samples),
+                        "codec": "wav",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "codec"])
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary, codec string")
+    env = waveform_downsample(media, n_points=8)
+    return env.select(
+        F.col("media_id").alias("doc_id"),
+        F.posexplode(F.arrays_zip("env_min", "env_max")).alias("bucket", "e"),
+    ).select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("e.env_min").alias("env_min"),
+        F.col("e.env_max").alias("env_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (no SQL-expressible oracle; driver records a weaker
 # rows-only check — approximate/hash-seeded algorithms)

@@ -248,3 +248,108 @@ def test_resize_restamps_codec_on_reencode(spark):
     assert (meta["width"], meta["height"]) == (2, 1)
     feats = mm.extract_features(mm.resize(df, 2, 1)).collect()
     assert feats[0]["width"] == 2 and feats[0]["height"] == 1
+
+
+def _wav_payload(
+    samples, n_channels: int = 1, sample_rate: int = 8000, bits: int = 16,
+    extra_chunk: bool = False,
+) -> bytes:
+    """Build a RIFF/WAVE PCM payload in pure struct (no audio lib).
+    ``samples`` is a flat int list, interleaved when multi-channel.
+    ``extra_chunk`` inserts an odd-length LIST chunk before data to
+    exercise the even-padded chunk walk."""
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes((s >> 8) + 128 for s in samples)
+    byte_rate = sample_rate * n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+        n_channels * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        odd = b"INFOx"  # 5 bytes: forces the pad-to-even path
+        chunks += b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_16bit_stereo_round_trip():
+    # stereo frames: (100, 200), (-100, -200), (32767, 32767), (0, 0)
+    interleaved = [100, 200, -100, -200, 32767, 32767, 0, 0]
+    wav = mm._decode_wav(
+        _wav_payload(interleaved, n_channels=2, sample_rate=44100)
+    )
+    assert wav["sample_rate"] == 44100
+    assert wav["n_channels"] == 2
+    assert wav["n_samples"] == 4
+    # integer-mean mono mix (floor division, like the luma collapse)
+    assert list(wav["samples"]) == [150, -150, 32767, 0]
+
+
+def test_wav_decode_8bit_and_chunk_walk():
+    samples = [0, 16384, -16384, 8192]
+    wav = mm._decode_wav(
+        _wav_payload(samples, bits=8, extra_chunk=True)
+    )
+    assert wav["n_samples"] == 4
+    # 8-bit quantization keeps the top byte
+    assert list(wav["samples"]) == [0, 16384, -16384, 8192]
+
+
+def test_wav_non_pcm_raises():
+    import struct
+
+    payload = _wav_payload([0, 1])
+    # overwrite the format tag with 3 (IEEE float)
+    pos = payload.index(b"fmt ") + 8
+    payload = payload[:pos] + struct.pack("<H", 3) + payload[pos + 2 :]
+    with pytest.raises(NotImplementedError, match="PCM"):
+        mm._decode_wav(payload)
+
+
+def test_waveform_downsample_envelope(spark):
+    # a deterministic ramp: bucket envelopes are exactly predictable
+    n = 1000
+    samples = [((i * 65) % 65536) - 32768 for i in range(n)]
+    df = spark.createDataFrame(
+        [(7, _wav_payload(samples, sample_rate=1000), "audio", "wav")],
+        "media_id long, payload binary, media_type string, codec string",
+    )
+    row = mm.waveform_downsample(df, n_points=10).collect()[0]
+    assert row["n_samples"] == n
+    assert row["duration_s"] == pytest.approx(1.0)
+    assert len(row["env_min"]) == 10 and len(row["env_max"]) == 10
+    import numpy as np
+
+    s = np.array(samples, dtype=np.float32) / 32768.0
+    for i in range(10):
+        lo, hi = i * n // 10, (i + 1) * n // 10
+        assert row["env_min"][i] == pytest.approx(float(s[lo:hi].min()))
+        assert row["env_max"][i] == pytest.approx(float(s[lo:hi].max()))
+    assert all(
+        a <= b for a, b in zip(row["env_min"], row["env_max"])
+    )
+
+
+def test_wav_through_generic_pipeline(spark):
+    """Audio rides the SAME decode/featurize path as images: the body
+    is midpoint-128 8-bit amplitude, 1 x n_samples."""
+    samples = [0, 256, -256, 32512]
+    df = spark.createDataFrame(
+        [(9, _wav_payload(samples), "audio", "wav")],
+        "media_id long, payload binary, media_type string, codec string",
+    )
+    feat = mm.extract_features(df).collect()[0]
+    assert feat["width"] == 4 and feat["height"] == 1
+    assert feat["n_frames"] == 1
+    assert sum(feat["feature"]) == pytest.approx(1.0)
+    # magic-byte sniff: codec name not required
+    df2 = spark.createDataFrame(
+        [(10, _wav_payload(samples), "audio", "unknown-bin")],
+        "media_id long, payload binary, media_type string, codec string",
+    )
+    assert mm.extract_features(df2).collect()[0]["width"] == 4
