@@ -101,10 +101,35 @@ def _range_shard(df: DataFrame, col: str, n_shards: int) -> "F.Column":
     fracs = [i / n_shards for i in range(1, n_shards)]
     row = df.agg(F.percentile_approx(col, fracs, 10_000).alias("b")).head()
     bounds = sorted({b for b in (row["b"] or []) if b is not None})
-    expr = F.lit(0)
-    for b in bounds:
-        expr = expr + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
-    return expr
+    if not bounds:
+        return F.lit(0)
+    # bounds-exceeded count as ONE flat array expression — a chain of
+    # n_shards nested when()s costs Catalyst O(depth^2) analysis time
+    # per query (measured ~0.5 s of pure plan time at 32 shards, the
+    # dominant term of the whole query at bench scale)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(arr, lambda b: F.col(col) > b))
+
+
+def _uniform_shard(df: DataFrame, col: str, n_shards: int) -> "F.Column":
+    """Order-consistent uniform range cut from ONE min/max aggregate —
+    the cheap cut for DENSE numeric key columns (surrogate ids), where
+    value density tracks row density so uniform value cuts are
+    near-equi-count. Skewed value columns keep the percentile cut
+    (:func:`_range_shard`); either choice changes balance only, never
+    results (the stitch is cut-point-agnostic). Saves the quantile
+    sketch build+merge of percentile_approx — min/max is the cheapest
+    possible whole-column aggregate and prunes to the key column."""
+    row = df.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi")).head()
+    lo, hi = row["_lo"], row["_hi"]
+    if lo is None or hi == lo:
+        return F.lit(0)
+    return F.least(
+        F.floor(
+            (F.col(col) - F.lit(lo)) * n_shards / F.lit(hi - lo + 1)
+        ).cast("int"),
+        F.lit(n_shards - 1),
+    )
 
 
 def _shard_offsets(df: DataFrame, agg_col) -> tuple[dict, int]:
@@ -141,12 +166,20 @@ def _ntile_from_rank(rank_col: str, n_rows: int, k: int) -> "F.Column":
 
 
 def _lookup_literal(mapping: dict, col: str) -> "F.Column":
-    """Broadcast a tiny driver-side dict as a literal CASE chain (stays
-    inside whole-stage codegen; no join, no shuffle)."""
-    expr = F.lit(0)
+    """Broadcast a tiny driver-side dict as ONE literal map lookup
+    (stays inside whole-stage codegen; no join, no shuffle). A flat
+    ``create_map`` + ``element_at``, NOT a nested when() chain — the
+    chain's depth-n expression tree costs Catalyst quadratic analysis
+    time, which at 32 shards dominated the sharded-window queries'
+    wall clock (plan time, not execution)."""
+    if not mapping:
+        return F.lit(0)
+    pairs: list = []
     for k, v in mapping.items():
-        expr = F.when(F.col(col) == F.lit(k), F.lit(v)).otherwise(expr)
-    return expr
+        pairs += [F.lit(k), F.lit(v)]
+    return F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(col)), F.lit(0)
+    )
 
 
 def events_as_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2939,8 +2972,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
     )
-    shard = _range_shard(docs, "doc_id", n_shards)
-    sharded = docs.withColumn("_shard", shard)
+    # doc_id is a dense surrogate key → min/max uniform cut (one cheap
+    # pruned aggregate) instead of the percentile sketch. The lazy
+    # localCheckpoint materializes the (id, n_tokens, shard) projection
+    # during the offsets action, so the text scan + tokenization run
+    # ONCE instead of once per stitching pass — ~17 bytes/row of
+    # executor-local state at any scale.
+    shard = _uniform_shard(docs, "doc_id", n_shards)
+    sharded = docs.withColumn("_shard", shard).localCheckpoint(eager=False)
     offsets, _ = _shard_offsets(sharded, F.sum("n_tokens"))
     w = (
         Window.partitionBy("_shard")
@@ -3549,9 +3588,14 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directly. Bit-identical to the global window, no single-task sort.
     k = 10
     ev = _t(spark, sf_dir, "events").select("value", "event_id")
+    # value is a real-valued (potentially skewed) column → keep the
+    # percentile cut; the lazy localCheckpoint makes the offsets pass
+    # the ONLY parquet scan — the final rank/window stage replays the
+    # materialized (value, event_id, _shard) projection from executor
+    # storage instead of re-scanning.
     sharded = ev.withColumn(
         "_shard", _range_shard(ev, "value", _default_shards(spark))
-    )
+    ).localCheckpoint(eager=False)
     offsets, n_rows = _shard_offsets(sharded, F.count("*"))
     w = Window.partitionBy("_shard").orderBy("value", "event_id")
     rank = F.row_number().over(w) + _lookup_literal(offsets, "_shard")
