@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from sensor_data_pipeline___spark.queries import QUERIES
@@ -133,7 +134,14 @@ def main() -> None:
     def materialize(df) -> None:
         try:
             df.toPandas()  # Arrow batches; see module docstring
-        except Exception:
+        except Exception as exc:  # noqa: BLE001
+            # the fallback changes WHAT is measured (per-row Row
+            # construction vs Arrow batches) — never fall back silently
+            print(
+                f"bench: Arrow materialization failed "
+                f"({type(exc).__name__}); falling back to collect()",
+                file=sys.stderr,
+            )
             df.collect()
 
     # warmup: JVM + codegen + parquet footer caches

@@ -1,0 +1,142 @@
+"""Training-data export: deterministic global shuffle, shard writing,
+and source-mixture rebalancing.
+
+The last mile of a pre-training pipeline is not a query — it is
+materializing the cleaned corpus as a SHUFFLED, SHARDED artifact the
+trainer streams sequentially. Three properties matter at 100 TB:
+
+1. **The shuffle must be content-keyed, not RNG-keyed.** ``orderBy
+   (rand())`` is a full global sort AND re-deals on every retry/rerun/
+   layout change. Hashing the document id (the module-standard
+   ``md5(salt|id)`` recipe from :mod:`.sampling`) gives a uniform
+   pseudo-random order that is identical across engines, cluster
+   sizes, reruns, and speculative task retries — an exactly
+   reproducible training data order, which is what makes training runs
+   comparable.
+
+2. **No global sort.** Shard id = hash mod ``n_shards`` is a narrow
+   projection; within-shard position is a window partitioned by shard
+   — one shuffle keyed on shard, ``n_shards``-way parallel, each
+   partition holding corpus/n_shards rows. The operator's cost is one
+   exchange; there is never a ``SinglePartition`` stage. Choose
+   ``n_shards`` so a shard is file-sized (~0.5-1 GB): at 100 TB that
+   is ~10^5 shards, each a bounded window partition.
+
+3. **Mixture control is a quota, not a probability.** Web corpora are
+   dominated by a few sources; trainers want a TARGET mixture (so
+   much code, so much encyclopedic, so much web). :func:`mixture_sample`
+   takes exact per-stratum quotas and fills each with the k
+   content-smallest hashes — deterministic, oracle-replayable, and
+   stable under corpus growth (only border documents can be evicted).
+
+Reference scope note: the reference pipeline ends at a serving API
+(`/root/reference/src/api/data.py`); sharded training export is part
+of this repo's LLM-pipeline extension surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_hex(id_col: Column, salt: str) -> Column:
+    """Content-stable 128-bit hex string: md5(salt|id) — the same
+    recipe as :mod:`.sampling` so every deterministic operator family
+    shares one cross-engine-verifiable randomness source."""
+    return F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string")))
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Adds ``shard`` (long in [0, n_shards)) and ``pos`` (long,
+    1-based position within the shard's stream order).
+
+    Shard = first 32 hash bits mod ``n_shards``; position = rank of
+    the FULL 128-bit hash within the shard (ties broken by id, for
+    the theoretical 2^-128 collision). Reading shards in pos order
+    replays one global pseudo-random permutation of the corpus.
+    """
+    h = _hash_hex(F.col(id_col), salt)
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    out = df.withColumn("_h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle-v1",
+) -> None:
+    """Materialize the shuffled corpus as ``shard=K/`` parquet
+    directories, rows within each shard file in stream (``pos``)
+    order, so a trainer maps shard k → worker k and reads
+    sequentially.
+
+    ``repartition(n_shards, shard)`` co-locates each shard in exactly
+    one task before ``partitionBy`` — without it every task holds a
+    slice of every shard and the writer emits tasks × shards small
+    files (the small-files failure mode ``Warehouse.compact`` exists
+    to clean up; better not to create it)."""
+    assigned = shard_assign(df, id_col, n_shards, salt)
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    quotas: dict[str, int],
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Exact-quota mixture rebalancing: for each stratum keep the
+    ``quotas[stratum]`` rows with the smallest content hash; strata
+    absent from ``quotas`` are dropped. A stratum smaller than its
+    quota keeps everything (the shortfall is reported by
+    ``groupBy(stratum_col).count()`` downstream, not silently
+    backfilled from other strata — mixture substitution is a policy
+    decision, not an engine default).
+
+    One shuffle on the stratum; per-stratum state is the quota-sized
+    top-k heap. The quota map is a literal expression (strata are
+    bounded: languages, source buckets), so no join is planned.
+    """
+    if not quotas:
+        raise ValueError("quotas must name at least one stratum")
+    entries = []
+    for key, k in quotas.items():
+        entries += [F.lit(key), F.lit(int(k))]
+    quota = F.element_at(
+        F.create_map(*entries), F.col(stratum_col).cast("string")
+    )
+    h = _hash_hex(F.col(id_col), salt)
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_quota", quota)
+        .filter(F.col("_quota").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_quota", "_rn")
+    )

@@ -4992,3 +4992,66 @@ def q_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars_after"),
         (F.sum(num_len) / 5).cast("long").alias("n_num_tokens"),
     )
+
+
+@_register(
+    "shard_assignment",
+    # Deterministic global shuffle for training export (operators/
+    # export.py:shard_assign): shard = first-32-md5-bits mod 8, pos =
+    # rank of the full 128-bit hash within the shard. The ENTIRE
+    # permutation is content-keyed, so the oracle replays it exactly —
+    # the property that makes the training data order reproducible
+    # across engines and reruns. BIGINT-pinned per the round-3 rule.
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5('shuffle-v1' || '|' || CAST(doc_id AS VARCHAR)) AS hex
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8
+                AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8
+                  ORDER BY hex ASC, doc_id ASC)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.export import shard_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assign(docs, "doc_id", 8).select("doc_id", "shard", "pos")
+
+
+@_register(
+    "mixture_sample_docs",
+    # Exact-quota source-mixture rebalancing (operators/export.py:
+    # mixture_sample): per-language quotas en=120/zh=50/es=50/de=40/
+    # fr=30 filled with the content-smallest hashes. Deterministic, so
+    # the oracle replays the exact winning set; under-quota strata
+    # keep everything (fr has 64 >= 30 at sf0.01, but the semantics is
+    # pinned by the LEAST(quota, stratum size) shape regardless).
+    """
+    WITH q(lang, quota) AS (
+      VALUES ('en', 120), ('zh', 50), ('es', 50), ('de', 40), ('fr', 30)
+    ), r AS (
+      SELECT d.doc_id, d.lang, d.source, q.quota,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5('mixture-v1' || '|' || CAST(d.doc_id AS VARCHAR)) ASC,
+                        d.doc_id ASC) AS rn
+      FROM documents d JOIN q ON d.lang = q.lang
+    )
+    SELECT doc_id, lang, source FROM r WHERE rn <= quota
+    """,
+)
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.export import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    quotas = {"en": 120, "zh": 50, "es": 50, "de": 40, "fr": 30}
+    return mixture_sample(docs, "lang", "doc_id", quotas).select(
+        "doc_id", "lang", "source"
+    )

@@ -1,0 +1,128 @@
+"""Training-export operators: deterministic shuffle/shard assignment,
+shard writing, and exact-quota mixture sampling
+(sensor_data_pipeline___spark/operators/export.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.operators.export import (
+    mixture_sample,
+    shard_assign,
+    write_shards,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_shard_assign_layout_invariant(spark, docs):
+    """The permutation is content-keyed: repartitioning the input must
+    not move a single row's (shard, pos)."""
+    a = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shard_assign(docs, "doc_id", 8).collect()
+    }
+    b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shard_assign(docs.repartition(7), "doc_id", 8).collect()
+    }
+    assert a == b
+    assert len(a) == docs.count()
+
+
+def test_shard_assign_is_a_permutation(spark, docs):
+    """Every shard's positions are exactly 1..shard_size — the shards
+    concatenate to one permutation of the corpus, no gaps, no dups."""
+    assigned = shard_assign(docs, "doc_id", 8)
+    per_shard = (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.countDistinct("pos").alias("npos"),
+        )
+        .collect()
+    )
+    assert {r.shard for r in per_shard} == set(range(8))
+    for r in per_shard:
+        assert (r.lo, r.hi, r.npos) == (1, r.n, r.n)
+
+
+def test_write_shards_roundtrip(spark, docs, tmp_path):
+    out = os.path.join(str(tmp_path), "shards")
+    write_shards(docs, out, "doc_id", n_shards=4)
+    dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard=")
+    )
+    assert dirs == [f"shard={k}" for k in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # each shard directory holds ONE file (plus markers): the
+    # repartition-before-partitionBy co-location worked
+    for d in dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    # within a shard file, rows are in stream order
+    one = spark.read.parquet(os.path.join(out, dirs[0]))
+    pos = [r.pos for r in one.select("pos").collect()]
+    assert pos == sorted(pos)
+
+
+def test_mixture_sample_quota_semantics(spark, docs):
+    sizes = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    langs = sorted(sizes)
+    assert len(langs) >= 2
+    over, under = langs[0], langs[1]
+    quotas = {over: max(1, sizes[over] - 1), under: sizes[under] + 100}
+    got = {
+        r.lang: r.n
+        for r in mixture_sample(docs, "lang", "doc_id", quotas)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # capped stratum hits its quota exactly; under-filled stratum keeps
+    # everything; strata absent from the quota map are dropped
+    assert got == {over: quotas[over], under: sizes[under]}
+
+
+def test_mixture_sample_stable_under_growth(spark, docs):
+    """Growing the corpus can only evict border rows: the winners on a
+    half-corpus that still win on the full corpus keep identical
+    membership (subset property of fixed-k smallest-hash selection)."""
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    quotas = {"en": 5}
+    w_half = {
+        r.doc_id
+        for r in mixture_sample(half, "lang", "doc_id", quotas).collect()
+    }
+    w_full = {
+        r.doc_id
+        for r in mixture_sample(docs, "lang", "doc_id", quotas).collect()
+    }
+    # full-corpus winners that exist in the half corpus must also be
+    # half-corpus winners (hash order is global, not layout-relative)
+    half_ids = {r.doc_id for r in half.collect()}
+    assert (w_full & half_ids) <= w_half
+
+
+def test_mixture_sample_empty_quotas_rejected(spark, docs):
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "lang", "doc_id", {})
