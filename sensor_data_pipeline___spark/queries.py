@@ -5055,3 +5055,156 @@ def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, "lang", "doc_id", quotas).select(
         "doc_id", "lang", "source"
     )
+
+
+@_register(
+    "corpus_pipeline_stats",
+    # The FULL pre-training corpus pipeline, end to end, as ONE
+    # oracle-hash-verifiable composition: raw → exact dedup (min-id
+    # representative per md5(text)) → quality gate (token count in
+    # [20, 90], avg token length <= 10 — language-neutral Gopher-style
+    # bounds) → content-stable train split → decontamination (drop
+    # train docs sharing a word-8-gram with the test split) → exact-
+    # quota language mixture → shard assignment. Every stage is
+    # deterministic (the module-standard md5 recipes), so DuckDB
+    # replays the ENTIRE pipeline and the per-stage counts hash-match.
+    # Each single-stage operator has its own query elsewhere; this one
+    # pins that the stages COMPOSE (representative choice feeds the
+    # split, the split feeds decontamination, ...).
+    """
+    WITH d AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ), q AS (
+      SELECT doc_id, lang, text FROM d
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 90
+        AND length(replace(text, ' ', ''))
+            / len(string_split(text, ' '))::DOUBLE <= 10.0
+    ), s AS (
+      SELECT doc_id, lang, text,
+             CAST(('0x' || substr(md5('split-v1' || '|' ||
+                                      CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS b
+      FROM q
+    ), train AS (SELECT * FROM s WHERE b < 8000
+    ), test AS (SELECT * FROM s WHERE b >= 9000
+    ), trw AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM train
+    ), tew AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM test
+    ), tg AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      FROM trw, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ), eg AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+      FROM tew, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ), clean AS (
+      SELECT * FROM train WHERE doc_id NOT IN (
+        SELECT DISTINCT doc_id FROM tg JOIN eg USING (g))
+    ), mq(lang, quota) AS (
+      VALUES ('en', 60), ('zh', 20), ('es', 20), ('de', 15), ('fr', 10)
+    ), mixed AS (
+      SELECT doc_id FROM (
+        SELECT c.doc_id, mq.quota,
+               row_number() OVER (
+                 PARTITION BY c.lang
+                 ORDER BY md5('mixture-v1' || '|' ||
+                              CAST(c.doc_id AS VARCHAR)) ASC,
+                          c.doc_id ASC) AS rn
+        FROM clean c JOIN mq ON c.lang = mq.lang) WHERE rn <= quota
+    ), sh AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('shuffle-v1' || '|' ||
+                                      CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 AS shard
+      FROM mixed
+    )
+    SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL SELECT 'exact_dedup', CAST(count(*) AS BIGINT) FROM d
+    UNION ALL SELECT 'quality', CAST(count(*) AS BIGINT) FROM q
+    UNION ALL SELECT 'train_split', CAST(count(*) AS BIGINT) FROM train
+    UNION ALL SELECT 'decontaminated', CAST(count(*) AS BIGINT) FROM clean
+    UNION ALL SELECT 'mixture', CAST(count(*) AS BIGINT) FROM mixed
+    UNION ALL SELECT 'nonempty_shards', CAST(count(*) AS BIGINT) FROM sh
+    """,
+)
+def q_corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape per stage: dedup is one shuffle keyed on md5(text)
+    (constant-width); the quality gate and split are narrow codegen
+    projections; decontamination shuffles distinct grams (test side is
+    tiny after distinct — broadcast/bloom at 100 TB, see
+    train_test_contamination); mixture is a per-language top-k window;
+    shard assignment is a narrow projection. No stage widens beyond
+    its single-operator twin — composition adds no new shuffles."""
+    from pyspark.sql import Window
+
+    from sensor_data_pipeline___spark.operators.export import (
+        mixture_sample,
+        shard_assign,
+    )
+    from sensor_data_pipeline___spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    reps = (
+        docs.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks)
+    atl = F.length(F.regexp_replace(F.col("text"), " ", "")) / nt.cast(
+        "double"
+    )
+    quality = reps.filter((nt >= 20) & (nt <= 90) & (atl <= 10.0))
+    labeled = hash_split(quality, "doc_id")
+    train = labeled.filter(F.col("split") == "train")
+    test = labeled.filter(F.col("split") == "test")
+
+    n = 8
+    wl = F.split(F.lower("text"), " ", -1)
+    idx = F.when(
+        F.size(wl) >= n, F.sequence(F.lit(1), F.size(wl) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(wl, i, n)))
+            ).alias("g"),
+        ).distinct()
+
+    te_g = grams(test).select("g").distinct()
+    contaminated = (
+        grams(train).join(te_g, "g", "left_semi").select("doc_id").distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    mixed = mixture_sample(
+        clean, "lang", "doc_id",
+        {"en": 60, "zh": 20, "es": 20, "de": 15, "fr": 10},
+    )
+    sharded = shard_assign(mixed, "doc_id", 8)
+
+    def stage(name: str, df: DataFrame, col=None) -> DataFrame:
+        agg = (col if col is not None else F.count("*")).cast("long")
+        return df.groupBy().agg(agg.alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    parts = [
+        stage("raw", docs),
+        stage("exact_dedup", reps),
+        stage("quality", quality),
+        stage("train_split", train),
+        stage("decontaminated", clean),
+        stage("mixture", mixed),
+        stage("nonempty_shards", sharded, F.countDistinct("shard")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
