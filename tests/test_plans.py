@@ -223,3 +223,38 @@ def test_ewma_daily_value_plan_shape(spark):
     assert explain.single_partition_exchange_count(df) == 0, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "partial_avg" in plan or "partial_" in plan, plan
+
+
+def test_export_shard_assign_never_single_partition(spark):
+    """The training-export permutation (shard_assign) must stay
+    n_shards-way parallel: shard id is a narrow projection and the
+    per-shard position window partitions by shard — a global ORDER BY
+    (the orderBy(rand()) anti-pattern it replaces) would show up here
+    as a SinglePartition exchange."""
+    df = QUERIES["shard_assignment"](spark, SF)
+    assert explain.single_partition_exchange_count(df) == 0, (
+        explain.formatted_plan(df)
+    )
+    # corpus_pipeline_stats reports seven SCALAR stage counts; each
+    # final count merge is a legitimate SinglePartition exchange over
+    # O(partitions) partial-count rows, never over data. Pin that no
+    # OTHER stage collapses (window/dedup/decontaminate/mixture all
+    # stay parallel): the single-partition count is exactly the number
+    # of scalar aggregates, no more.
+    pipe = QUERIES["corpus_pipeline_stats"](spark, SF)
+    assert explain.single_partition_exchange_count(pipe) == 7, (
+        explain.formatted_plan(pipe)
+    )
+
+
+def test_mixture_sample_quota_is_literal_not_join(spark):
+    """The quota map must compile to a literal map expression — a join
+    against a 5-row quota frame would add an exchange per stratum
+    lookup. One window exchange on the stratum is the whole cost."""
+    from sensor_data_pipeline___spark.operators.export import mixture_sample
+
+    docs = readers.table(spark, "documents", SF)
+    df = mixture_sample(docs, "lang", "doc_id", {"en": 5, "de": 3})
+    plan = explain.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert explain.single_partition_exchange_count(df) == 0, plan
