@@ -73,7 +73,13 @@ def bench_streaming(
     excluded — it pays foreachBatch codegen) and the median micro-batch
     latency from the engine's own progress metrics
     (durationMs.triggerExecution covers source admission through sink
-    commit)."""
+    commit).
+
+    Metric-honesty note: the batch body persists the source frame, so
+    ``numInputRows`` counts each row ONCE. Before that persist landed,
+    the gate count and the bronze write each re-read the source and the
+    metric double-counted input (40k reported for a 20k batch) —
+    pre-persist rows/s figures are inflated ~2× and not comparable."""
     import statistics
     import tempfile
 

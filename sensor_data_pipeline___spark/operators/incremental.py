@@ -39,9 +39,10 @@ from sensor_data_pipeline___spark.warehouse import BRONZE, GOLD, SILVER, Warehou
 
 def _scalar_watermark(df: DataFrame, col: str):
     """A2: MAX(col) over the target table — the one permitted
-    driver-side scalar (None on empty table → epoch floor, P10)."""
-    if len(df.take(1)) == 0:
-        return None
+    driver-side scalar. MAX over an empty frame is already NULL →
+    None → epoch floor (P10), so no separate emptiness probe: one
+    column-pruned aggregate job, which matters in the streaming loop
+    where this runs every micro-batch."""
     return df.agg(F.max(col)).first()[0]
 
 
@@ -60,8 +61,15 @@ def run_silver(wh: Warehouse, full_refresh: bool = False) -> int:
     if wm is not None:
         bronze = bronze.filter(F.col("ingested_at") > F.lit(wm))  # J1
 
-    new_silver = bronze_to_silver(bronze)
-    if len(new_silver.take(1)) == 0:
+    # localCheckpoint materializes the watermark-bounded parse ONCE
+    # (the frame is batch-sized — bounded by the new-data increment,
+    # never the table); the emptiness check, the merge's two uses, and
+    # the returned count all replay the materialization instead of
+    # re-running the bronze scan + parse three times. In the streaming
+    # loop this is several jobs per micro-batch.
+    new_silver = bronze_to_silver(bronze).localCheckpoint(eager=True)
+    n = new_silver.count()
+    if n == 0:
         return 0  # no new data — a re-run is a no-op (M1 idempotency)
 
     # M1 merge on raw_id within touched partitions: keep existing rows
@@ -74,7 +82,6 @@ def run_silver(wh: Warehouse, full_refresh: bool = False) -> int:
     merged = existing_affected.join(
         new_silver.select("raw_id"), "raw_id", "left_anti"
     ).unionByName(new_silver, allowMissingColumns=True)
-    n = new_silver.count()
     wh.write(SILVER, merged)  # dynamic overwrite of touched partitions only
     return n
 
@@ -95,7 +102,10 @@ def run_gold(wh: Warehouse, full_refresh: bool = False) -> int:
             )
             silver = silver.join(F.broadcast(affected), "reading_date", "left_semi")
 
-    new_gold = silver_to_gold(silver)
+    # one row per (day, metric) — tiny; materializing once means the
+    # count and the write don't each replay the silver aggregation
+    # (same pattern as backfill_gold)
+    new_gold = silver_to_gold(silver).localCheckpoint(eager=True)
     n = new_gold.count()
     if n == 0 and not full_refresh:
         return 0

@@ -81,11 +81,22 @@ def _ingest_batch_fn(wh: Warehouse, reject_dir: str | None):
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         raw_lines = batch_df.select(F.col("value").alias("raw_line"))
+        # persisted for the batch body: the gate count, the bronze
+        # write (and the reject diversion) each re-read the source
+        # otherwise — one source materialization per micro-batch, not
+        # three. Unpersisted in the finally; memory is micro-batch-
+        # bounded by the trigger's admission control.
         flagged = raw_lines.select(
             "raw_line",
             parsing.is_blank(F.col("raw_line")).alias("_blank"),
             parsing.gate_valid(F.col("raw_line")).alias("_valid"),
-        )
+        ).persist()
+        try:
+            _process_flagged(flagged, batch_id)
+        finally:
+            flagged.unpersist()
+
+    def _process_flagged(flagged: DataFrame, batch_id: int) -> None:
         counts = flagged.agg(
             F.sum(F.when(~F.col("_blank") & ~F.col("_valid"), 1).otherwise(0)).alias(
                 "invalid"
@@ -93,7 +104,7 @@ def _ingest_batch_fn(wh: Warehouse, reject_dir: str | None):
         ).first()
         if int(counts["invalid"] or 0) > 0:
             if reject_dir is not None:
-                raw_lines.write.mode("overwrite").parquet(
+                flagged.select("raw_line").write.mode("overwrite").parquet(
                     os.path.join(reject_dir, f"batch_id={batch_id}")
                 )
             return  # F6: reject whole batch, nothing persists
