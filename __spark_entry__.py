@@ -72,7 +72,11 @@ _PRIORITY = (
     "pit_join_click_version",
     "scd2_purchase_values",
     "dedup_exact",
-    "dedup_exact_stats",
+    # r5: corpus_pipeline_stats (the end-to-end dedup→quality→split→
+    # decontaminate→mixture→shard composition, new this round) takes
+    # dedup_exact_stats's slot — that operator stays gate-covered via
+    # dedup_exact in-window and green on the local replica harness.
+    "corpus_pipeline_stats",
     "snapshot_diff_orders",
     "deterministic_stratified_sample",
     "bloom_semi_join_lineitem",

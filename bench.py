@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     # quadratic (~1M pairs), so the query measures result size, not
     # engine speed. It stays oracle-gated at sf0.01.
     "tfidf_top_terms",
+    # the end-to-end pre-training corpus composition (dedup → quality
+    # → split → decontaminate → mixture → shard): tracks the integrated
+    # pipeline cost round-over-round, not just its stages
+    "corpus_pipeline_stats",
     "session_window_batch",
     "hll_distinct_rollup",
     "psi_value_drift",

@@ -5149,10 +5149,16 @@ def q_corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # Checkpointed: the union's seven stage-count branches are
+    # independent consumers — without materialization each branch
+    # replays the dedup window (and everything above it) from the
+    # scan. Same for `clean` below (the 8-gram join, the pipeline's
+    # heaviest stage). 3.3 s -> ~1 s at sf0.1.
     reps = (
         docs.withColumn("_rn", F.row_number().over(w_dup))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint(eager=True)
     )
     toks = F.split(F.col("text"), " ")
     nt = F.size(toks)
@@ -5166,23 +5172,37 @@ def q_corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 8
     wl = F.split(F.lower("text"), " ", -1)
-    idx = F.when(
-        F.size(wl) >= n, F.sequence(F.lit(1), F.size(wl) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
+    # grams are keyed by multi-arg xxhash64 over zipped shifted slices
+    # — the _hashed_shingles recipe from operators/dedup.py (n slices
+    # per DOCUMENT, not one per window: the per-window slice inside an
+    # interpreted higher-order function measured ~10x slower here).
+    # The distinct + semi join shuffle 8-byte longs instead of
+    # ~400-byte gram strings. Membership (hence every stage count) is
+    # identical to string keys barring a 64-bit collision between a
+    # train-only and a test-only gram — odds ~1e-9 at millions of
+    # grams; the string-keyed twin (train_test_contamination) stays
+    # exactly oracle-replayable. Short docs: width clamps to 0 → no
+    # windows (the oracle's generate_series yields no rows there).
+    width = F.greatest(F.size(wl) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(wl, i + 1, width).alias(f"t{i}") for i in range(n)]
+    )
+    gram_hashes = F.transform(
+        zipped, lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)])
+    )
 
     def grams(df: DataFrame) -> DataFrame:
         return df.select(
-            "doc_id",
-            F.explode(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(wl, i, n)))
-            ).alias("g"),
+            "doc_id", F.explode(gram_hashes).alias("g")
         ).distinct()
 
     te_g = grams(test).select("g").distinct()
     contaminated = (
         grams(train).join(te_g, "g", "left_semi").select("doc_id").distinct()
     )
-    clean = train.join(contaminated, "doc_id", "left_anti")
+    clean = train.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     mixed = mixture_sample(
         clean, "lang", "doc_id",
         {"en": 60, "zh": 20, "es": 20, "de": 15, "fr": 10},
