@@ -100,8 +100,12 @@ def run_set(spark: SparkSession, sf_dir: str, reps: int) -> dict[str, float]:
     ).save()
     for _ in range(reps):
         for name in BENCH_QUERIES:
-            df: DataFrame = QUERIES[name](spark, sf_dir)
+            # construction INSIDE the timer, matching bench.py — some
+            # queries (corpus_pipeline_stats) materialize eager
+            # checkpoints while building; excluding that hides most of
+            # their cost
             start = time.perf_counter()
+            df: DataFrame = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
             timings[name] = round(

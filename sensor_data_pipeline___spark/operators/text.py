@@ -152,3 +152,57 @@ def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("orig_n_chars", F.length(F.col(text_col))).withColumn(
         text_col, out
     )
+
+
+def collapse_repeats(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition scrub: collapse CONSECUTIVE repeated
+    tokens to one occurrence (the Dolma/C4-style within-doc cleanup
+    whose cross-doc counterpart is dedup; the trigram_repetition query
+    is the detection stage, this is the action). Pure higher-order
+    array expressions — one narrow projection, no shuffle, no Python.
+
+    Adds ``n_tokens_before`` / ``n_tokens_after`` audit columns and
+    rewrites ``text``. ``F.get`` (0-based, null on out-of-range) not
+    ``element_at`` (throws on index 0): filter lambdas are not
+    guaranteed to short-circuit, so the i=0 probe of the previous
+    token must be total; the null-safe inequality then keeps the
+    first token (null previous ⇒ "different")."""
+    toks = F.split(F.col(text_col), " ", -1)
+    kept = F.filter(
+        toks,
+        lambda t, i: (i == F.lit(0)) | ~t.eqNullSafe(F.get(toks, i - 1)),
+    )
+    return (
+        docs.withColumn("n_tokens_before", F.size(toks))
+        .withColumn("n_tokens_after", F.size(kept))
+        .withColumn(text_col, F.array_join(kept, " "))
+    )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    perplexity proxy: degenerate/boilerplate text (repeated chars,
+    padding, binary junk) scores low, natural language high.
+
+    Scale shape: explode to (doc, char) then two partial-aggregated
+    groupBys — map-side combine collapses each task's chars to
+    O(docs × alphabet) before either exchange, so the shuffle never
+    carries per-character rows. Entropy uses the sufficient-statistic
+    form  log2(L) − Σ c·log2(c) / L  over integer counts; the float
+    sum is rounded by callers for cross-engine comparison."""
+    chars = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    L = F.sum("c")
+    return per.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("distinct_chars"),
+        (
+            F.log2(L)
+            - F.sum(F.col("c") * F.log2("c")) / L
+        ).alias("char_entropy"),
+    )

@@ -5228,3 +5228,74 @@ def q_corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@_register(
+    "collapse_repeat_tokens",
+    # Intra-document repetition scrub (operators/text.py:
+    # collapse_repeats): consecutive duplicate tokens collapse to one.
+    # The md5 of the REWRITTEN text pins the exact transformation, not
+    # just the counts; DuckDB's 1-based indexed lambda mirrors Spark's
+    # 0-based one.
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             list_filter(toks, (t, i) -> i = 1 OR t != toks[i - 1]) AS kept
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens_before,
+           CAST(len(kept) AS BIGINT) AS n_tokens_after,
+           md5(array_to_string(kept, ' ')) AS collapsed_md5
+    FROM c
+    """,
+)
+def q_collapse_repeat_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.text import collapse_repeats
+
+    out = collapse_repeats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens_before").cast("long").alias("n_tokens_before"),
+        F.col("n_tokens_after").cast("long").alias("n_tokens_after"),
+        F.md5("text").alias("collapsed_md5"),
+    )
+
+
+@_register(
+    "char_entropy_quality",
+    # Character-entropy quality proxy (operators/text.py:char_entropy):
+    # Shannon entropy over the per-doc character distribution, the
+    # cheap degenerate-text detector. Both engines use the identical
+    # sufficient-statistic form log2(L) - sum(c*log2(c))/L over exact
+    # integer counts; 6dp rounding absorbs float-sum order effects
+    # (the repo-standard tolerance for libm-vs-JVM transcendentals).
+    """
+    WITH cnts AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(string_split(text, '')),
+               d -> len(list_filter(string_split(text, ''), c -> c = d))
+             ) AS cl,
+             len(string_split(text, '')) AS L
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(cl) AS BIGINT) AS distinct_chars,
+           round(log2(L::DOUBLE)
+                 - list_sum(list_transform(cl, c -> c::DOUBLE * log2(c::DOUBLE)))
+                   / L::DOUBLE, 6) AS char_entropy
+    FROM cnts
+    """,
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.text import char_entropy
+
+    out = char_entropy(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "distinct_chars",
+        F.round("char_entropy", 6).alias("char_entropy"),
+    )
