@@ -73,3 +73,40 @@ def robust_zscore_grouped(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(score, schema=schema)
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Percentile clamp: values outside the group's [lo, hi] exact
+    interpolated percentiles are pulled to the boundary — the standard
+    outlier TREATMENT where :func:`robust_zscore_native` is the
+    detection (scoring flags, winsorizing repairs; both keep the row,
+    unlike a filter).
+
+    Adds ``value_w`` (clamped), ``_lo``/``_hi`` (the bounds applied).
+    Shape: one grouped percentile aggregation (partial-aggregated,
+    O(groups) output) broadcast-joined back onto the scan — the same
+    two-pass broadcast-stats pattern as the histogram bounds and the
+    robust z-score; nothing wide, nothing driver-side. At extreme
+    cardinality the bounds frame outgrows broadcast and AQE falls back
+    to a shuffled join on the group key — still one exchange.
+
+    Exact `percentile` (not `approx_percentile`) keeps the bounds
+    cross-engine verifiable (≡ DuckDB `quantile_cont`); the approx
+    sketch is the scale escalation when a group's value set won't fit
+    an exact-percentile buffer.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, lo).alias("_lo"),
+        F.percentile(value_col, hi).alias("_hi"),
+    )
+    v = F.col(value_col)
+    return df.join(F.broadcast(bounds), group_col).withColumn(
+        "value_w",
+        F.least(F.greatest(v, F.col("_lo")), F.col("_hi")),
+    )

@@ -5299,3 +5299,50 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_chars",
         F.round("char_entropy", 6).alias("char_entropy"),
     )
+
+
+@_register(
+    "winsorize_event_values",
+    # Percentile clamp (operators/anomaly.py:winsorize): per-type
+    # [p01, p99] exact interpolated bounds (Spark `percentile` ≡
+    # DuckDB `quantile_cont`, the percentile_prices parity), values
+    # outside pulled to the boundary. Per-type audit: rows clamped on
+    # each side, the bounds, and the treated mean.
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01)::DOUBLE AS lo,
+             quantile_cont(value, 0.99)::DOUBLE AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high,
+           round(min(b.lo), 6) AS lo_bound,
+           round(max(b.hi), 6) AS hi_bound,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 6)
+             AS winsorized_mean
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.anomaly import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    w = winsorize(ev, "event_type", "value")
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("value") < F.col("_lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_low"),
+        F.sum(F.when(F.col("value") > F.col("_hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_high"),
+        F.round(F.min("_lo"), 6).alias("lo_bound"),
+        F.round(F.max("_hi"), 6).alias("hi_bound"),
+        F.round(F.avg("value_w"), 6).alias("winsorized_mean"),
+    )
