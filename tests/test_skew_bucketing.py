@@ -236,3 +236,67 @@ def test_warehouse_compaction(spark, tmp_path):
     n_files, _ = wh2.file_stats(SILVER)[frag_dir]
     assert n_files >= 3  # 240 rows / ~60-row files
     assert wh2.read(SILVER).count() == 240
+
+
+def test_crashed_compaction_rolls_back(spark, tmp_path, monkeypatch):
+    """Compaction is maintenance, not a transform — a compact() that
+    dies mid-rewrite (task failure before job commit) must leave every
+    partition's content AND file layout exactly as they were (the
+    same FileOutputCommitter rollback the merge crash tests pin), and
+    a re-run must complete the rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.warehouse import SILVER, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(40).select(
+        F.col("id").alias("raw_id"),
+        F.to_timestamp(F.lit("2022-04-14 10:00:00")).alias("reading_timestamp"),
+        F.concat(F.lit("M"), (F.col("id") % 4).cast("string")).alias("metric_name"),
+        (F.col("id") * 1.5).alias("metric_value"),
+        F.current_timestamp().alias("processed_at"),
+        F.to_date(F.lit("2022-04-14")).alias("reading_date"),
+    )
+    for i in range(4):
+        wh.append(SILVER, base.withColumn("raw_id", F.col("raw_id") + i * 40))
+    stats_before = wh.file_stats(SILVER)
+    rows_before = sorted(
+        (r["raw_id"], r["metric_value"]) for r in wh.read(SILVER).collect()
+    )
+
+    @F.udf("double")
+    def boom(v):
+        raise RuntimeError("injected task failure")
+
+    real_read = wh.read
+
+    def poisoned_read(table):
+        return real_read(table).withColumn("metric_value", boom("metric_value"))
+
+    monkeypatch.setattr(wh, "read", poisoned_read)
+    with pytest.raises(Exception, match="injected task failure"):
+        wh.compact(SILVER, target_file_bytes=1 << 30)
+    monkeypatch.undo()
+
+    # rollback: content and file layout identical, no staging debris
+    # visible to the reader
+    assert wh.file_stats(SILVER) == stats_before
+    assert (
+        sorted((r["raw_id"], r["metric_value"]) for r in wh.read(SILVER).collect())
+        == rows_before
+    )
+    leftovers = [
+        d for d in os.listdir(wh.path(SILVER)) if d.startswith("_temporary")
+    ]
+    assert leftovers == []
+
+    # the re-run completes the interrupted maintenance
+    (frag_dir,) = stats_before.keys()
+    assert wh.compact(SILVER, target_file_bytes=1 << 30) == [frag_dir]
+    assert wh.file_stats(SILVER)[frag_dir][0] == 1
+    assert (
+        sorted((r["raw_id"], r["metric_value"]) for r in wh.read(SILVER).collect())
+        == rows_before
+    )
