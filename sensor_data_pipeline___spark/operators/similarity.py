@@ -347,6 +347,19 @@ def ivf_topk(
         .withColumn("cn", _norm(F.col("ce")))
         .join(assigned, id_col)
     )
+    probes = _ivf_probes(queries, centroids, nprobe, vec_col, id_col)
+    return _ivf_cell_search(c, probes, k, id_col, round_digits)
+
+
+def _ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, qe, qn, cell) — each query paired with its ``nprobe``
+    closest cells (ties to the lowest cell id)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qe")
     ).withColumn("qn", _norm(F.col("qe")))
@@ -354,7 +367,7 @@ def ivf_topk(
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("ccos"), F.col("cell")
     )
-    probes = (
+    return (
         q.crossJoin(F.broadcast(kdf))
         .withColumn(
             "ccos",
@@ -364,6 +377,18 @@ def ivf_topk(
         .filter(F.col("prk") <= nprobe)
         .select("query_id", "qe", "qn", "cell")
     )
+
+
+def _ivf_cell_search(
+    c: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Cell-equi-joined exact rescoring + per-query top-k — shared by
+    the in-memory and persisted-index paths so both produce identical
+    rounding and tiebreaks (pinned by tests)."""
     sims = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col(id_col))
@@ -382,3 +407,74 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "cosine", "rnk")
     )
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    ncells: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> None:
+    """Persist the IVF index: ``centroids/`` (one small parquet) and
+    ``vectors/`` — the corpus WITH its cell assignment, hive-partitioned
+    by cell (the on-disk inverted lists).
+
+    Index lifecycle is the part of ANN that matters operationally at
+    100 TB: centroid training + assignment is the expensive pass, and
+    re-running it per query (what :func:`ivf_topk` does) only makes
+    sense in exploration. Build once here; every subsequent search
+    reads ONLY the probed cells' partitions — file-level pruning, not
+    just a join — and the index is refreshed on the warehouse's
+    maintenance cadence like compaction/Z-ordering."""
+    cents = ivf_centroids(
+        corpus, ncells=ncells, iters=iters, vec_col=vec_col,
+        id_col=id_col, seed=seed,
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    assigned = ivf_assign(corpus, cents, vec_col=vec_col, id_col=id_col)
+    (
+        corpus.join(assigned, id_col)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/vectors")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k against a :func:`save_ivf_index` store.
+
+    The probed cell ids are collected (a driver scalar bounded by
+    O(queries × nprobe) ≤ ncells — the documented bounded-collect
+    class) and pushed as a PARTITION filter on the vectors store, so
+    the scan plans only the probed cells' files; everything else
+    matches :func:`ivf_topk` expression-for-expression via the shared
+    search helper."""
+    cents = spark.read.parquet(path + "/centroids")
+    probes = _ivf_probes(queries, cents, nprobe, vec_col, id_col)
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    c = (
+        spark.read.parquet(path + "/vectors")
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col(id_col),
+            _to_double(F.col(vec_col)).alias("ce"),
+            "cell",
+        )
+        .withColumn("cn", _norm(F.col("ce")))
+    )
+    return _ivf_cell_search(c, probes, k, id_col, round_digits)

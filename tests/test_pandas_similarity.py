@@ -81,3 +81,36 @@ def test_ivf_recall_with_probing(spark):
     ap = {(r.query_id, r.vec_id) for r in approx.collect()}
     bf = {(r.query_id, r.vec_id) for r in sim.brute_force_topk(q, emb, k=5).collect()}
     assert len(ap & bf) / len(bf) >= 0.5
+
+
+def test_ivf_index_roundtrip_matches_inmemory(spark, tmp_path):
+    """The persisted index (save_ivf_index → ivf_topk_indexed) must
+    return row-identical results to the in-memory ivf_topk over the
+    same centroids, and the probe scan must prune to the probed cells'
+    partitions (PartitionFilters on cell)."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        ivf_topk_indexed,
+        save_ivf_index,
+    )
+    from sensor_data_pipeline___spark.plans import explain
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(corpus, path, ncells=8, iters=1)
+
+    cents = ivf_centroids(corpus, ncells=8, iters=1)
+    expected = sorted(
+        map(tuple, ivf_topk(queries, corpus, cents, k=5, nprobe=3).collect())
+    )
+    got_df = ivf_topk_indexed(spark, path, queries, k=5, nprobe=3)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == expected
+    assert len(got) > 0
+
+    plan = explain.formatted_plan(got_df)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
