@@ -727,3 +727,66 @@ def ewma_drift_stream_tws(
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, prior)
+
+
+def corpus_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    max_avg_token_len: float = 10.0,
+    trigger: dict | None = None,
+):
+    """Streaming corpus ingest — the continuous mirror of the batch
+    ``corpus_pipeline_stats`` front half: JSONL documents stream in,
+    the language-neutral quality gate drops junk, and
+    ``dropDuplicatesWithinWatermark`` keyed on the 128-bit content
+    hash makes the clean store effectively-once under at-least-once
+    crawler redelivery.
+
+    Same state-bound argument as :func:`dedup_stream`: per-key state
+    is a constant-width md5 + event time, total state is bounded by
+    the duplicate-arrival horizon (``watermark`` over ``fetched_at``),
+    and cross-horizon duplicates are the downstream batch exact
+    dedup's job — the documented split between the streaming dedupe
+    (cheap, bounded, immediate) and the corpus-wide one (exact,
+    periodic). The quality gate runs BEFORE dedup so junk never
+    occupies state.
+
+    Input schema: ``doc_id bigint, text string, lang string,
+    source string, fetched_at timestamp`` (JSONL drop directory —
+    the crawler-handoff format; gzip-compressed files are read
+    transparently by the text-based source).
+    """
+    docs = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, "
+        "source string, fetched_at timestamp"
+    ).json(src_dir)
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks)
+    atl = F.length(F.regexp_replace(F.col("text"), " ", "")) / nt.cast(
+        "double"
+    )
+    gated = docs.filter(
+        F.col("text").isNotNull()
+        & F.col("fetched_at").isNotNull()
+        & (nt >= min_tokens)
+        & (nt <= max_tokens)
+        & (atl <= max_avg_token_len)
+    )
+    deduped = (
+        gated.withColumn("content_md5", F.md5("text"))
+        .withWatermark("fetched_at", watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -352,3 +352,66 @@ def test_changelog_batch_replay_is_idempotent(spark, dirs):
     sp._write_changelog_batch(rows, 1, dirs["out"])
     assert spark.read.parquet(dirs["out"]).count() == 2
     assert {r["batch_id"] for r in log.select("batch_id").collect()} == {0}
+
+
+def _drop_jsonl(dirs, name: str, docs: list[dict]) -> None:
+    import gzip
+    import json
+
+    path = os.path.join(dirs["drop"], name)
+    if name.endswith(".gz"):
+        with gzip.open(path, "wt") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+    else:
+        with open(path, "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+
+
+GOOD_TEXT = "tok " * 24 + "end"  # 25 tokens, short tokens -> passes gate
+JUNK_SHORT = "too short"  # 2 tokens < min_tokens
+JUNK_LONG_TOKENS = " ".join(["x" * 40] * 30)  # avg token len 40 > 10
+
+
+def test_corpus_ingest_stream_gates_and_dedups(spark, dirs):
+    """Streaming corpus ingest: the quality gate drops junk, the
+    content-hash dedup drops cross-micro-batch duplicates within the
+    watermark, gzip'd JSONL reads transparently, and a checkpointed
+    re-run emits nothing new (effectively-once)."""
+    ts = "2024-01-01T00:00:00Z"
+    _drop_jsonl(
+        dirs,
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "text": GOOD_TEXT, "lang": "en", "source": "s1", "fetched_at": ts},
+            {"doc_id": 2, "text": JUNK_SHORT, "lang": "en", "source": "s1", "fetched_at": ts},
+            {"doc_id": 3, "text": JUNK_LONG_TOKENS, "lang": "en", "source": "s1", "fetched_at": ts},
+        ],
+    )
+    q = sp.corpus_ingest_stream(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(dirs["out"])
+    assert [r.doc_id for r in out1.collect()] == [1]
+
+    # batch 2: an exact duplicate of doc 1 (different id — a re-crawl),
+    # plus a fresh doc, delivered gzip-compressed
+    _drop_jsonl(
+        dirs,
+        "b2.jsonl.gz",
+        [
+            {"doc_id": 9, "text": GOOD_TEXT, "lang": "en", "source": "s2", "fetched_at": ts},
+            {"doc_id": 10, "text": "fresh " + GOOD_TEXT, "lang": "de", "source": "s2", "fetched_at": ts},
+        ],
+    )
+    q = sp.corpus_ingest_stream(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    ids = sorted(r.doc_id for r in spark.read.parquet(dirs["out"]).collect())
+    assert ids == [1, 10]  # re-crawl deduped, fresh doc admitted
+
+    # checkpointed re-run with no new files: nothing re-emitted
+    q = sp.corpus_ingest_stream(spark, dirs["drop"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(dirs["out"]).collect()
+    ) == [1, 10]
