@@ -137,6 +137,31 @@ def bench_streaming(
         }
 
 
+def bench_export(spark, sf_dir: str, n_shards: int = 16) -> dict[str, float]:
+    """Training-export write path: shard-assign + one-file-per-shard
+    write of the documents table (operators/export.py:write_shards),
+    reported as rows/s — the materialization throughput a trainer
+    handoff pays, tracked round-over-round like the query timings."""
+    import shutil
+    import tempfile
+
+    from sensor_data_pipeline___spark.operators.export import write_shards
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    td = tempfile.mkdtemp(prefix="bench_shards_")
+    try:
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            write_shards(docs, os.path.join(td, "out"), "doc_id", n_shards)
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        return {"export_shard_write_rows_per_s": round(n / best, 1)}
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -199,6 +224,10 @@ def main() -> None:
         result.update(bench_streaming(spark))
     except Exception as exc:  # noqa: BLE001 — record, keep going
         errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        result.update(bench_export(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001 — record, keep going
+        errors["export_shard_write"] = f"{type(exc).__name__}: {exc}"[:300]
     if errors:
         result["errors"] = errors
     print(json.dumps(result))

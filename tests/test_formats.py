@@ -86,3 +86,23 @@ def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 1000.0)
     ).count()
     assert q.count() == expected
+
+
+def test_jsonl_gzip_transparent(spark, tmp_path):
+    """Crawler handoffs arrive gzip-compressed; the JSONL reader (and
+    its corrupt-record capture) must work identically on .jsonl.gz —
+    Spark's text-based sources decompress by extension. Note the scale
+    trade: gzip files are NOT splittable, so one file = one scan task;
+    the writer contract is many ~100 MB .gz files, never one giant."""
+    import gzip
+
+    p = tmp_path / "feed.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(
+            '{"id": 1, "name": "a", "value": 1.5}\n'
+            "garbage line\n"
+            '{"id": 2, "name": "b", "value": 2.5}\n'
+        )
+    good, bad = formats.split_rejects(formats.read_jsonl(spark, str(p), SCHEMA))
+    assert {r.id: r.value for r in good.collect()} == {1: 1.5, 2: 2.5}
+    assert [r.raw_line for r in bad.collect()] == ["garbage line"]
