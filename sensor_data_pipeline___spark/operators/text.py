@@ -206,3 +206,57 @@ def char_entropy(
             - F.sum(F.col("c") * F.log2("c")) / L
         ).alias("char_entropy"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the embedding-prep step (chunk → embed → index) and the
+    long-document normalization for context-bounded training.
+
+    One row per (doc, chunk): ``chunk_ix`` (0-based), ``chunk_text``,
+    ``chunk_n_tokens``. Chunks start every ``stride`` tokens
+    (``stride < chunk_tokens`` ⇒ overlap of ``chunk_tokens − stride``);
+    the final chunk is the ragged tail (``slice`` clamps at the array
+    end) and every token is covered — chunk count is
+    ``ceil(max(size − chunk, 0) / stride) + 1``, computed explicitly
+    rather than via a ``sequence(start, stop, step)`` whose stop could
+    fall below its start (Spark's ``sequence`` runs DESCENDING then —
+    the decontamination-fix pitfall) or stop early and silently drop
+    the tail. A document shorter than one chunk yields exactly one
+    chunk — never zero, so no document vanishes from the index.
+
+    Shape: narrow projection + explode — no shuffle; the per-chunk
+    ``slice`` is interpreted but runs once per CHUNK (~len/stride per
+    doc), not once per token position, so the zipped-slices escalation
+    the 8-gram path needs is unnecessary here."""
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError("require 0 < stride <= chunk_tokens")
+    toks = F.split(F.col(text_col), " ", -1)
+    tail = F.greatest(F.size(toks) - chunk_tokens, F.lit(0))
+    nchunks = F.floor((tail + (stride - 1)) / stride).cast("int") + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda j: F.struct(
+            j.alias("chunk_ix"),
+            F.concat_ws(
+                " ", F.slice(toks, j * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.size(F.slice(toks, j * stride + 1, chunk_tokens)).alias(
+                "chunk_n_tokens"
+            ),
+        ),
+    )
+    return docs.select(
+        id_col, F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_ix").alias("chunk_ix"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_n_tokens").alias("chunk_n_tokens"),
+    )

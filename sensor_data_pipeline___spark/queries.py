@@ -5346,3 +5346,43 @@ def q_winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("_hi"), 6).alias("hi_bound"),
         F.round(F.avg("value_w"), 6).alias("winsorized_mean"),
     )
+
+
+@_register(
+    "chunk_documents_stats",
+    # Overlapping token-window chunking (operators/text.py:
+    # chunk_documents, 32-token chunks / stride 24): the embedding-prep
+    # and context-bounding step. The md5 of every chunk's text pins the
+    # exact segmentation (boundaries, overlap, ragged tail, the
+    # one-chunk floor for short docs), not just chunk counts.
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             CAST(floor((greatest(len(toks) - 32, 0) + 23) / 24) AS INT) + 1
+               AS n
+      FROM w
+    ), e AS (
+      SELECT doc_id, j AS chunk_ix,
+             array_to_string(toks[j*24+1 : j*24+32], ' ') AS chunk_text,
+             len(toks[j*24+1 : j*24+32]) AS chunk_n_tokens
+      FROM c, UNNEST(generate_series(0, n - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(chunk_ix AS BIGINT) AS chunk_ix,
+           md5(chunk_text) AS chunk_md5,
+           CAST(chunk_n_tokens AS BIGINT) AS chunk_n_tokens
+    FROM e
+    """,
+)
+def q_chunk_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.text import chunk_documents
+
+    out = chunk_documents(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        F.md5("chunk_text").alias("chunk_md5"),
+        F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+    )

@@ -88,3 +88,50 @@ def test_char_entropy_orders_quality(spark):
     }
     assert rows[0] < rows[1]
     assert rows[1] < math.log2(15) + 1e-9  # upper bound: log2(length)
+
+
+def test_chunk_documents_coverage_and_tail(spark):
+    from sensor_data_pipeline___spark.operators.text import chunk_documents
+
+    # 40 tokens, chunk 32 / stride 24 -> chunks at 0 (32 toks) and 24
+    # (ragged 16-token tail); every token covered, overlap of 8
+    text40 = " ".join(f"t{i}" for i in range(40))
+    out = {
+        (r.doc_id, r.chunk_ix): r
+        for r in chunk_documents(_docs(spark, [text40, "tiny doc"])).collect()
+    }
+    assert {k for k in out} == {(0, 0), (0, 1), (1, 0)}
+    assert out[(0, 0)].chunk_n_tokens == 32
+    assert out[(0, 0)].chunk_text.startswith("t0 ") 
+    assert out[(0, 1)].chunk_n_tokens == 16
+    assert out[(0, 1)].chunk_text.split(" ")[0] == "t24"
+    assert out[(0, 1)].chunk_text.split(" ")[-1] == "t39"
+    # short doc: exactly one chunk, never zero
+    assert out[(1, 0)].chunk_text == "tiny doc"
+    assert out[(1, 0)].chunk_n_tokens == 2
+
+
+def test_chunk_documents_exact_boundary_no_phantom_tail(spark):
+    from sensor_data_pipeline___spark.operators.text import chunk_documents
+
+    # exactly one chunk's worth of tokens -> one chunk, no empty tail
+    text32 = " ".join(f"t{i}" for i in range(32))
+    rows = chunk_documents(_docs(spark, [text32])).collect()
+    assert len(rows) == 1 and rows[0].chunk_n_tokens == 32
+
+    # 33 tokens -> full chunk + 9-token tail (stride 24)
+    text33 = " ".join(f"t{i}" for i in range(33))
+    rows = sorted(
+        chunk_documents(_docs(spark, [text33])).collect(),
+        key=lambda r: r.chunk_ix,
+    )
+    assert [r.chunk_n_tokens for r in rows] == [32, 9]
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    from sensor_data_pipeline___spark.operators.text import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, ["a b"]), chunk_tokens=8, stride=9)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, ["a b"]), chunk_tokens=8, stride=0)
