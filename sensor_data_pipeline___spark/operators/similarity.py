@@ -478,3 +478,37 @@ def ivf_topk_indexed(
         .withColumn("cn", _norm(F.col("ce")))
     )
     return _ivf_cell_search(c, probes, k, id_col, round_digits)
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i / scale + 0.5)`` ∈ [−127, 127] — the standard 4×
+    storage/bandwidth compression for ANN corpora (the index stores
+    ``qvec`` + one float ``scale``; search dequantizes ``q·scale`` or
+    rescores survivors against the full-precision vectors).
+
+    ``floor(x + 0.5)`` rather than ``round``: half-way rounding is the
+    one place engines legitimately disagree (half-even vs half-away),
+    and the whole point of a deterministic quantizer is that the index
+    bytes are reproducible anywhere. Reconstruction error is bounded by
+    ``scale/2`` per component — an ORACLE-CHECKABLE contract, not a
+    probabilistic one. All-zero vectors get scale 0 and an all-zero
+    ``qvec`` (dequantizes exactly).
+
+    Narrow projection, no shuffle; at 100 TB this runs in the same
+    pass that writes the :func:`save_ivf_index` vectors store."""
+    e = _to_double(F.col(vec_col))
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(amax == 0.0, F.transform(e, lambda x: F.lit(0))).otherwise(
+        F.transform(e, lambda x: F.floor(x / scale + 0.5).cast("int"))
+    )
+    return corpus.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        scale.alias("scale"),
+    )

@@ -5386,3 +5386,71 @@ def q_chunk_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("chunk_md5"),
         F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
     )
+
+
+@_register(
+    "embedding_quantization_stats",
+    # int8 scalar quantization (operators/similarity.py:
+    # quantize_embeddings): per-vector scale = max|x|/127 and
+    # q = floor(x/scale + 0.5) — floor(x+0.5), never round(), because
+    # half-way rounding is where engines disagree and index bytes must
+    # be reproducible. The oracle replays the EXACT quantized codes
+    # (md5 of the code string) and pins the reconstruction-error
+    # contract |x − q·scale| ≤ scale/2 as a literal boolean.
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS e,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+               AS scale
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id, e, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5)
+                                                   AS INT)) END AS qv
+      FROM q
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale_r,
+           md5(array_to_string(qv, ',')) AS codes_md5,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT)
+             AS max_code,
+           list_max(
+             list_transform(
+               list_zip(e, qv),
+               p -> abs(p[1] - p[2] * scale)
+             )
+           ) <= scale / 2.0 + 1e-12 AS err_within_half_step
+    FROM c
+    """,
+)
+def q_embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.similarity import (
+        _to_double,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(emb).join(
+        emb.select("vec_id", _to_double(F.col("embedding")).alias("e")),
+        "vec_id",
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("e"), F.col("qvec"),
+            lambda x, qv: F.abs(x - qv.cast("double") * F.col("scale")),
+        )
+    )
+    return qd.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.md5(F.array_join(F.col("qvec").cast("array<string>"), ",")).alias(
+            "codes_md5"
+        ),
+        F.array_max(
+            F.transform(F.col("qvec"), lambda x: F.abs(x))
+        ).cast("long").alias("max_code"),
+        (err <= F.col("scale") / 2.0 + 1e-12).alias("err_within_half_step"),
+    )
