@@ -150,3 +150,36 @@ def test_quantized_search_recall(spark):
     ex, ap = neighbors(exact), neighbors(approx)
     recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_quantized_ivf_index_recall(spark, tmp_path):
+    """A quantize=True index must search transparently (dequantized
+    codes) with near-total agreement with the full-precision index,
+    and still prune the probe scan by cell partition."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators.similarity import (
+        ivf_topk_indexed,
+        save_ivf_index,
+    )
+    from sensor_data_pipeline___spark.plans import explain
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") < 10)
+    full_p, quant_p = str(tmp_path / "full"), str(tmp_path / "quant")
+    save_ivf_index(corpus, full_p, ncells=8, iters=1)
+    save_ivf_index(corpus, quant_p, ncells=8, iters=1, quantize=True)
+
+    def neighbors(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    full = neighbors(ivf_topk_indexed(spark, full_p, queries, k=10, nprobe=3))
+    qdf = ivf_topk_indexed(spark, quant_p, queries, k=10, nprobe=3)
+    quant = neighbors(qdf)
+    recalls = [len(full[q] & quant[q]) / len(full[q]) for q in full]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    plan = explain.formatted_plan(qdf)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
