@@ -5454,3 +5454,71 @@ def q_embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFram
         ).cast("long").alias("max_code"),
         (err <= F.col("scale") / 2.0 + 1e-12).alias("err_within_half_step"),
     )
+
+
+@_register(
+    "duplicated_gram_fraction",
+    # Corpus-level repeated-text signal (the span-dedup complement of
+    # document-level dedup, after Lee et al.'s dedup-training-data
+    # observation that repetition is sub-document): for each doc, the
+    # fraction of its DISTINCT word-8-grams that also occur in some
+    # OTHER document. High fraction = boilerplate/template documents
+    # that exact/near dedup miss because the wrapper differs. Grams
+    # hash to 8-byte keys in Spark (membership-identical to the
+    # oracle's strings, the corpus composite's argument); the scale
+    # shape is explode → distinct → document-frequency agg → semi join
+    # of each doc's grams against the duplicated-gram set.
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+    ), df AS (
+      SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_grams,
+           round(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS shared_fraction
+    FROM g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_duplicated_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 8
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ", -1)
+    width = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(t, i + 1, width).alias(f"t{i}") for i in range(n)]
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    zipped, lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)])
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df_counts = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    return (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_grams"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("shared_fraction"),
+        )
+    )
