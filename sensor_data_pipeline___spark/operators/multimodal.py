@@ -478,3 +478,78 @@ def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_features(media: DataFrame, frame_len: int = 400, hop: int = 160) -> DataFrame:
+    """Framed audio features over the native WAV decode: per-frame RMS
+    energy and zero-crossing rate, plus clip-level aggregates — the
+    deterministic stand-ins for a real acoustic front end (MFCC etc.),
+    with the Spark-side plumbing (frame math, Arrow batch shape,
+    schema) exactly as a production extractor would have it.
+
+    Frames of ``frame_len`` samples every ``hop`` samples (defaults:
+    25 ms / 10 ms at 16 kHz — the speech-standard windowing); the
+    ragged tail frame is kept (same completeness rule as
+    ``chunk_documents``). RMS is computed in float64 then stored
+    float32; ZCR counts sign changes over the frame. Output is
+    O(n_frames) per clip — constant-width rows downstream, like
+    ``waveform_downsample``."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("rms", T.ArrayType(T.FloatType()), False),
+            T.StructField("zcr", T.ArrayType(T.FloatType()), False),
+            T.StructField("clip_rms", T.DoubleType(), False),
+            T.StructField("clip_peak", T.DoubleType(), False),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                wav = _decode_wav(row.payload)
+                s = wav["samples"].astype(np.float64) / 32768.0
+                n = s.shape[0]
+                starts = list(range(0, max(n - frame_len, 0) + 1, hop))
+                if not starts:
+                    starts = [0]
+                elif starts[-1] + frame_len < n:
+                    starts.append(starts[-1] + hop)  # ragged tail
+                rms, zcr = [], []
+                for st in starts:
+                    fr = s[st : st + frame_len]
+                    if fr.shape[0] == 0:
+                        rms.append(0.0)
+                        zcr.append(0.0)
+                        continue
+                    rms.append(float(np.sqrt(np.mean(fr * fr))))
+                    signs = np.signbit(fr)
+                    zcr.append(
+                        float(np.count_nonzero(signs[1:] != signs[:-1]))
+                        / max(fr.shape[0] - 1, 1)
+                    )
+                rows.append(
+                    {
+                        "media_id": row.media_id,
+                        "n_frames": len(starts),
+                        "rms": rms,
+                        "zcr": zcr,
+                        "clip_rms": float(np.sqrt(np.mean(s * s))) if n else 0.0,
+                        "clip_peak": float(np.abs(s).max()) if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "rms", "zcr",
+                    "clip_rms", "clip_peak",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, schema=out_schema
+    )

@@ -353,3 +353,45 @@ def test_wav_through_generic_pipeline(spark):
         "media_id long, payload binary, media_type string, codec string",
     )
     assert mm.extract_features(df2).collect()[0]["width"] == 4
+
+
+def test_audio_features_framing_and_values(spark):
+    """RMS/ZCR framing: silence scores 0/0; a full-scale square wave
+    alternating every sample has RMS ~1 and ZCR ~1; the ragged tail
+    frame is kept (chunk_documents' completeness rule)."""
+    import numpy as np
+
+    silence = [0] * 1000
+    square = [32767 if i % 2 == 0 else -32768 for i in range(1000)]
+    df = spark.createDataFrame(
+        [
+            (1, _wav_payload(silence, sample_rate=1000), "audio", "wav"),
+            (2, _wav_payload(square, sample_rate=1000), "audio", "wav"),
+        ],
+        "media_id long, payload binary, media_type string, codec string",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in mm.audio_features(df, frame_len=400, hop=160).collect()
+    }
+    sil, sq = rows[1], rows[2]
+    # starts 0,160,320,480,600 — the last full frame ends exactly at
+    # sample 1000, so no extra tail frame is appended
+    assert sil["n_frames"] == sq["n_frames"] == 5
+    assert all(v == pytest.approx(0.0) for v in sil["rms"])
+    assert all(v == pytest.approx(0.0) for v in sil["zcr"])
+    assert all(v == pytest.approx(1.0, abs=2e-2) for v in sq["rms"])
+    assert all(v == pytest.approx(1.0, abs=1e-6) for v in sq["zcr"])
+    assert sq["clip_peak"] == pytest.approx(1.0, abs=1e-4)
+    assert sq["clip_rms"] == pytest.approx(1.0, abs=2e-2)
+
+    # ragged tail: 500 samples, frame 400/hop 160 -> starts 0, 100? no:
+    # starts are 0 and (tail) 160; last frame truncated to 340 samples
+    short = [16384] * 500
+    df2 = spark.createDataFrame(
+        [(3, _wav_payload(short, sample_rate=1000), "audio", "wav")],
+        "media_id long, payload binary, media_type string, codec string",
+    )
+    r3 = mm.audio_features(df2, frame_len=400, hop=160).collect()[0]
+    assert r3["n_frames"] == 2  # start 0 (full) + tail start 160
+    assert all(v == pytest.approx(0.5, abs=1e-4) for v in r3["rms"])
