@@ -165,6 +165,8 @@ def _decode_payload(payload: bytes, codec: str) -> dict[str, Any]:
         return {"width": w, "height": h, "n_frames": n, "body": body}
     if codec in ("ppm", "pgm") or payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
+    if codec == "pgv" or payload[:5] == PGV_MAGIC:
+        return _decode_pgv(payload)
     if codec == "bmp" or payload[:2] == b"BM":
         return _decode_bmp(payload)
     if codec in ("wav", "pcm") or payload[:4] == b"RIFF":
@@ -553,3 +555,82 @@ def audio_features(media: DataFrame, frame_len: int = 400, hop: int = 160) -> Da
     return media.select("media_id", "payload").mapInPandas(
         process, schema=out_schema
     )
+
+
+def _scan_pnm(payload: bytes, pos: int) -> "tuple[dict[str, Any], int]":
+    """Parse one binary PNM (P5/P6) image starting at ``pos``; returns
+    (decoded meta à la :func:`_decode_pnm`, end offset) — the slicing
+    primitive the multi-frame container needs."""
+    magic = payload[pos : pos + 2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"expected P5/P6 frame at offset {pos}")
+    p = pos + 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while p < len(payload) and payload[p : p + 1].isspace():
+            p += 1
+        if payload[p : p + 1] == b"#":
+            while p < len(payload) and payload[p] not in (0x0A, 0x0D):
+                p += 1
+            continue
+        start = p
+        while p < len(payload) and not payload[p : p + 1].isspace():
+            p += 1
+        tokens.append(int(payload[start:p]))
+    p += 1  # single whitespace before raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM is not supported natively")
+    body_len = w * h * (3 if magic == b"P6" else 1)
+    end = p + body_len
+    meta = _decode_pnm(payload[pos:end])
+    return meta, end
+
+
+PGV_MAGIC = b"PGV1\n"
+
+
+def encode_pgv(frames: "list[bytes]") -> bytes:
+    """Producer twin of :func:`_decode_pgv`: a multi-frame video
+    container as concatenated binary PNM frames behind a counted
+    header — the uncompressed-video analog of :func:`encode_wav_pcm16`
+    (deterministic, zero-dependency, so tests build REAL payloads)."""
+    return PGV_MAGIC + str(len(frames)).encode() + b"\n" + b"".join(frames)
+
+
+def _decode_pgv(payload: bytes) -> dict[str, Any]:
+    """Native decode of the PGV multi-frame container: counted,
+    self-describing PNM frames (each frame re-states its own header,
+    so truncation/dimension drift is detected, not silently read
+    past). All frames must share dimensions; bodies concatenate into
+    the single-channel layout every downstream stage uses — which is
+    exactly the fake codec's contract, so featurize/resize/
+    frame-sample light up on a REAL container unchanged."""
+    if payload[: len(PGV_MAGIC)] != PGV_MAGIC:
+        raise ValueError("not a PGV payload")
+    pos = len(PGV_MAGIC)
+    nl = payload.index(b"\n", pos)
+    n_frames = int(payload[pos:nl])
+    pos = nl + 1
+    w = h = None
+    bodies = []
+    for i in range(n_frames):
+        meta, pos = _scan_pnm(payload, pos)
+        if w is None:
+            w, h = meta["width"], meta["height"]
+        elif (meta["width"], meta["height"]) != (w, h):
+            raise ValueError(
+                f"frame {i} is {meta['width']}x{meta['height']}, "
+                f"container is {w}x{h}"
+            )
+        bodies.append(
+            meta["body"]
+            if isinstance(meta["body"], bytes)
+            else bytes(meta["body"])
+        )
+    return {
+        "width": w or 0,
+        "height": h or 0,
+        "n_frames": n_frames,
+        "body": b"".join(bodies),
+    }

@@ -395,3 +395,47 @@ def test_audio_features_framing_and_values(spark):
     r3 = mm.audio_features(df2, frame_len=400, hop=160).collect()[0]
     assert r3["n_frames"] == 2  # start 0 (full) + tail start 160
     assert all(v == pytest.approx(0.5, abs=1e-4) for v in r3["rms"])
+
+
+def _pgm_frame(w, h, fill):
+    return b"P5\n%d %d\n255\n" % (w, h) + bytes([fill]) * (w * h)
+
+
+def test_pgv_native_video_decode_and_frame_sample(spark):
+    """Video on a REAL container: 6 PGM frames in a PGV payload ride
+    the generic decode into frame_sample — sampled frame payloads are
+    byte-identical to the encoded frames' rasters."""
+    frames = [_pgm_frame(4, 3, 10 * i) for i in range(6)]
+    payload = mm.encode_pgv(frames)
+    df = spark.createDataFrame(
+        [(1, payload, "video", "pgv")],
+        "media_id long, payload binary, media_type string, codec string",
+    )
+    feat = mm.extract_features(df).collect()[0]
+    assert (feat["width"], feat["height"], feat["n_frames"]) == (4, 3, 6)
+
+    sampled = {
+        r["frame_idx"]: bytes(r["frame_payload"])
+        for r in mm.frame_sample(df, every_nth=2).collect()
+    }
+    assert sorted(sampled) == [0, 2, 4]
+    for idx in (0, 2, 4):
+        assert sampled[idx] == bytes([10 * idx]) * 12
+
+
+def test_pgv_rejects_dimension_drift():
+    bad = mm.encode_pgv([_pgm_frame(4, 3, 1), _pgm_frame(5, 3, 2)])
+    with pytest.raises(ValueError, match="frame 1"):
+        mm._decode_pgv(bad)
+
+
+def test_pgv_p6_frames_collapse_to_luma():
+    """Color video: P6 frames collapse per-frame to BT.601 luma, same
+    as still PPM images."""
+    rgb = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])  # red, green px
+    meta = mm._decode_pgv(mm.encode_pgv([rgb, rgb]))
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (2, 1, 2)
+    body = bytes(meta["body"])
+    assert len(body) == 4 and body[:2] == body[2:]
+    # red luma (~76) < green luma (~150), both via the image-path math
+    assert body[0] < body[1]
