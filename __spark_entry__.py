@@ -48,6 +48,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # replica harness (tests/test_queries_oracle.py), which mirrors the
 # driver's Arrow fetch exactly; all 132 were re-verified green at
 # sf0.01 under a hostile session before this rotation landed.
+# r6 rotation candidates (never driver-gated, oracle-backed, added in
+# r5): corpus composite members already gated; swap veterans for
+# shard_assignment, mixture_sample_docs, collapse_repeat_tokens,
+# char_entropy_quality, chunk_documents_stats, winsorize_event_values,
+# duplicated_gram_fraction, embedding_quantization_stats.
 _PRIORITY = (
     # reference parity core (SURVEY.md §2) — never rotates out
     "silver_parse",
