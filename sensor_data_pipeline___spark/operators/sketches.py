@@ -196,3 +196,85 @@ def bloom_semi_join(
     words = bloom_build(dim, key, num_bits, num_hashes)
     pre = fact.filter(bloom_might_contain(words, key, num_bits, num_hashes))
     return pre.join(dim.select(key).distinct(), key, "left_semi")
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-bin histogram sketch in LONG form: (group..., bin, cnt) —
+    the mergeable quantile sketch completing the sketch family (HLL =
+    mergeable distinct, CMS = mergeable frequency, this = mergeable
+    distribution). Unlike ``percentile``/``approx_percentile``
+    aggregates, pre-aggregated sketches RE-AGGREGATE: daily sketches
+    roll up to any coarser grain by integer addition, with quantile
+    error bounded by the bin width — and, being integer counts under a
+    fixed binning, the whole path is exactly replayable cross-engine
+    (a hash-verifiable oracle, where HLL/CMS settle for accuracy
+    contracts).
+
+    Bounds are FIXED UPFRONT (the production posture: bounds are part
+    of the sketch schema; re-binning is a rebuild). One partial-
+    aggregated groupBy; values at ``hi`` clamp into the last bin."""
+    width = (hi - lo) / n_bins
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return df.groupBy(*group_cols, b).agg(F.count("*").alias("cnt"))
+
+
+def histogram_merge(sketches: DataFrame, group_cols: "list[str]") -> DataFrame:
+    """Roll sketches up to ``group_cols`` grain — integer addition per
+    (group, bin); associative/commutative, so any rollup tree gives
+    identical counts."""
+    return sketches.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def histogram_quantile(
+    sketches: DataFrame,
+    group_cols: "list[str]",
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Quantile estimate from a (merged) sketch: the midpoint of the
+    first bin whose cumulative count reaches ``q × total``. Adds
+    ``q{q}_est``; error vs the exact interpolated quantile is bounded
+    by ~2 bin widths (chosen-bin membership of both interpolation
+    ranks). Cumulative is a per-group window over ``n_bins`` rows —
+    O(groups × bins) state, never O(rows)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = F.sum("cnt").over(w)
+    total = F.sum("cnt").over(tot)
+    hit = sketches.select(
+        *group_cols,
+        "bin",
+        (cum >= q * total).alias("_reached"),
+    ).filter(F.col("_reached"))
+    est = F.lit(lo) + (F.min("bin") + 0.5) * F.lit(width)
+    return hit.groupBy(*group_cols).agg(
+        est.alias(f"q{int(q * 100)}_est")
+    )

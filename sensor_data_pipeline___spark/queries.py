@@ -5522,3 +5522,91 @@ def q_duplicated_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_fraction"),
         )
     )
+
+
+@_register(
+    "histogram_sketch_quantiles",
+    # Mergeable distribution sketch (operators/sketches.py:
+    # histogram_sketch/merge/quantile): per-(type, day) 64-bin counts
+    # roll up by integer addition, quantiles read from the cumulative.
+    # Being integer counts under a fixed binning, the WHOLE path is
+    # exactly replayable in SQL (hash-verified), and the ±2-bin-width
+    # accuracy contract vs exact quantile_cont is pinned as literal
+    # booleans — both flavors of oracle at once (HLL/CMS get only the
+    # contract). Bounds = global min/max, the two-pass
+    # broadcast-bounds pattern of value_histogram.
+    """
+    WITH bounds AS (
+      SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi FROM events
+    ), binned AS (
+      SELECT e.event_type,
+             CAST(least(greatest(floor((e.value - b.lo)
+                                       / ((b.hi - b.lo) / 64)), 0), 63)
+                  AS INT) AS bin
+      FROM events e, bounds b
+    ), sk AS (
+      SELECT event_type, bin, count(*) AS cnt
+      FROM binned GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM sk
+    ), est AS (
+      SELECT event_type,
+             min(CASE WHEN c >= 0.5 * total THEN bin END) AS b50,
+             min(CASE WHEN c >= 0.95 * total THEN bin END) AS b95
+      FROM cum GROUP BY event_type
+    ), exact AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5)::DOUBLE AS x50,
+             quantile_cont(value, 0.95)::DOUBLE AS x95
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type,
+           round(b.lo + (est.b50 + 0.5) * (b.hi - b.lo) / 64, 6) AS p50_est,
+           round(b.lo + (est.b95 + 0.5) * (b.hi - b.lo) / 64, 6) AS p95_est,
+           abs(b.lo + (est.b50 + 0.5) * (b.hi - b.lo) / 64 - exact.x50)
+             <= 2 * (b.hi - b.lo) / 64 AS p50_within_2bins,
+           abs(b.lo + (est.b95 + 0.5) * (b.hi - b.lo) / 64 - exact.x95)
+             <= 2 * (b.hi - b.lo) / 64 AS p95_within_2bins
+    FROM est, bounds b
+    JOIN exact ON est.event_type = exact.event_type
+    """,
+)
+def q_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    lo, hi = (
+        ev.agg(F.min("value").cast("double"), F.max("value").cast("double"))
+        .first()
+    )
+    n_bins, width = 64, None
+    width = (hi - lo) / 64
+    daily = histogram_sketch(ev, ["event_type", "day"], "value", lo, hi, n_bins)
+    merged = histogram_merge(daily, ["event_type"])
+    p50 = histogram_quantile(merged, ["event_type"], 0.5, lo, hi, n_bins)
+    p95 = histogram_quantile(merged, ["event_type"], 0.95, lo, hi, n_bins)
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("x50"),
+        F.percentile("value", 0.95).alias("x95"),
+    )
+    j = p50.join(p95, "event_type").join(exact, "event_type")
+    return j.select(
+        "event_type",
+        F.round("q50_est", 6).alias("p50_est"),
+        F.round("q95_est", 6).alias("p95_est"),
+        (F.abs(F.col("q50_est") - F.col("x50")) <= 2 * width).alias(
+            "p50_within_2bins"
+        ),
+        (F.abs(F.col("q95_est") - F.col("x95")) <= 2 * width).alias(
+            "p95_within_2bins"
+        ),
+    )

@@ -109,3 +109,36 @@ def test_bloom_probe_key_needing_backticks(spark):
         sk.bloom_might_contain(words, "odd name.dot", 1 << 12, 3)
     ).count()
     assert hits == 100
+
+
+def test_histogram_sketch_mergeability(spark):
+    """Rollup of per-day sketches must equal the sketch built over the
+    whole table in one pass — integer addition is exact, no
+    approximation drift (the HLL mergeability property, but bitwise)."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators.sketches import (
+        histogram_merge,
+        histogram_sketch,
+    )
+    from sensor_data_pipeline___spark.sources import readers
+
+    ev = readers.table(spark, "events", "/root/testdata/sf0.001").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    lo, hi = ev.agg(
+        F.min("value").cast("double"), F.max("value").cast("double")
+    ).first()
+    daily = histogram_sketch(ev, ["event_type", "day"], "value", lo, hi, 32)
+    rolled = {
+        (r.event_type, r.bin): r.cnt
+        for r in histogram_merge(daily, ["event_type"]).collect()
+    }
+    direct = {
+        (r.event_type, r.bin): r.cnt
+        for r in histogram_sketch(ev, ["event_type"], "value", lo, hi, 32).collect()
+    }
+    assert rolled == direct
+    # clamp rule: every count accounted for, bins within range
+    assert sum(rolled.values()) == ev.count()
+    assert all(0 <= b < 32 for _, b in rolled)
