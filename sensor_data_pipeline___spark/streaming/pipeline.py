@@ -790,3 +790,79 @@ def corpus_ingest_stream(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def sketch_psi_drift_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 16,
+    max_files_per_trigger: int | None = None,
+):
+    """Per-metric DISTRIBUTION drift: the streaming companion of the
+    batch ``psi_value_drift`` query, holding a fixed-bin histogram
+    sketch (operators/sketches.py) as state instead of a mean.
+
+    The first batch a key sees freezes its REFERENCE histogram; every
+    later batch bins its values (same clamped fixed binning as
+    ``histogram_sketch``) and emits the Laplace-smoothed population
+    stability index of batch-vs-reference. EWMA drift
+    (:func:`ewma_drift_stream`) alerts on the mean moving; PSI alerts
+    on the SHAPE moving (bimodality, variance collapse, new mass at
+    the clamp edges) that a mean tracker cannot see.
+
+    State per key is ``n_bins`` longs — fixed width, independent of
+    row count, the same O(1)-per-key bound as the EWMA monitor; bounds
+    are part of the operator config (the sketch-schema posture).
+    Emitted via the idempotent changelog sink (replay-safe)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    readings = _reading_value_stream(spark, drop_dir, max_files_per_trigger)
+    width = (hi - lo) / n_bins
+
+    def update(key, pdf_iter, state):
+        import numpy as np
+
+        counts = np.zeros(n_bins, dtype=np.int64)
+        for pdf in pdf_iter:
+            v = pdf["metric_value"].to_numpy(dtype=float)
+            b = np.clip(
+                np.floor((v - lo) / width).astype(np.int64), 0, n_bins - 1
+            )
+            counts += np.bincount(b, minlength=n_bins)
+        n = int(counts.sum())
+        if n == 0:
+            return
+        if state.exists:
+            ref = np.array(state.get[0], dtype=np.float64)
+            p = (ref + 1.0) / (ref.sum() + n_bins)  # Laplace-smoothed,
+            q = (counts + 1.0) / (n + n_bins)  # as in psi_value_drift
+            psi = float(np.sum((q - p) * np.log(q / p)))
+            is_reference = False
+        else:
+            state.update((counts.tolist(),))
+            psi, is_reference = 0.0, True
+        yield pd.DataFrame(
+            {
+                "metric_name": [key[0]],
+                "batch_rows": [n],
+                "psi": [psi],
+                "is_reference": [is_reference],
+            }
+        )
+
+    updated = readings.groupBy("metric_name").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "metric_name string, batch_rows long, psi double, "
+            "is_reference boolean"
+        ),
+        stateStructType="ref array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _append_changelog(updated, out_dir, checkpoint_dir)

@@ -415,3 +415,49 @@ def test_corpus_ingest_stream_gates_and_dedups(spark, dirs):
     assert sorted(
         r.doc_id for r in spark.read.parquet(dirs["out"]).collect()
     ) == [1, 10]
+
+
+def test_sketch_psi_drift_stream(spark, dirs):
+    """Distribution drift: the first batch freezes a key's reference
+    histogram; a same-shaped later batch scores near-zero PSI, a
+    shifted batch scores large PSI, and the reference survives a
+    restart through the checkpoint."""
+    import math
+
+    # reference: 40 Voltage readings uniform-ish over [0, 50)
+    ref_lines = [f"1649941819 Voltage {float(v % 50)}" for v in range(40)]
+    _drop(dirs, "b1.txt", ref_lines)
+    q = sp.sketch_psi_drift_stream(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], lo=0.0, hi=100.0,
+        n_bins=10,
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(dirs["out"]).collect()
+    assert len(first) == 1 and first[0]["is_reference"]
+    assert first[0]["psi"] == 0.0 and first[0]["batch_rows"] == 40
+
+    # same shape -> tiny PSI; then a hard shift into [50, 100) -> large
+    same_lines = [f"1649941820 Voltage {float(v % 50)}" for v in range(40)]
+    _drop(dirs, "b2.txt", same_lines)
+    q = sp.sketch_psi_drift_stream(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], lo=0.0, hi=100.0,
+        n_bins=10,
+    )
+    q.awaitTermination(120)
+    shifted_lines = [f"1649941821 Voltage {50.0 + v % 50}" for v in range(40)]
+    _drop(dirs, "b3.txt", shifted_lines)
+    q = sp.sketch_psi_drift_stream(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], lo=0.0, hi=100.0,
+        n_bins=10,
+    )
+    q.awaitTermination(120)
+
+    rows = sorted(
+        (r for r in spark.read.parquet(dirs["out"]).collect()),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["is_reference"] for r in rows] == [True, False, False]
+    same, shifted = rows[1], rows[2]
+    assert same["psi"] < 0.05, same["psi"]  # identical shape
+    assert shifted["psi"] > 1.0, shifted["psi"]  # disjoint support
+    assert math.isfinite(shifted["psi"])
