@@ -5139,8 +5139,6 @@ def q_corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_test_contamination); mixture is a per-language top-k window;
     shard assignment is a narrow projection. No stage widens beyond
     its single-operator twin — composition adds no new shuffles."""
-    from pyspark.sql import Window
-
     from sensor_data_pipeline___spark.operators.export import (
         mixture_sample,
         shard_assign,
@@ -5148,16 +5146,22 @@ def q_corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators.sampling import hash_split
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # Representative = min-doc_id row per content hash, via min_by
+    # aggregation rather than a row_number window: the aggregate
+    # partially combines map-side, so duplicate-heavy corpora collapse
+    # BEFORE the exchange (the window shuffles and sorts every row).
     # Checkpointed: the union's seven stage-count branches are
     # independent consumers — without materialization each branch
-    # replays the dedup window (and everything above it) from the
-    # scan. Same for `clean` below (the 8-gram join, the pipeline's
-    # heaviest stage). 3.3 s -> ~1 s at sf0.1.
+    # replays the dedup (and everything above it) from the scan. Same
+    # for `clean` below (the 8-gram join, the heaviest stage).
     reps = (
-        docs.withColumn("_rn", F.row_number().over(w_dup))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "text"), F.col("doc_id")
+            ).alias("_r")
+        )
+        .select("_r.doc_id", "_r.lang", "_r.text")
         .localCheckpoint(eager=True)
     )
     toks = F.split(F.col("text"), " ")
