@@ -207,3 +207,112 @@ def test_set_similarity_join_exact_boundary_pair(spark):
     rows = set_similarity_join(docs, threshold=0.9).collect()
     assert [(r.doc_a, r.doc_b) for r in rows] == [(0, 1)]
     assert abs(rows[0].jaccard - 0.9) < 1e-12
+
+
+# ---- round-5 operator properties -----------------------------------
+
+_words = st.from_regex(r"[a-z]{1,5}", fullmatch=True, alphabet=_ascii)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.lists(_words, min_size=0, max_size=60), min_size=1, max_size=6),
+    st.sampled_from([(8, 8), (8, 5), (16, 7), (32, 24)]),
+)
+def test_chunk_documents_partition_properties(spark, docs_tokens, cfg):
+    """For every doc and any (chunk, stride) config: chunk 0 starts at
+    token 0, consecutive chunks start exactly `stride` apart, every
+    chunk except the last is full-width, the last chunk ends exactly
+    at the document's end, and concatenating the chunks at stride
+    offsets reproduces the token sequence."""
+    from sensor_data_pipeline___spark.operators.text import chunk_documents
+
+    chunk, stride = cfg
+    texts = [" ".join(toks) for toks in docs_tokens]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    by_doc: dict[int, list] = {}
+    for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in enumerate(texts):
+        toks = text.split(" ")  # note: "" splits to [""] — 1 token
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_ix)
+        assert [r.chunk_ix for r in rows] == list(range(len(rows)))
+        for j, r in enumerate(rows):
+            start = j * stride
+            expect = toks[start : start + chunk]
+            assert r.chunk_text.split(" ") == expect or (
+                expect == [] and r.chunk_text == ""
+            )
+            if j < len(rows) - 1:
+                assert r.chunk_n_tokens == chunk
+        # last chunk reaches the end of the document exactly
+        last = rows[-1]
+        assert (len(rows) - 1) * stride + last.chunk_n_tokens == len(toks)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(_words, min_size=1, max_size=30), min_size=1, max_size=6))
+def test_collapse_repeats_properties(spark, docs_tokens):
+    """Output never has two adjacent equal tokens, is a subsequence of
+    the input, preserves first occurrence of every run, and the
+    operator is idempotent."""
+    from sensor_data_pipeline___spark.operators.text import collapse_repeats
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_tokens)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in collapse_repeats(df).collect()}
+    for i, toks in enumerate(docs_tokens):
+        got = out[i].text.split(" ")
+        want = [t for j, t in enumerate(toks) if j == 0 or t != toks[j - 1]]
+        assert got == want
+        assert all(a != b for a, b in zip(got, got[1:]))
+    again = {
+        r.doc_id: r.text
+        for r in collapse_repeats(
+            spark.createDataFrame(
+                [(i, out[i].text) for i in out], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert again == {i: out[i].text for i in out}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.floats(0, 100)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_histogram_sketch_merge_invariants(spark, rows, n_splits):
+    """Counts always sum to the row count, bins stay in range, and
+    merging ANY partition of the data equals the single-pass sketch —
+    associativity under an arbitrary split, not just the by-day one."""
+    from sensor_data_pipeline___spark.operators.sketches import (
+        histogram_merge,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v), i % n_splits) for i, (g, v) in enumerate(rows)],
+        "grp string, value double, part int",
+    )
+    lo, hi, bins = 0.0, 100.0, 16
+    split = histogram_sketch(df, ["grp", "part"], "value", lo, hi, bins)
+    merged = {
+        (r.grp, r.bin): r.cnt
+        for r in histogram_merge(split, ["grp"]).collect()
+    }
+    direct = {
+        (r.grp, r.bin): r.cnt
+        for r in histogram_sketch(df, ["grp"], "value", lo, hi, bins).collect()
+    }
+    assert merged == direct
+    assert sum(merged.values()) == len(rows)
+    assert all(0 <= b < bins for _, b in merged)
