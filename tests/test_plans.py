@@ -258,3 +258,27 @@ def test_mixture_sample_quota_is_literal_not_join(spark):
     plan = explain.formatted_plan(df)
     assert "Join" not in plan, plan
     assert explain.single_partition_exchange_count(df) == 0, plan
+
+
+def test_round5_additions_plan_shapes(spark):
+    """The round-5 analytics keep the shapes their docstrings claim:
+    winsorize joins its per-group bounds as a BROADCAST (two-pass
+    stats pattern, no shuffled join for an O(groups) frame);
+    duplicated_gram_fraction and histogram_sketch_quantiles never
+    collapse a data stage to one task (their only SinglePartition
+    exchanges are scalar bound/total merges over O(partitions) rows)."""
+    df = QUERIES["winsorize_event_values"](spark, SF)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert explain.single_partition_exchange_count(df) == 0, plan
+
+    for name, max_scalar in (
+        ("duplicated_gram_fraction", 0),
+        # one scalar agg: the global min/max bounds row
+        ("histogram_sketch_quantiles", 1),
+    ):
+        q = QUERIES[name](spark, SF)
+        assert explain.single_partition_exchange_count(q) <= max_scalar, (
+            name,
+            explain.formatted_plan(q),
+        )
