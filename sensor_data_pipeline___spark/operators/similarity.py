@@ -527,3 +527,60 @@ def quantize_embeddings(
         q.alias("qvec"),
         scale.alias("scale"),
     )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-``k`` most-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives
+    are trivially separable; the hard ones live near the decision
+    boundary by construction).
+
+    Same broadcast-anchors shape, rounding, and id tiebreak as
+    :func:`brute_force_topk`; the label-mismatch predicate rides the
+    join condition so same-label pairs are discarded before ranking.
+    Scale path is identical to search: block with :func:`lsh_bucket`
+    or the IVF cells and mine within blocks — mining IS a top-k search
+    with one extra predicate."""
+    q = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_qlabel"),
+        _to_double(F.col(vec_col)).alias("qe"),
+    ).withColumn("qn", _norm(F.col("qe"), dim))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col).alias("_clabel"),
+        _to_double(F.col(vec_col)).alias("ce"),
+    ).withColumn("cn", _norm(F.col("ce"), dim))
+    sims = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col(id_col))
+            & (F.col("_qlabel") != F.col("_clabel")),
+        )
+        .select(
+            "query_id",
+            id_col,
+            F.col("_clabel").alias("negative_label"),
+            F.round(
+                _dot(F.col("qe"), F.col("ce"), dim)
+                / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "negative_label", "cosine", "rnk")
+    )

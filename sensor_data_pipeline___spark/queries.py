@@ -5614,3 +5614,44 @@ def q_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_within_2bins"
         ),
     )
+
+
+@_register(
+    "hard_negative_mining",
+    # Contrastive-training negative mining (operators/similarity.py:
+    # hard_negatives): per anchor, the top-5 most-similar DIFFERENT-
+    # label vectors — boundary-adjacent negatives, not random ones.
+    # Same elementwise double math / 6dp-before-rank / id tiebreak as
+    # similarity_topk; the label predicate rides the join.
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlabel,
+             list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, label AS clabel,
+             list_transform(embedding, x -> x::DOUBLE) AS ce
+      FROM embeddings
+    ), sims AS (
+      SELECT q.query_id, c.vec_id, c.clabel AS negative_label,
+             round(list_dot_product(qe, ce) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                   6) AS cosine
+      FROM q CROSS JOIN c
+      WHERE q.query_id <> c.vec_id AND q.qlabel <> c.clabel
+    )
+    SELECT query_id, vec_id, negative_label, cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    return hard_negatives(anchors, emb, k=5)
