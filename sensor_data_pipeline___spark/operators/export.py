@@ -95,7 +95,12 @@ def write_shards(
     assigned = shard_assign(df, id_col, n_shards, salt)
     (
         assigned.repartition(n_shards, "shard")
-        .sortWithinPartitions("pos")
+        # sort by (shard, pos), not pos alone: hash collisions can
+        # co-locate several shards in one task partition, and relying
+        # on the writer's later shard-only Sort being STABLE to
+        # preserve pos order is an implementation detail, not a
+        # contract
+        .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_dir)

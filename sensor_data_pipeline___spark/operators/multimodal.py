@@ -370,6 +370,16 @@ def _decode_wav(payload: bytes) -> dict[str, Any]:
             fmt_chunk = payload[pos + 8 : pos + 8 + size]
         elif cid == b"data":
             data_chunk = payload[pos + 8 : pos + 8 + size]
+            if len(data_chunk) < size:
+                # a declared size past the payload end is a truncated
+                # upload/corrupt blob — slicing would silently decode a
+                # SHORTER clip and downstream features would be
+                # confidently wrong (the PGV contract: detected, not
+                # read past)
+                raise ValueError(
+                    f"truncated WAVE data chunk: header declares {size} "
+                    f"bytes, {len(data_chunk)} present"
+                )
         pos += 8 + size + (size & 1)  # chunk bodies pad to even offsets
     if fmt_chunk is None or data_chunk is None:
         raise ValueError("WAVE payload missing fmt/data chunk")
@@ -473,7 +483,11 @@ def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
     synthetic-media queries and tests use (decode(encode(x)) == x)."""
     import struct
 
-    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    import numpy as np
+
+    # one vectorized conversion, not a struct.pack per sample — this
+    # runs per document inside the synthetic-media queries' hot path
+    data = np.asarray(list(samples), dtype="<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -496,6 +510,11 @@ def audio_features(media: DataFrame, frame_len: int = 400, hop: int = 160) -> Da
     float32; ZCR counts sign changes over the frame. Output is
     O(n_frames) per clip — constant-width rows downstream, like
     ``waveform_downsample``."""
+    if not (0 < hop <= frame_len):
+        # hop > frame_len would leave inter-frame samples uncovered and
+        # the tail append could emit a phantom empty frame — same
+        # guard as chunk_documents' stride
+        raise ValueError("require 0 < hop <= frame_len")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

@@ -247,19 +247,24 @@ def histogram_merge(sketches: DataFrame, group_cols: "list[str]") -> DataFrame:
 def histogram_quantile(
     sketches: DataFrame,
     group_cols: "list[str]",
-    q: float,
+    q: "float | list[float]",
     lo: float,
     hi: float,
     n_bins: int = 64,
 ) -> DataFrame:
-    """Quantile estimate from a (merged) sketch: the midpoint of the
-    first bin whose cumulative count reaches ``q × total``. Adds
-    ``q{q}_est``; error vs the exact interpolated quantile is bounded
-    by ~2 bin widths (chosen-bin membership of both interpolation
-    ranks). Cumulative is a per-group window over ``n_bins`` rows —
-    O(groups × bins) state, never O(rows)."""
+    """Quantile estimates from a (merged) sketch: for each requested
+    ``q``, the midpoint of the first bin whose cumulative count
+    reaches ``q × total``. Adds one ``q{pct}_est`` column per quantile
+    (``pct = round(q*100)`` — ``int()`` would truncate binary floats:
+    0.29 → q28); a LIST of quantiles reads them all from ONE
+    cumulative pass instead of one window + join per quantile. Error
+    vs the exact interpolated quantile is bounded by ~2 bin widths
+    (chosen-bin membership of both interpolation ranks). Cumulative is
+    a per-group window over ``n_bins`` rows — O(groups × bins) state,
+    never O(rows)."""
     from pyspark.sql import Window
 
+    qs = [q] if isinstance(q, float) else list(q)
     width = (hi - lo) / n_bins
     w = (
         Window.partitionBy(*group_cols)
@@ -269,12 +274,18 @@ def histogram_quantile(
     tot = Window.partitionBy(*group_cols)
     cum = F.sum("cnt").over(w)
     total = F.sum("cnt").over(tot)
-    hit = sketches.select(
-        *group_cols,
-        "bin",
-        (cum >= q * total).alias("_reached"),
-    ).filter(F.col("_reached"))
-    est = F.lit(lo) + (F.min("bin") + 0.5) * F.lit(width)
-    return hit.groupBy(*group_cols).agg(
-        est.alias(f"q{int(q * 100)}_est")
+    scanned = sketches.select(
+        *group_cols, "bin", cum.alias("_cum"), total.alias("_total")
     )
+    aggs = [
+        (
+            F.lit(lo)
+            + (
+                F.min(F.when(F.col("_cum") >= qq * F.col("_total"), F.col("bin")))
+                + 0.5
+            )
+            * F.lit(width)
+        ).alias(f"q{round(qq * 100)}_est")
+        for qq in qs
+    ]
+    return scanned.groupBy(*group_cols).agg(*aggs)

@@ -5185,14 +5185,14 @@ def q_corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical to string keys barring a 64-bit collision between a
     # train-only and a test-only gram — odds ~1e-9 at millions of
     # grams; the string-keyed twin (train_test_contamination) stays
-    # exactly oracle-replayable. Short docs: width clamps to 0 → no
-    # windows (the oracle's generate_series yields no rows there).
-    width = F.greatest(F.size(wl) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(
-        *[F.slice(wl, i + 1, width).alias(f"t{i}") for i in range(n)]
-    )
+    # exactly oracle-replayable. Short docs: _zipped_windows clamps its
+    # width to 0 → no windows (the oracle's generate_series yields no
+    # rows there).
+    from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
+
     gram_hashes = F.transform(
-        zipped, lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)])
+        _zipped_windows(wl, n),
+        lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)]),
     )
 
     def grams(df: DataFrame) -> DataFrame:
@@ -5492,19 +5492,18 @@ def q_embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def q_duplicated_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
+
     n = 8
     docs = _t(spark, sf_dir, "documents")
     t = F.split(F.lower("text"), " ", -1)
-    width = F.greatest(F.size(t) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(
-        *[F.slice(t, i + 1, width).alias(f"t{i}") for i in range(n)]
-    )
     grams = (
         docs.select(
             "doc_id",
             F.explode(
                 F.transform(
-                    zipped, lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)])
+                    _zipped_windows(t, n),
+                    lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)]),
                 )
             ).alias("gram"),
         )
@@ -5596,13 +5595,14 @@ def q_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (hi - lo) / 64
     daily = histogram_sketch(ev, ["event_type", "day"], "value", lo, hi, n_bins)
     merged = histogram_merge(daily, ["event_type"])
-    p50 = histogram_quantile(merged, ["event_type"], 0.5, lo, hi, n_bins)
-    p95 = histogram_quantile(merged, ["event_type"], 0.95, lo, hi, n_bins)
+    # both quantiles from ONE cumulative pass (list form) — no
+    # re-aggregation, no quantile-to-quantile join
+    ests = histogram_quantile(merged, ["event_type"], [0.5, 0.95], lo, hi, n_bins)
     exact = ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("x50"),
         F.percentile("value", 0.95).alias("x95"),
     )
-    j = p50.join(p95, "event_type").join(exact, "event_type")
+    j = ests.join(exact, "event_type")
     return j.select(
         "event_type",
         F.round("q50_est", 6).alias("p50_est"),

@@ -439,3 +439,23 @@ def test_pgv_p6_frames_collapse_to_luma():
     assert len(body) == 4 and body[:2] == body[2:]
     # red luma (~76) < green luma (~150), both via the image-path math
     assert body[0] < body[1]
+
+
+def test_wav_truncated_payload_raises():
+    """A data chunk whose declared size exceeds the available bytes is
+    a truncated upload — must raise, never silently decode a shorter
+    clip (the PGV contract, applied to audio)."""
+    full = mm.encode_wav_pcm16([100, -100, 200, -200])
+    with pytest.raises(ValueError, match="truncated"):
+        mm._decode_wav(full[:-3])
+
+
+def test_audio_features_rejects_bad_hop(spark):
+    df = spark.createDataFrame(
+        [(1, mm.encode_wav_pcm16([0] * 10), "audio", "wav")],
+        "media_id long, payload binary, media_type string, codec string",
+    )
+    with pytest.raises(ValueError):
+        mm.audio_features(df, frame_len=100, hop=400)
+    with pytest.raises(ValueError):
+        mm.audio_features(df, frame_len=100, hop=0)
