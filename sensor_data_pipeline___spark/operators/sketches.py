@@ -264,7 +264,7 @@ def histogram_quantile(
     never O(rows)."""
     from pyspark.sql import Window
 
-    qs = [q] if isinstance(q, float) else list(q)
+    qs = [float(q)] if isinstance(q, (int, float)) else [float(x) for x in q]
     width = (hi - lo) / n_bins
     w = (
         Window.partitionBy(*group_cols)
