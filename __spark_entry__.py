@@ -36,23 +36,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # round, and the advanced joins/set-ops/profiling families. Rows-only
 # (no-oracle) entries ride the local replica harness
 # (tests/test_queries_oracle.py) instead of spending gate slots.
-# Round-5 rotation (VERDICT r4 directive #1): the gate window swaps
-# ~24 long-green veterans for never-driver-checked oracle-backed
-# entries, so the driver independently verifies fresh families (as-of
-# joins, range join, sessionization, OLAP rollup/pivot, gap-fill,
-# sketch rollups, EWMA fold, decontamination, redaction, weighted
-# sampling). Displaced veterans (TPC-H mid-pack q2-q9/q13-q21,
-# interarrival_histogram, ntile_deciles, inverted_index_sample,
-# set_*_all_customers, column_profile_orders, benford_first_digit,
-# trigram_repetition, content_pattern_profile) stay green on the local
-# replica harness (tests/test_queries_oracle.py), which mirrors the
-# driver's Arrow fetch exactly; all 132 were re-verified green at
-# sf0.01 under a hostile session before this rotation landed.
-# r6 rotation candidates (never driver-gated, oracle-backed, added in
-# r5): corpus composite members already gated; swap veterans for
-# shard_assignment, mixture_sample_docs, collapse_repeat_tokens,
-# char_entropy_quality, chunk_documents_stats, winsorize_event_values,
-# duplicated_gram_fraction, embedding_quantization_stats.
+# Round-6 rotation (VERDICT r5 directive #1): the gate window keeps a
+# 12-entry veteran spine (the reference-parity core that never
+# rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
+# session_window_batch watch item, and similarity_topk as the
+# brute-force twin of the newly gated hard_negative_mining) and fills
+# the remaining 38 slots with EVERY oracle-backed query that has never
+# been driver-checked — including the two post-sweep orphans
+# (histogram_sketch_quantiles, hard_negative_mining) VERDICT r5 called
+# out. After this window runs green, all 133 oracle-backed entries
+# will have been independently driver-gated at least once across
+# rounds 1-6. Displaced veterans (TPC-H q5/q10/q12/q22, the as-of /
+# range joins, gap-fill, rollup/pivot/unpivot, TF-IDF, M4, HLL
+# rollup, sampling, contamination, redaction — all r5-gate-green) stay
+# covered by the local replica harness (tests/test_queries_oracle.py,
+# the driver's exact Arrow fetch) and by scripts/verify_driver.py,
+# whose full-surface sf0.01 hostile-session sweep ran green before
+# this rotation landed.
 _PRIORITY = (
     # reference parity core (SURVEY.md §2) — never rotates out
     "silver_parse",
@@ -62,64 +62,58 @@ _PRIORITY = (
     "affected_days_recompute",
     "coalesce_last_purchase",
     "date_range_orders",
-    # TPC-H flagships + the three re-ranged in round 4 (one more
-    # independent check on the formerly vacuous predicates)
+    # veteran spine
     "q1_pricing_summary",
-    "q5_region_revenue",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q22_idle_rich_customers",
-    # long-horizon composites that keep their slot
-    "time_weighted_avg",
-    "pack_sequences",
-    "equi_depth_histogram",
-    "set_similarity_pairs",
-    "pit_join_click_version",
-    "scd2_purchase_values",
-    "dedup_exact",
-    # r5: corpus_pipeline_stats (the end-to-end dedup→quality→split→
-    # decontaminate→mixture→shard composition, new this round) takes
-    # dedup_exact_stats's slot — that operator stays gate-covered via
-    # dedup_exact in-window and green on the local replica harness.
     "corpus_pipeline_stats",
-    "snapshot_diff_orders",
-    "deterministic_stratified_sample",
-    "bloom_semi_join_lineitem",
-    "connected_components_fuzzy",
-    "variant_props_extract",
-    "sql_api_nation_revenue",
-    # --- first-time gate entries (24) ---
-    # round-4 additions, never driver-checked
-    "train_test_contamination",
-    "redaction_stats",
-    "weighted_sample_docs",
-    "ewma_daily_value",
-    # time-series repair + robust stats
-    "gapfill_linear_interp",
-    "gapfill_forward_fill",
-    "rolling_median_power",
-    "mad_outliers",
-    # behavioral analytics
-    "cohort_retention",
-    "sessionization",
-    "session_window_batch",
-    # as-of / range temporal joins
-    "asof_last_purchase",
-    "asof_next_click",
-    "range_join_purchase_clicks",
-    # fuzzy matching
-    "fuzzy_name_pairs",
-    # window + OLAP shapes
-    "window_topk_orders",
-    "rollup_lineitem",
-    "pivot_daily_avg",
-    "unpivot_charges",
-    # text / similarity / multimodal / sketches
-    "tfidf_top_terms",
-    "m4_downsample",
-    "similarity_topk",
-    "multimodal_binary_meta",
-    "hll_distinct_rollup",
+    "dedup_exact",
+    "session_window_batch",  # r5 bench watch item — keep it gated
+    "similarity_topk",  # exact twin of hard_negative_mining below
+    # --- first-time gate entries (38 = every never-gated oracle-backed
+    # query in the registry) ---
+    # post-sweep orphans (VERDICT r5 top priority)
+    "histogram_sketch_quantiles",
+    "hard_negative_mining",
+    # r5 staged candidates (__spark_entry__ r5 comment)
+    "shard_assignment",
+    "mixture_sample_docs",
+    "collapse_repeat_tokens",
+    "char_entropy_quality",
+    "chunk_documents_stats",
+    "winsorize_event_values",
+    "duplicated_gram_fraction",
+    "embedding_quantization_stats",
+    # SQL/OLAP shapes
+    "grouping_sets_priority",
+    "json_extract_props",
+    "range_frame_user_spend",
+    "rank_distribution",
+    "conditional_boolean_aggs",
+    "set_intersect_customers",
+    "set_except_customers",
+    "string_agg_nations",
+    "corr_regression_returnflag",
+    "full_outer_click_purchase",
+    "latest_event_per_user",
+    "revenue_share_by_nation",
+    "daily_new_vs_returning",
+    "funnel_conversion",
+    "value_histogram",
+    "udtf_first_terms",
+    # text analysis
+    "top_terms",
+    "top_bigrams",
+    "text_normalization",
+    "quality_assertion_counts",
+    # embeddings
+    "embedding_centroid_norm",
+    "embedding_dim_variance",
+    "embedding_component_stats",
+    "hash_split_sizes",
+    # sketch accuracy contracts + multimodal
+    "cms_heavy_hitters",
+    "approx_distinct_accuracy",
+    "approx_percentile_accuracy",
+    "waveform_envelope",
 )
 
 

@@ -486,8 +486,18 @@ def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
     import numpy as np
 
     # one vectorized conversion, not a struct.pack per sample — this
-    # runs per document inside the synthetic-media queries' hot path
-    data = np.asarray(list(samples), dtype="<i2").tobytes()
+    # runs per document inside the synthetic-media queries' hot path.
+    # Validate int16 range BEFORE the cast: np.asarray(dtype='<i2')
+    # silently wraps out-of-range values (NumPy-version-dependent for
+    # Python ints), so a clipping bug in a caller would otherwise
+    # produce corrupted audio instead of an error — the struct.pack
+    # contract this replaced raised, and so do we.
+    arr = np.asarray(list(samples))
+    if not np.issubdtype(arr.dtype, np.integer):
+        raise TypeError(f"samples must be integers, got {arr.dtype}")
+    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
+        raise ValueError("sample out of int16 range [-32768, 32767]")
+    data = arr.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -602,6 +612,15 @@ def _scan_pnm(payload: bytes, pos: int) -> "tuple[dict[str, Any], int]":
         raise NotImplementedError("16-bit PNM is not supported natively")
     body_len = w * h * (3 if magic == b"P6" else 1)
     end = p + body_len
+    if end > len(payload):
+        # a truncated final P5 frame would otherwise slip through:
+        # _decode_pnm slices the P5 body without a length check (only
+        # P6's np.frombuffer raises), yielding a silently undersized
+        # body — truncation must be DETECTED, not read past
+        raise ValueError(
+            f"truncated frame at offset {pos}: body needs {body_len} "
+            f"bytes, payload has {len(payload) - p}"
+        )
     meta = _decode_pnm(payload[pos:end])
     return meta, end
 

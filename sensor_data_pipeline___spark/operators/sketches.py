@@ -219,8 +219,13 @@ def histogram_sketch(
 
     Bounds are FIXED UPFRONT (the production posture: bounds are part
     of the sketch schema; re-binning is a rebuild). One partial-
-    aggregated groupBy; values at ``hi`` clamp into the last bin."""
+    aggregated groupBy; values at ``hi`` clamp into the last bin.
+    NULL values are EXCLUDED before binning (matching what SQL
+    aggregates do with nulls) — without the filter, a null makes the
+    floor() expression null and ``greatest(null, 0)`` lands it
+    silently in bin 0, inflating low-quantile mass."""
     width = (hi - lo) / n_bins
+    df = df.filter(F.col(value_col).isNotNull())
     b = (
         F.least(
             F.greatest(
@@ -244,6 +249,19 @@ def histogram_merge(sketches: DataFrame, group_cols: "list[str]") -> DataFrame:
     )
 
 
+def _quantile_label(q: float) -> str:
+    """Column-safe label covering the full quantile value: integer
+    percents stay short (0.5 → ``50``), anything finer keeps every
+    significant digit (0.125 → ``12_5``, 0.504 → ``50_4``) so distinct
+    quantiles can never alias to the same column name."""
+    # round kills float-product noise (0.1*100 == 10.000000000000002)
+    # without collapsing real sub-percent quantiles
+    pct = round(q * 100, 10)
+    if pct == int(pct):
+        return str(int(pct))
+    return repr(pct).replace(".", "_").replace("-", "neg")
+
+
 def histogram_quantile(
     sketches: DataFrame,
     group_cols: "list[str]",
@@ -254,17 +272,23 @@ def histogram_quantile(
 ) -> DataFrame:
     """Quantile estimates from a (merged) sketch: for each requested
     ``q``, the midpoint of the first bin whose cumulative count
-    reaches ``q × total``. Adds one ``q{pct}_est`` column per quantile
-    (``pct = round(q*100)`` — ``int()`` would truncate binary floats:
-    0.29 → q28); a LIST of quantiles reads them all from ONE
-    cumulative pass instead of one window + join per quantile. Error
-    vs the exact interpolated quantile is bounded by ~2 bin widths
-    (chosen-bin membership of both interpolation ranks). Cumulative is
-    a per-group window over ``n_bins`` rows — O(groups × bins) state,
-    never O(rows)."""
+    reaches ``q × total``. Adds one ``q{label}_est`` column per
+    quantile, where the label is derived from the FULL quantile value
+    (0.5 → ``q50_est``, 0.125 → ``q12_5_est``) — labelling from
+    ``round(q*100)`` would mislabel non-integer percents (0.125 →
+    q12) and collide close quantiles (0.5 vs 0.504 → two q50_est
+    columns, an ambiguous frame downstream); duplicate labels raise. A
+    LIST of quantiles reads them all from ONE cumulative pass instead
+    of one window + join per quantile. Error vs the exact interpolated
+    quantile is bounded by ~2 bin widths (chosen-bin membership of
+    both interpolation ranks). Cumulative is a per-group window over
+    ``n_bins`` rows — O(groups × bins) state, never O(rows)."""
     from pyspark.sql import Window
 
     qs = [float(q)] if isinstance(q, (int, float)) else [float(x) for x in q]
+    labels = [_quantile_label(qq) for qq in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels: {sorted(labels)}")
     width = (hi - lo) / n_bins
     w = (
         Window.partitionBy(*group_cols)
@@ -285,7 +309,7 @@ def histogram_quantile(
                 + 0.5
             )
             * F.lit(width)
-        ).alias(f"q{round(qq * 100)}_est")
-        for qq in qs
+        ).alias(f"q{label}_est")
+        for qq, label in zip(qs, labels)
     ]
     return scanned.groupBy(*group_cols).agg(*aggs)

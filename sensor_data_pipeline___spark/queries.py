@@ -5547,6 +5547,7 @@ def q_duplicated_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        / ((b.hi - b.lo) / 64)), 0), 63)
                   AS INT) AS bin
       FROM events e, bounds b
+      WHERE e.value IS NOT NULL
     ), sk AS (
       SELECT event_type, bin, count(*) AS cnt
       FROM binned GROUP BY event_type, bin

@@ -830,6 +830,12 @@ def sketch_psi_drift_stream(
         counts = np.zeros(n_bins, dtype=np.int64)
         for pdf in pdf_iter:
             v = pdf["metric_value"].to_numpy(dtype=float)
+            # drop NaN/inf BEFORE binning: floor(nan).astype(int64) is
+            # undefined (typically INT64_MIN) and clip would silently
+            # land corrupt readings in bin 0, skewing the reference/PSI
+            v = v[np.isfinite(v)]
+            if v.size == 0:
+                continue
             b = np.clip(
                 np.floor((v - lo) / width).astype(np.int64), 0, n_bins - 1
             )

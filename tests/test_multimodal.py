@@ -459,3 +459,30 @@ def test_audio_features_rejects_bad_hop(spark):
         mm.audio_features(df, frame_len=100, hop=400)
     with pytest.raises(ValueError):
         mm.audio_features(df, frame_len=100, hop=0)
+
+
+def test_encode_wav_rejects_out_of_range_and_float_samples():
+    """np.asarray(dtype='<i2') silently wraps out-of-int16-range
+    values; the encoder must keep the struct.pack('<h') contract it
+    replaced — raise on range overflow and on non-integer samples, so
+    a clipping bug in a caller becomes an error, not corrupted audio."""
+    with pytest.raises(ValueError, match="int16 range"):
+        mm.encode_wav_pcm16([0, 40000])
+    with pytest.raises(ValueError, match="int16 range"):
+        mm.encode_wav_pcm16([-32769])
+    with pytest.raises(TypeError, match="integers"):
+        mm.encode_wav_pcm16([1.5, 2.5])
+    # boundary values round-trip exactly
+    wav = mm.encode_wav_pcm16([-32768, 32767])
+    meta = mm._decode_wav(wav)
+    assert meta["n_samples"] == 2
+
+
+def test_pgv_truncated_final_p5_frame_raises():
+    """A truncated final grayscale frame must raise: P5 bodies are
+    sliced without a length check in _decode_pnm (only P6's
+    np.frombuffer raises), so _scan_pnm itself enforces end <= len."""
+    frames = [_pgm_frame(4, 3, 1), _pgm_frame(4, 3, 2)]
+    payload = mm.encode_pgv(frames)
+    with pytest.raises(ValueError, match="truncated"):
+        mm._decode_pgv(payload[:-5])  # short final P5 body

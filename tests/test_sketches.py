@@ -142,3 +142,47 @@ def test_histogram_sketch_mergeability(spark):
     # clamp rule: every count accounted for, bins within range
     assert sum(rolled.values()) == ev.count()
     assert all(0 <= b < 32 for _, b in rolled)
+
+
+def test_histogram_sketch_excludes_nulls(spark):
+    """NULL values must be excluded before binning — without the
+    filter, floor(NULL)/greatest(NULL, 0) lands every null silently in
+    bin 0, inflating low-quantile mass (what SQL aggregates never do)."""
+    from sensor_data_pipeline___spark.operators.sketches import histogram_sketch
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", None), ("a", None), ("a", 95.0)],
+        "k string, v double",
+    )
+    counts = {
+        r.bin: r.cnt
+        for r in histogram_sketch(df, ["k"], "v", 0.0, 100.0, 10).collect()
+    }
+    assert counts == {0: 1, 9: 1}  # 2 nulls contribute nowhere
+
+
+def test_histogram_quantile_labels_full_value(spark):
+    """Sub-percent quantiles keep every significant digit in their
+    column label (0.125 -> q12_5_est, not q12_est) and near-identical
+    quantiles can never silently collide into duplicate columns."""
+    import pytest
+
+    from sensor_data_pipeline___spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(100)], "k string, v double"
+    )
+    sk = histogram_sketch(df, ["k"], "v", 0.0, 100.0, 100)
+    out = histogram_quantile(sk, ["k"], [0.125, 0.5, 0.504], 0.0, 100.0, 100)
+    assert set(out.columns) == {"k", "q12_5_est", "q50_est", "q50_4_est"}
+    row = out.collect()[0]
+    # distinct estimates from distinct labels (bin midpoints)
+    assert row["q12_5_est"] == 12.5 and row["q50_est"] == 49.5
+    assert row["q50_4_est"] == 50.5  # 0.504 picks the NEXT bin up
+    # 0.5 vs 0.50000000001 would produce the same printable label ->
+    # an ambiguous frame; the guard raises instead
+    with pytest.raises(ValueError, match="duplicate quantile labels"):
+        histogram_quantile(sk, ["k"], [0.5, 0.5], 0.0, 100.0, 100)

@@ -461,3 +461,24 @@ def test_sketch_psi_drift_stream(spark, dirs):
     assert same["psi"] < 0.05, same["psi"]  # identical shape
     assert shifted["psi"] > 1.0, shifted["psi"]  # disjoint support
     assert math.isfinite(shifted["psi"])
+
+
+def test_sketch_psi_stream_drops_nonfinite_values(spark, dirs):
+    """A digits-only token like 1 followed by 400 zeros passes the
+    silver value regex but casts to double infinity; floor(inf)
+    .astype(int64) is undefined (typically INT64_MIN) and clip would
+    silently land it in bin 0, corrupting the reference histogram.
+    Non-finite values must be dropped before binning."""
+    huge = "1" + "0" * 400  # passes ^-?\d+\.?\d*$, casts to +inf
+    lines = [f"1649941819 Voltage {float(v % 50)}" for v in range(40)]
+    lines += [f"1649941819 Voltage {huge}" for _ in range(5)]
+    _drop(dirs, "b1.txt", lines)
+    q = sp.sketch_psi_drift_stream(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], lo=0.0, hi=100.0,
+        n_bins=10,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(dirs["out"]).collect()
+    # the 5 inf readings contribute to NO bin: 40 counted, not 45
+    assert len(rows) == 1 and rows[0]["batch_rows"] == 40
+    assert rows[0]["is_reference"] and rows[0]["psi"] == 0.0
