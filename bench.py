@@ -137,6 +137,78 @@ def bench_streaming(
         }
 
 
+def bench_corpus_ingest(
+    spark, docs_per_file: int = 10_000, n_files: int = 8
+) -> dict[str, float]:
+    """Streaming corpus ingest throughput (VERDICT r5 directive #5):
+    the ``corpus_ingest_stream`` path — JSONL drop → quality gate →
+    content-hash ``dropDuplicatesWithinWatermark`` → parquet clean
+    store — measured batch-by-batch the same way as the sensor
+    medallion (``bench_streaming``).
+
+    The drop is a deterministic synthetic corpus (every doc passes the
+    gate; content made unique by an id token so dedup state is
+    exercised at full cardinality, the worst case for the state
+    store). ``maxFilesPerTrigger=1`` slices it into ``n_files``
+    micro-batches under one availableNow run; rows/s is input rows
+    over triggerExecution time with the warmup batch (batchId 0, which
+    pays sink/state init) excluded."""
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.streaming import pipeline as sp
+
+    with tempfile.TemporaryDirectory() as td:
+        drop = os.path.join(td, "drop")
+        total = docs_per_file * n_files
+        # ~30 tokens/doc, unique id token -> unique content_md5 per doc
+        (
+            spark.range(total)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit(" ".join(f"tok{i}" for i in range(29)) + " uid"),
+                    F.col("id").cast("string"),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("bench").alias("source"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.col("id") % 3600
+                ).alias("fetched_at"),
+            )
+            .repartition(n_files)
+            .write.json(drop)
+        )
+        q = sp.corpus_ingest_stream(
+            spark,
+            drop,
+            os.path.join(td, "out"),
+            os.path.join(td, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        done = [
+            p
+            for p in q.recentProgress
+            if p["numInputRows"] > 0 and p["batchId"] >= 1
+        ]
+        if len(done) < 2:
+            raise RuntimeError(
+                f"need >=2 measured corpus batches, got {len(done)}"
+            )
+        rows = sum(p["numInputRows"] for p in done)
+        exec_ms = [p["durationMs"]["triggerExecution"] for p in done]
+        return {
+            "corpus_ingest_rows_per_s": round(rows / (sum(exec_ms) / 1000.0), 1),
+            "corpus_ingest_batch_latency_ms_p50": round(
+                statistics.median(exec_ms), 1
+            ),
+            "corpus_ingest_batches_measured": len(done),
+        }
+
+
 def bench_export(spark, sf_dir: str, n_shards: int = 16) -> dict[str, float]:
     """Training-export write path: shard-assign + one-file-per-shard
     write of the documents table (operators/export.py:write_shards),
@@ -224,6 +296,10 @@ def main() -> None:
         result.update(bench_streaming(spark))
     except Exception as exc:  # noqa: BLE001 — record, keep going
         errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        result.update(bench_corpus_ingest(spark))
+    except Exception as exc:  # noqa: BLE001 — record, keep going
+        errors["corpus_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
     try:
         result.update(bench_export(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001 — record, keep going

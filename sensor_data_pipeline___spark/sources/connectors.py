@@ -212,3 +212,51 @@ class OffsetReplaySource:
         with open(tmp, "w") as f:
             json.dump({str(k): v for k, v in offsets.items()}, f)
         os.replace(tmp, self.commit_path)
+
+    def consume_to_bronze(self, bronze_path: str) -> int:
+        """One poll → bronze write → commit cycle with an IDEMPOTENT
+        sink write, closing the torn-commit window between the sink
+        write and ``commit()`` (VERDICT r5 directive #4).
+
+        Batch identity is the batch's STARTING committed offsets —
+        replay-stable by construction: a consumer that crashes after
+        the bronze write but before ``commit()`` re-polls from the
+        same positions on restart, producing the same ``ingest_key``,
+        so the rewrite OVERWRITES its own ``ingest_key=...`` partition
+        (dynamic partition overwrite, the `_write_changelog_batch`
+        pattern) instead of appending a duplicate. Effectively-once in
+        bronze from an at-least-once transport, without a broker.
+
+        Returns the number of records landed (0 = nothing new)."""
+        polled = self.poll()
+        start = self.committed()
+        key = (
+            "-".join(f"{p}_{o}" for p, o in sorted(start.items())) or "origin"
+        )
+        rows = polled.select(
+            "partition",
+            "offset",
+            F.col("value").alias("raw_line"),
+            F.current_timestamp().alias("ingested_at"),
+            F.lit(key).alias("ingest_key"),
+        )
+        n = rows.count()
+        if n == 0:
+            return 0
+        # pin dynamic overwrite for THIS write (restore after) — under
+        # the static default an "overwrite" would wipe every previous
+        # batch's partition, not just this batch's own
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(conf, None)
+        self.spark.conf.set(conf, "dynamic")
+        try:
+            rows.write.mode("overwrite").partitionBy("ingest_key").parquet(
+                bronze_path
+            )
+        finally:
+            if prev is None:
+                self.spark.conf.unset(conf)
+            else:
+                self.spark.conf.set(conf, prev)
+        self.commit(self.next_offsets(polled))
+        return n

@@ -739,6 +739,7 @@ def corpus_ingest_stream(
     max_tokens: int = 90,
     max_avg_token_len: float = 10.0,
     trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming corpus ingest — the continuous mirror of the batch
     ``corpus_pipeline_stats`` front half: JSONL documents stream in,
@@ -761,10 +762,15 @@ def corpus_ingest_stream(
     the crawler-handoff format; gzip-compressed files are read
     transparently by the text-based source).
     """
-    docs = spark.readStream.schema(
+    reader = spark.readStream.schema(
         "doc_id bigint, text string, lang string, "
         "source string, fetched_at timestamp"
-    ).json(src_dir)
+    )
+    if max_files_per_trigger is not None:
+        # admission control under backlog; also what partitions the
+        # drop into a deterministic micro-batch sequence (bench/tests)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.json(src_dir)
     toks = F.split(F.col("text"), " ")
     nt = F.size(toks)
     atl = F.length(F.regexp_replace(F.col("text"), " ", "")) / nt.cast(

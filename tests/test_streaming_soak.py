@@ -172,3 +172,97 @@ def test_soak_ewma_drift_replay_equivalence(spark, tmp_path):
         assert row["batch_mean"] == pytest.approx(m)
         assert row["ewma"] == pytest.approx(exp, rel=1e-12)
     assert rows[-1]["n_readings"] == 2 * len(batch_means)
+
+
+def test_soak_corpus_ingest_state_plateaus_under_straddling_dupes(
+    spark, tmp_path
+):
+    """VERDICT r5 directive #6: 50+ micro-batches of corpus ingest with
+    duplicate arrivals BOTH inside the watermark horizon (must be
+    dropped, held in state) and far beyond it (state already evicted,
+    re-admitted — the documented handoff to the periodic batch exact
+    dedup). The dropDuplicatesWithinWatermark state store must
+    PLATEAU at the horizon's key mass, not grow with total keys
+    processed."""
+    import json as _json
+    import os
+
+    n_batches = 55
+    step_s = 60          # event time advances 60 s per batch
+    watermark_s = 300    # horizon ≈ 5-6 batches of keys
+    t0 = 1_700_000_000
+    drop = tmp_path / "drop"
+    drop.mkdir()
+
+    def doc(doc_id, uid, batch):
+        text = " ".join(f"w{i}" for i in range(24)) + f" uid{uid}"
+        ts = time.strftime(
+            "%Y-%m-%dT%H:%M:%S", time.gmtime(t0 + batch * step_s)
+        )
+        return {
+            "doc_id": doc_id, "text": text, "lang": "en",
+            "source": "soak", "fetched_at": ts,
+        }
+
+    for b in range(n_batches):
+        docs = [doc(b * 1000 + i, f"{b}_{i}", b) for i in range(20)]
+        if b >= 1:  # within-horizon dupes: previous batch's content
+            docs += [
+                doc(b * 1000 + 100 + i, f"{b - 1}_{i}", b) for i in range(10)
+            ]
+        if b >= 20:  # straddling dupes: content from 20 batches
+            # (1200 s) ago — an entry from batch j lives until the
+            # watermark passes j*step + watermark_s (~11 batches), so a
+            # 20-batch lag is safely past eviction: state gone,
+            # re-admitted as new
+            docs += [
+                doc(b * 1000 + 200 + i, f"{b - 20}_{i}", b) for i in range(10)
+            ]
+        path = drop / f"b{b:03d}.jsonl"
+        path.write_text("\n".join(_json.dumps(d) for d in docs))
+        os.utime(path, (t0 + b, t0 + b))
+
+    q = sp.corpus_ingest_stream(
+        spark,
+        str(drop),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        watermark=f"{watermark_s} seconds",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+
+    series = {
+        p["batchId"]: p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"] and p["numInputRows"] > 0
+    }
+    assert len(series) >= 50, f"only {len(series)} measured batches"
+    batches = sorted(series)
+    peak = max(series.values())
+    tail = [series[b] for b in batches if b >= n_batches // 2]
+
+    # distinct content keys pushed through the whole run
+    total_keys = n_batches * 20
+    # BOUNDED: an entry lives ~11 batches (event_time + delay vs
+    # the lagging watermark) × ≤30 admitted keys (+slack); linear
+    # growth would be ~total_keys by the end
+    bound = 11 * 30 + 90
+    assert peak <= bound < total_keys, (
+        f"state peaked at {peak} (bound {bound}, total keys {total_keys})"
+    )
+    # PLATEAU: the back half stops climbing (jitter ≤ ~1 batch of keys)
+    assert max(tail) - min(tail) <= 40, tail[-10:]
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    n_fresh = n_batches * 20
+    n_readmitted = (n_batches - 20) * 10
+    # within-horizon dupes all dropped; straddling dupes re-admitted
+    assert out.count() == n_fresh + n_readmitted
+    # every re-admission is a cross-horizon copy: content distinct
+    # count equals the fresh key count
+    assert out.select("content_md5").distinct().count() == n_fresh
+    print(
+        f"\ncorpus soak: batches={len(series)} peak_state={peak} "
+        f"tail={tail[-5:]} out_rows={out.count()}"
+    )
