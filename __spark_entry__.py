@@ -67,12 +67,13 @@ _PRIORITY = (
     "corpus_pipeline_stats",
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
-    "similarity_topk",  # exact twin of hard_negative_mining below
-    # --- first-time gate entries (38 = every never-gated oracle-backed
+    # --- first-time gate entries (39 = every never-gated oracle-backed
     # query in the registry) ---
-    # post-sweep orphans (VERDICT r5 top priority)
+    # post-sweep orphans (VERDICT r5 top priority) + the r6 blocked
+    # miner (nprobe==ncells ⇒ exact, hash-verifiable)
     "histogram_sketch_quantiles",
     "hard_negative_mining",
+    "hard_negative_mining_blocked",
     # r5 staged candidates (__spark_entry__ r5 comment)
     "shard_assignment",
     "mixture_sample_docs",

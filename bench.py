@@ -265,21 +265,35 @@ def main() -> None:
     # rep of one; the first pass doubles as per-query warmup. One broken query must NOT zero the
     # whole artifact (the BENCH_r02 failure mode): failures are
     # recorded per-query and the JSON line is emitted regardless.
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+
+    def run_one(name: str) -> None:
+        try:
+            start = time.perf_counter()
+            materialize(QUERIES[name](spark, sf_dir))
+            elapsed = time.perf_counter() - start
+        except Exception as exc:  # noqa: BLE001 — record, keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            samples.pop(name, None)
+            return
+        samples.setdefault(name, []).append(elapsed)
+
     for _rep in range(3):
         for name in BENCH_QUERIES:
-            if name in errors:
-                continue
-            try:
-                start = time.perf_counter()
-                materialize(QUERIES[name](spark, sf_dir))
-                elapsed = time.perf_counter() - start
-            except Exception as exc:  # noqa: BLE001 — record, keep going
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                timings.pop(name, None)
-                continue
-            timings[name] = round(min(timings.get(name, elapsed), elapsed), 3)
+            if name not in errors:
+                run_one(name)
+    # VERDICT r5 directive #3: sub-second queries whose run-to-run
+    # swing exceeds 50% get a 4th rep — on this host their minimum is
+    # the statistic most exposed to a single noise burst (the
+    # session_window_batch r5 false alarm), and one extra sample
+    # measurably tightens it at negligible cost
+    for name, s in list(samples.items()):
+        if name not in errors and min(s) < 1.0 and (max(s) - min(s)) > 0.5 * min(s):
+            run_one(name)
+    timings = {
+        name: round(min(s), 3) for name, s in samples.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -5656,3 +5656,52 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < 8)
     return hard_negatives(anchors, emb, k=5)
+
+
+@_register(
+    "hard_negative_mining_blocked",
+    # The BLOCKED miner (operators/similarity.py: hard_negatives_ivf)
+    # at nprobe == ncells: every cell is probed, so the result is
+    # bit-identical to brute force REGARDLESS of centroid float jitter
+    # or cell assignment — which is exactly what makes the scale path
+    # hash-verifiable against the same SQL twin (the approximate
+    # nprobe < ncells setting is covered by recall-floor tests, the
+    # IVF accuracy-contract posture). Exercises the full blocked plan:
+    # centroid init, map-side max_by assignment, probe ranking, and
+    # the cell-equi-join with the label-mismatch predicate.
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlabel,
+             list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, label AS clabel,
+             list_transform(embedding, x -> x::DOUBLE) AS ce
+      FROM embeddings
+    ), sims AS (
+      SELECT q.query_id, c.vec_id, c.clabel AS negative_label,
+             round(list_dot_product(qe, ce) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                   6) AS cosine
+      FROM q CROSS JOIN c
+      WHERE q.query_id <> c.vec_id AND q.qlabel <> c.clabel
+    )
+    SELECT query_id, vec_id, negative_label, cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def q_hard_negative_mining_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.similarity import (
+        hard_negatives_ivf,
+        ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    cents = ivf_centroids(emb, ncells=8, iters=0)
+    return hard_negatives_ivf(anchors, emb, cents, k=5, nprobe=8)
