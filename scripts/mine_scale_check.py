@@ -75,9 +75,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     brute_df = sim.hard_negatives(anchors, corpus, k=args.k)
-    brute = {
-        (r.query_id, r.vec_id) for r in brute_df.collect()
-    }
+    brute_rows = brute_df.collect()
+    brute = {(r.query_id, r.vec_id) for r in brute_rows}
     t_brute = time.perf_counter() - t0
     print(f"brute: {t_brute:.1f}s, {len(brute)} pairs", file=sys.stderr)
 
@@ -93,9 +92,24 @@ def main() -> None:
     blocked_df = sim.hard_negatives_ivf(
         anchors, corpus, cents, k=args.k, nprobe=args.nprobe
     )
-    blocked = {(r.query_id, r.vec_id) for r in blocked_df.collect()}
+    blocked_rows = blocked_df.collect()
+    blocked = {(r.query_id, r.vec_id) for r in blocked_rows}
     t_blocked = time.perf_counter() - t0
     recall = len(brute & blocked) / len(brute) if brute else 0.0
+
+    # cosine regret: on a replica-heavy corpus id-recall punishes
+    # picking a tied near-equal-cosine copy of the same base negative;
+    # what mining actually needs is the HARDNESS of the negatives, so
+    # also report the mean drop in per-anchor mean top-k cosine
+    def mean_cos(rows):
+        acc: dict[int, list[float]] = {}
+        for r in rows:
+            acc.setdefault(r.query_id, []).append(r.cosine)
+        return {q: sum(v) / len(v) for q, v in acc.items()}
+
+    bm, km = mean_cos(brute_rows), mean_cos(blocked_rows)
+    regrets = [bm[q] - km.get(q, 0.0) for q in bm]
+    regret = sum(regrets) / len(regrets) if regrets else 0.0
     print(
         f"blocked: train {t_train:.1f}s + mine {t_blocked:.1f}s, "
         f"recall@{args.k}={recall:.3f}",
@@ -115,6 +129,7 @@ def main() -> None:
                 "blocked_mine_s": round(t_blocked, 2),
                 "speedup_mine": round(t_brute / t_blocked, 2),
                 "recall_vs_brute": round(recall, 4),
+                "mean_cosine_regret": round(regret, 6),
             }
         )
     )
