@@ -5705,3 +5705,76 @@ def q_hard_negative_mining_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     anchors = emb.filter(F.col("vec_id") < 8)
     cents = ivf_centroids(emb, ncells=8, iters=0)
     return hard_negatives_ivf(anchors, emb, cents, k=5, nprobe=8)
+
+
+_ZORDER_ORACLE = """
+    WITH bounds AS (
+      SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi FROM events
+    ), q AS (
+      SELECT CAST(least(greatest(floor((e.value - b.lo)
+                                  / ((b.hi - b.lo) / 256)), 0), 255)
+                  AS BIGINT) AS qa,
+             CAST(least(greatest(floor(hour(e.ts) / (24.0 / 256)), 0), 255)
+                  AS BIGINT) AS qb,
+             e.value, hour(e.ts) AS hr
+      FROM events e, bounds b
+    ), z AS (
+      SELECT ((((qa >> 0) & 1) << 0) | (((qb >> 0) & 1) << 1) |
+             (((qa >> 1) & 1) << 2) | (((qb >> 1) & 1) << 3) |
+             (((qa >> 2) & 1) << 4) | (((qb >> 2) & 1) << 5) |
+             (((qa >> 3) & 1) << 6) | (((qb >> 3) & 1) << 7) |
+             (((qa >> 4) & 1) << 8) | (((qb >> 4) & 1) << 9) |
+             (((qa >> 5) & 1) << 10) | (((qb >> 5) & 1) << 11) |
+             (((qa >> 6) & 1) << 12) | (((qb >> 6) & 1) << 13) |
+             (((qa >> 7) & 1) << 14) | (((qb >> 7) & 1) << 15)) AS zval, value, hr
+      FROM q
+    )
+    SELECT CAST(zval >> 12 AS INT) AS z_bucket,
+           count(*) AS n_events,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           CAST(min(hr) AS INT) AS min_hour,
+           CAST(max(hr) AS INT) AS max_hour
+    FROM z GROUP BY z_bucket
+"""
+
+
+@_register(
+    "zorder_curve_stats",
+    # Z-order layout key (operators/layout.py): the Morton interleave
+    # of (quantized value, quantized hour-of-day) that cluster_write
+    # range-partitions files by. The curve's defining property — each
+    # coarse z-prefix bucket covers a small RECTANGLE of the
+    # (value, hour) plane, not a full-domain stripe — is what the
+    # per-bucket min/max columns exhibit and the hash check pins. Bit
+    # math is a static shift/mask/or chain in both engines (the
+    # lsh_bucket constant-unroll pattern); bounds are the two-pass
+    # broadcast global min/max (the histogram_sketch posture).
+    _ZORDER_ORACLE,
+)
+def q_zorder_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.warehouse import quantize, zvalue
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = (
+        ev.agg(F.min("value").cast("double"), F.max("value").cast("double"))
+        .first()
+    )
+    za = quantize(F.col("value"), lo, hi, bits=8)
+    zb = quantize(F.hour("ts").cast("double"), 0.0, 24.0, bits=8)
+    z = zvalue(za, zb, bits=8)
+    return (
+        ev.select(
+            F.shiftright(z, 12).cast("int").alias("z_bucket"),
+            "value",
+            F.hour("ts").alias("hr"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.min("hr").cast("int").alias("min_hour"),
+            F.max("hr").cast("int").alias("max_hour"),
+        )
+    )

@@ -230,6 +230,46 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def zvalue(a, b, bits: int = 16):
+    """Morton code of two ``bits``-wide non-negative long Columns: bit
+    i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1. Static
+    2·bits-term shift/mask/or expression chain inside whole-stage
+    codegen — no UDF. Shared by :func:`zorder_key` (data-derived
+    bounds) and the fixed-bounds oracle query (``zorder_curve_stats``).
+
+    Column ``&``/``|`` are LOGICAL operators in PySpark — bit ops need
+    the explicit methods, and bitwiseAND requires matching operand
+    types."""
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return z
+
+
+def quantize(col, lo: float, hi: float, bits: int):
+    """Map a Column to an integer rank in [0, 2**bits) against FIXED
+    bounds (the histogram_sketch posture: bounds are layout schema, a
+    re-bound is a rewrite) — the exactly-SQL-replayable flavor the
+    oracle-gated Z-order query uses; :func:`zorder_key` derives bounds
+    from the data instead (one broadcast agg), which is the
+    maintenance-rewrite convenience. Values at ``hi`` clamp into the
+    top cell."""
+    cells = 1 << bits
+    width = (hi - lo) / cells
+    return (
+        F.least(
+            F.greatest(F.floor((col - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(cells - 1),
+        )
+        .cast("long")
+    )
+
+
 def zorder_key(df: DataFrame, col_a: str, col_b: str, bits: int = 16) -> DataFrame:
     """Attach a Z-order (Morton) key interleaving two numeric columns.
 
@@ -260,17 +300,9 @@ def zorder_key(df: DataFrame, col_a: str, col_b: str, bits: int = 16) -> DataFra
         return F.least(F.floor(frac * scale), F.lit(scale - 1)).cast("long")
 
     ia, ib = norm(col_a, "_za_lo", "_za_hi"), norm(col_b, "_zb_lo", "_zb_hi")
-    # Column & / | are LOGICAL operators in PySpark — bit ops need the
-    # explicit methods, and bitwiseAND requires matching operand types.
-    one = F.lit(1).cast("long")
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(ia, i).bitwiseAND(one), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(ib, i).bitwiseAND(one), 2 * i + 1)
-        )
-    return with_b.withColumn("_z", z).drop("_za_lo", "_za_hi", "_zb_lo", "_zb_hi")
+    return with_b.withColumn("_z", zvalue(ia, ib, bits)).drop(
+        "_za_lo", "_za_hi", "_zb_lo", "_zb_hi"
+    )
 
 
 def write_zordered(
@@ -293,3 +325,50 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def file_stat_spans(path: str, cols: "list[str]") -> "list[dict]":
+    """Per-file min/max spans from the REAL parquet footers (pyarrow
+    metadata — the exact statistics any engine's file/row-group
+    skipping reads). One dict per data file: ``{col: (min, max)}``
+    plus ``{col}_span``, the fraction of the column's global domain
+    the file covers. Driver-side and O(files) — the measurement side
+    of :func:`write_zordered` (a z-ordered layout's spans are small
+    rectangles; a hash layout's are ~1.0 on every column), in the same
+    maintenance-diagnostic family as :meth:`Warehouse.file_stats`."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    per_file: "list[dict]" = []
+    glo: "dict[str, list[float]]" = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins: "dict[str, float]" = {}
+        maxs: "dict[str, float]" = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if name not in cols or c.statistics is None:
+                    continue
+                st = c.statistics
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+        if not mins:
+            continue
+        entry = {"file": os.path.basename(f)}
+        for name in cols:
+            entry[name] = (mins[name], maxs[name])
+            g = glo.setdefault(name, [mins[name], maxs[name]])
+            g[0], g[1] = min(g[0], mins[name]), max(g[1], maxs[name])
+        per_file.append(entry)
+    for entry in per_file:
+        for name in cols:
+            lo, hi = glo[name]
+            fmin, fmax = entry[name]
+            dom = (hi - lo) or 1.0
+            entry[f"{name}_span"] = (fmax - fmin) / dom
+    return per_file

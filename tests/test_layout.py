@@ -1,0 +1,67 @@
+"""Z-order clustering: Morton-code correctness and the data-skipping
+property measured against REAL parquet footers (the statistics any
+engine's file/row-group pruning reads)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark import warehouse as wh
+from sensor_data_pipeline___spark.sources import readers
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_zvalue_interleaves_bits(spark):
+    """Known Morton codes: bit i of a -> position 2i, bit i of b ->
+    2i+1. z(a=0b11, b=0b00)=0b0101=5, z(0b00, 0b11)=0b1010=10,
+    z(0b10, 0b01)=0b0110=6, and the code is monotone along the curve."""
+    rows = spark.createDataFrame(
+        [(3, 0), (0, 3), (2, 1), (255, 255)], "a long, b long"
+    ).select(wh.zvalue(F.col("a"), F.col("b"), bits=8).alias("z"))
+    assert [r.z for r in rows.collect()] == [5, 10, 6, 65535]
+
+
+def test_quantize_clamps_and_bins(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (49.9,), (100.0,), (250.0,)], "v double"
+    ).select(wh.quantize(F.col("v"), 0.0, 100.0, bits=2).alias("q"))
+    # 4 cells of width 25: clamp below -> 0, 0 -> 0, 49.9 -> 1,
+    # hi and above clamp into the top cell 3
+    assert [r.q for r in df.collect()] == [0, 0, 1, 3, 3]
+
+
+def test_cluster_write_tightens_file_footers(spark, tmp_path):
+    """The point of the rewrite: after z-order clustering, each file's
+    parquet min/max footer covers a small RECTANGLE of the
+    (value, hour) domain; a hash-random layout's files each span
+    ~the whole domain on both columns. Skipping ratio = mean span
+    product, straight from pyarrow metadata."""
+    ev = readers.table(spark, "events", SF).select(
+        "event_id", "value", F.hour("ts").cast("double").alias("hr")
+    )
+    clustered = str(tmp_path / "clustered")
+    random = str(tmp_path / "random")
+    wh.write_zordered(ev, clustered, "value", "hr", num_files=16)
+    ev.repartition(16).write.parquet(random)
+
+    def mean_span_product(path):
+        stats = wh.file_stat_spans(path, ["value", "hr"])
+        assert len(stats) >= 8, f"expected many files, got {len(stats)}"
+        prods = [s["value_span"] * s["hr_span"] for s in stats]
+        return sum(prods) / len(prods)
+
+    sp_clustered = mean_span_product(clustered)
+    sp_random = mean_span_product(random)
+    # random layout: every file spans ~the full rectangle (~1.0);
+    # z-order: each file covers a small fraction. >=4x tighter is a
+    # conservative floor (measured ~10x+ on this table)
+    assert sp_random > 0.5, sp_random
+    assert sp_clustered * 4 <= sp_random, (sp_clustered, sp_random)
+
+    # the rewrite is lossless
+    assert (
+        spark.read.parquet(clustered).count()
+        == spark.read.parquet(random).count()
+        == ev.count()
+    )
