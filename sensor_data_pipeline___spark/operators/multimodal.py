@@ -493,7 +493,11 @@ def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
     # produce corrupted audio instead of an error — the struct.pack
     # contract this replaced raised, and so do we.
     arr = np.asarray(list(samples))
-    if not np.issubdtype(arr.dtype, np.integer):
+    # an empty sequence defaults to float64 under np.asarray; a
+    # zero-sample WAV is degenerate but VALID (decode(encode([])) ==
+    # []), so skip the dtype check rather than reject it with a
+    # misleading "must be integers" error
+    if arr.size and not np.issubdtype(arr.dtype, np.integer):
         raise TypeError(f"samples must be integers, got {arr.dtype}")
     if arr.size and (arr.min() < -32768 or arr.max() > 32767):
         raise ValueError("sample out of int16 range [-32768, 32767]")

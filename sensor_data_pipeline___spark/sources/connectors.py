@@ -233,13 +233,29 @@ class OffsetReplaySource:
         key = (
             "-".join(f"{p}_{o}" for p, o in sorted(start.items())) or "origin"
         )
+        # Snapshot the batch boundary FIRST, then bound every later
+        # evaluation of the lazy plan to it. ``polled`` re-reads the
+        # segments on each action; without the bound, a producer append
+        # between the bronze write and the offset collection would be
+        # covered by the committed offsets yet absent from bronze
+        # (silent loss), and the returned count could disagree with
+        # the rows actually written. With ``offset < end`` pinned per
+        # partition, count / write / commit all observe the exact same
+        # record set regardless of concurrent appends (the log is
+        # append-only, so offsets below the snapshot are immutable).
+        ends = self.next_offsets(polled)
+        if not ends:
+            return 0
+        end_map = F.create_map(
+            *[x for p, e in sorted(ends.items()) for x in (F.lit(p), F.lit(e))]
+        )
         rows = polled.select(
             "partition",
             "offset",
             F.col("value").alias("raw_line"),
             F.current_timestamp().alias("ingested_at"),
             F.lit(key).alias("ingest_key"),
-        )
+        ).filter(F.col("offset") < end_map[F.col("partition")])
         n = rows.count()
         if n == 0:
             return 0
@@ -258,5 +274,5 @@ class OffsetReplaySource:
                 self.spark.conf.unset(conf)
             else:
                 self.spark.conf.set(conf, prev)
-        self.commit(self.next_offsets(polled))
+        self.commit(ends)
         return n

@@ -355,9 +355,18 @@ def file_stat_spans(path: str, cols: "list[str]") -> "list[dict]":
                 if name not in cols or c.statistics is None:
                     continue
                 st = c.statistics
+                # chunks without min/max (e.g. all-null) carry a
+                # statistics object whose min/max accessors throw —
+                # skip them rather than crash the diagnostic
+                if not st.has_min_max:
+                    continue
                 mins[name] = min(mins.get(name, st.min), st.min)
                 maxs[name] = max(maxs.get(name, st.max), st.max)
-        if not mins:
+        # a file whose footers cover only a subset of the requested
+        # columns would KeyError below — require the full set, the
+        # same conservatism an engine's skipping logic applies (no
+        # stats ⇒ the file can't be skipped ⇒ no span to report)
+        if not all(name in mins for name in cols):
             continue
         entry = {"file": os.path.basename(f)}
         for name in cols:

@@ -234,3 +234,50 @@ def test_bronze_torn_commit_replay_is_effectively_once(spark, tmp_path):
     # and a third cycle with nothing new is a no-op
     assert src2.consume_to_bronze(bronze) == 0
     assert spark.read.parquet(bronze).count() == 5
+
+
+def test_consume_commit_never_covers_unwritten_records(spark, tmp_path):
+    """ADVICE r6: `polled` is lazy — a producer append racing the
+    consume cycle must never be COVERED by the committed offsets while
+    ABSENT from bronze (silent loss). The fix snapshots the batch
+    boundary before any action and bounds count/write/commit to it, so
+    the invariant "every committed offset has its row in bronze" holds
+    no matter when the append lands."""
+    topic = str(tmp_path / "topic")
+    commit = str(tmp_path / "offsets.json")
+    bronze = str(tmp_path / "bronze")
+
+    src = connectors.OffsetReplaySource(spark, topic, commit)
+    src.append(0, ["1649941817 Voltage 1.34", "1649941818 Voltage 1.35"])
+
+    # inject the producer append at the most hostile point: inside the
+    # consume cycle, immediately before the offset snapshot evaluates
+    # the lazy plan (under the pre-fix code this point is AFTER the
+    # bronze write — the exact torn window the ADVICE describes)
+    orig_next = src.next_offsets
+
+    def racing_next(polled):
+        src.append(0, ["1649941819 Voltage 9.99"])
+        return orig_next(polled)
+
+    src.next_offsets = racing_next
+    n = src.consume_to_bronze(bronze)
+    src.next_offsets = orig_next
+
+    out = spark.read.parquet(bronze)
+    assert out.count() == n  # returned count == rows actually written
+    committed = src.committed()
+    for p, end in committed.items():
+        present = {
+            r["offset"]
+            for r in out.filter(F.col("partition") == p).collect()
+        }
+        # committed coverage is a subset of what bronze holds
+        assert present == set(range(end))
+
+    # and nothing is lost overall: any record not yet covered is
+    # delivered by the next cycle
+    src.consume_to_bronze(bronze)
+    final = spark.read.parquet(bronze)
+    assert final.select("partition", "offset").distinct().count() == 3
+    assert src.committed() == {0: 3}

@@ -65,3 +65,39 @@ def test_cluster_write_tightens_file_footers(spark, tmp_path):
         == spark.read.parquet(random).count()
         == ev.count()
     )
+
+
+def test_file_stat_spans_skips_missing_and_statless_columns(spark, tmp_path):
+    """ADVICE r6: footers with statistics for only a subset of the
+    requested columns (or chunks without min/max, e.g. all-null) must
+    be skipped, not crash with KeyError/has_min_max errors — the same
+    conservatism an engine's skipping logic applies."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    # file 1: both columns with real stats
+    pq.write_table(
+        pa.table({"a": [1.0, 2.0], "b": [3.0, 9.0]}),
+        str(d / "f1.parquet"),
+    )
+    # file 2: column b is all-null -> no min/max in its chunk stats
+    pq.write_table(
+        pa.table(
+            {"a": [5.0, 7.0], "b": pd.array([None, None], dtype="float64")}
+        ),
+        str(d / "f2.parquet"),
+    )
+    # file 3: column b absent entirely
+    pq.write_table(pa.table({"a": [0.0, 4.0]}), str(d / "f3.parquet"))
+
+    spans = wh.file_stat_spans(str(d), ["a", "b"])
+    assert [e["file"] for e in spans] == ["f1.parquet"]
+    assert spans[0]["a"] == (1.0, 2.0) and spans[0]["b"] == (3.0, 9.0)
+    # single-column request still sees every file that has 'a' stats
+    spans_a = wh.file_stat_spans(str(d), ["a"])
+    assert [e["file"] for e in spans_a] == [
+        "f1.parquet", "f2.parquet", "f3.parquet"
+    ]

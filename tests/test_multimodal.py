@@ -486,3 +486,12 @@ def test_pgv_truncated_final_p5_frame_raises():
     payload = mm.encode_pgv(frames)
     with pytest.raises(ValueError, match="truncated"):
         mm._decode_pgv(payload[:-5])  # short final P5 body
+
+
+def test_encode_wav_empty_input_is_valid_zero_sample_wav():
+    """ADVICE r6: np.asarray([]) defaults to float64, so the integer
+    dtype check must not reject an empty sequence — a zero-sample WAV
+    is degenerate but valid, and decode(encode([])) must round-trip."""
+    wav = mm.encode_wav_pcm16([])
+    meta = mm._decode_wav(wav)
+    assert meta["n_samples"] == 0
