@@ -176,6 +176,91 @@ def lsh_bucket(
     return emb.withColumn("lsh_bucket", bucket)
 
 
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 6,
+    probe_hamming: int = 0,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-probe hyperplane-LSH cosine top-k: each query probes every
+    bucket within Hamming distance ``probe_hamming`` of its own bucket
+    (the classic multi-probe LSH recall knob — a near neighbour that
+    falls on the wrong side of ``h`` planes lands in a bucket exactly
+    ``h`` bit-flips away), then exact cosine is computed only inside
+    the probed buckets with the shared rounding + id tiebreak.
+
+    The probe set is a driver-side literal mask list, bounded by
+    ``sum_{i<=h} C(num_planes, i)`` — each (query, candidate) pair can
+    match at most one mask (a candidate has ONE bucket and the probed
+    buckets are distinct), so the bucket equi-join needs no dedup. The
+    join is a broadcast hash join on the bucket id — never a cross
+    product; probe mass, not corpus size, drives the cost.
+
+    ``probe_hamming == num_planes`` probes every bucket and is
+    bit-identical to :func:`brute_force_topk` (pinned by tests) — the
+    same graceful-degradation contract as ``nprobe == ncells`` for
+    IVF, which is what makes the operator ORACLE-verifiable in exact
+    mode while the approximate settings ride recall contracts."""
+    masks = [
+        m for m in range(1 << num_planes)
+        if bin(m).count("1") <= probe_hamming
+    ]
+    bucketed = lsh_bucket(
+        corpus, num_planes=num_planes, dim=dim, vec_col=vec_col, seed=seed
+    ).select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("ce"), "lsh_bucket"
+    ).withColumn("cn", _norm(F.col("ce")))
+    q = (
+        lsh_bucket(
+            queries, num_planes=num_planes, dim=dim, vec_col=vec_col,
+            seed=seed,
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            _to_double(F.col(vec_col)).alias("qe"),
+            F.col("lsh_bucket").alias("qb"),
+        )
+        .withColumn("qn", _norm(F.col("qe")))
+        # explode the Hamming ball: one probe row per (query, mask)
+        .withColumn(
+            "probe_bucket",
+            F.explode(
+                F.transform(
+                    F.array(*[F.lit(m).cast("long") for m in masks]),
+                    lambda m: F.col("qb").bitwiseXOR(m),
+                )
+            ),
+        )
+        .select("query_id", "qe", "qn", "probe_bucket")
+    )
+    sims = (
+        bucketed.join(
+            F.broadcast(q), F.col("lsh_bucket") == F.col("probe_bucket")
+        )
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                _dot_hof(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cosine", "rnk")
+    )
+
+
 def pandas_cosine_scores(
     corpus: DataFrame,
     query_vectors: list[tuple[int, list[float]]],
@@ -434,6 +519,7 @@ def save_ivf_index(
     id_col: str = "vec_id",
     seed: int = 42,
     quantize: bool = False,
+    extra_cols: "tuple[str, ...]" = (),
 ) -> None:
     """Persist the IVF index: ``centroids/`` (one small parquet) and
     ``vectors/`` — the corpus WITH its cell assignment, hive-partitioned
@@ -452,7 +538,12 @@ def save_ivf_index(
     :func:`ivf_topk_indexed` dequantizes transparently (cosine is then
     computed on ``q·scale``, within the scale/2-per-component bound of
     exact — see the recall test for the neighborhood-preservation
-    evidence)."""
+    evidence).
+
+    ``extra_cols`` persists metadata columns (e.g. the contrastive
+    ``label``) alongside each vector, so downstream consumers like
+    :func:`hard_negatives_ivf_indexed` read everything they need from
+    the probed partitions alone — no join back to the corpus."""
     cents = ivf_centroids(
         corpus, ncells=ncells, iters=iters, vec_col=vec_col,
         id_col=id_col, seed=seed,
@@ -464,6 +555,8 @@ def save_ivf_index(
         if quantize
         else corpus.select(id_col, vec_col)
     )
+    if extra_cols:
+        store = store.join(corpus.select(id_col, *extra_cols), id_col)
     (
         store.join(assigned, id_col)
         .repartition("cell")
@@ -493,6 +586,27 @@ def ivf_topk_indexed(
     search helper."""
     cents = spark.read.parquet(path + "/centroids")
     probes = _ivf_probes(queries, cents, nprobe, vec_col, id_col)
+    c = _probed_store_scan(spark, path, probes, vec_col, id_col)
+    return _ivf_cell_search(c, probes, k, id_col, round_digits)
+
+
+def _probed_store_scan(
+    spark,
+    path: str,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    extra: "tuple[Column, ...]" = (),
+) -> DataFrame:
+    """Partition-pruned scan of a :func:`save_ivf_index` vectors store
+    restricted to the probed cells, with transparent dequantization —
+    the shared read path of :func:`ivf_topk_indexed` and
+    :func:`hard_negatives_ivf_indexed`. The probed cell ids are a
+    driver scalar bounded by O(queries × nprobe) ≤ ncells (the
+    documented bounded-collect class); pushing them as a literal IN
+    filter on the hive partition column makes the scan plan ONLY the
+    probed cells' files (PartitionFilters — file pruning, not a
+    join)."""
     cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
@@ -505,10 +619,9 @@ def ivf_topk_indexed(
         )
     else:
         ce = _to_double(F.col(vec_col))
-    c = vecs.select(F.col(id_col), ce.alias("ce"), "cell").withColumn(
+    return vecs.select(F.col(id_col), ce.alias("ce"), "cell", *extra).withColumn(
         "cn", _norm(F.col("ce"))
     )
-    return _ivf_cell_search(c, probes, k, id_col, round_digits)
 
 
 def quantize_embeddings(
@@ -650,6 +763,52 @@ def hard_negatives_ivf(
             F.col(id_col).alias("query_id"), F.col(label_col).alias("_qlabel")
         ),
         "query_id",
+    )
+    return _ivf_cell_search(
+        c, probes, k, id_col, round_digits, label_mismatch=True
+    )
+
+
+def hard_negatives_ivf_indexed(
+    spark,
+    path: str,
+    anchors: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Blocked hard-negative mining against a persisted
+    :func:`save_ivf_index` store (VERDICT r6 directive #2): the index
+    amortization :func:`hard_negatives_ivf`'s docstring promises, as
+    code. The store must have been saved with
+    ``extra_cols=(label_col,)`` so the probed partitions carry the
+    label — mining then touches NOTHING but the probed cells' files.
+
+    Where :func:`hard_negatives_ivf` re-runs :func:`ivf_assign` over
+    the whole corpus on every call (fine in exploration, forfeits the
+    index at 100 TB), this path reads the on-disk inverted lists with
+    the probed cell ids pushed as a PARTITION filter (same
+    bounded-collect + file-pruning shape as :func:`ivf_topk_indexed`,
+    via the shared store scan) and rides the shared cell-search helper
+    for identical rounding/tiebreaks. On an int8 store, mining scores
+    dequantized ``q·scale`` vectors — transparent, matching search.
+
+    ``nprobe == ncells`` on a full-precision store is bit-identical to
+    the :func:`hard_negatives` brute twin (pinned by tests). Returns
+    (query_id, vec_id, negative_label, cosine, rnk)."""
+    cents = spark.read.parquet(path + "/centroids")
+    probes = _ivf_probes(anchors, cents, nprobe, vec_col, id_col).join(
+        anchors.select(
+            F.col(id_col).alias("query_id"), F.col(label_col).alias("_qlabel")
+        ),
+        "query_id",
+    )
+    c = _probed_store_scan(
+        spark, path, probes, vec_col, id_col,
+        extra=(F.col(label_col).alias("_clabel"),),
     )
     return _ivf_cell_search(
         c, probes, k, id_col, round_digits, label_mismatch=True

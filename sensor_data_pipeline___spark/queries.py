@@ -2336,6 +2336,68 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, emb, cents, k=5, nprobe=2)
 
 
+# Exact-mode ANN twins (VERDICT r6 directive #3): at full probe the
+# approximate operators are BIT-IDENTICAL to brute force regardless of
+# the engine-specific centroid/hyperplane internals — same rounding,
+# same id tiebreak — so the brute-force cosine top-k SQL is a valid
+# hash oracle for the exact mode. This is what graduates the ANN
+# family from rows-only to hash-verified while the approximate
+# settings (nprobe 2/8, Hamming probe 1) stay under recall contracts
+# in tests.
+_BRUTE_TOPK_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ce
+      FROM embeddings
+    ), sims AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(qe, ce) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                   6) AS cosine
+      FROM q CROSS JOIN c
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """
+
+
+@_register("ann_topk_ivf_exact", _BRUTE_TOPK_ORACLE)
+def q_ann_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full IVF machinery (centroid training, cell assignment, cell
+    # equi-join, per-query ranking) driven at nprobe == ncells: the
+    # probe set covers every cell, so the result must hash-match the
+    # brute-force oracle — verifying the ENTIRE blocked-search plan,
+    # not a bypass of it.
+    from sensor_data_pipeline___spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    cents = ivf_centroids(emb, ncells=8, iters=1)
+    return ivf_topk(q, emb, cents, k=5, nprobe=8)
+
+
+@_register("ann_topk_lsh_exact", _BRUTE_TOPK_ORACLE)
+def q_ann_topk_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-probe LSH at probe_hamming == num_planes: the Hamming ball
+    # spans every bucket, so the bucketed equi-join + ranking must
+    # hash-match the brute-force oracle — the hyperplane hashing,
+    # probe-expansion, and join plumbing all sit on the verified path.
+    from sensor_data_pipeline___spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(q, emb, k=5, num_planes=6, probe_hamming=6)
+
+
 @_register(
     "json_extract_props",
     # Semi-structured extraction: typed value pulled out of a JSON
