@@ -10,10 +10,18 @@ exact duplicates — same recipe as scripts/scale_sweep.py), then times
 and reports wall time plus recall@k of blocked against brute (the
 accuracy cost of the probe). One JSON line to stdout.
 
+``--mode replicate`` (default) is the original k-fold replica
+recipe; ``--mode distinct`` generates a seeded Gaussian-mixture corpus
+of DISTINCT vectors distributively (synthetic_mixture_corpus — no
+replicas), removing the near-equal-cosine-tie confound so id-recall@k
+is a clean metric (VERDICT r6 directive #4). ``--nprobe`` accepts a
+comma list; each setting is mined and reported separately against the
+one brute-force pass.
+
 Usage::
 
     python scripts/mine_scale_check.py [--factor 200] [--anchors 500] \
-        [--ncells 16] [--nprobe 2] [--k 5]
+        [--ncells 16] [--nprobe 2,4] [--k 5] [--mode distinct] [--n 400000]
 """
 
 from __future__ import annotations
@@ -31,9 +39,18 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=200)
     ap.add_argument("--anchors", type=int, default=500)
     ap.add_argument("--ncells", type=int, default=16)
-    ap.add_argument("--nprobe", type=int, default=2)
+    ap.add_argument("--nprobe", type=str, default="2")
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument(
+        "--mode", choices=("replicate", "distinct"), default="replicate"
+    )
+    ap.add_argument("--n", type=int, default=400_000,
+                    help="corpus size for --mode distinct")
+    ap.add_argument("--labels", type=int, default=40,
+                    help="mixture components for --mode distinct")
+    ap.add_argument("--sigma", type=float, default=0.3)
     args = ap.parse_args()
+    nprobes = [int(x) for x in args.nprobe.split(",")]
 
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
@@ -42,6 +59,21 @@ def main() -> None:
     from sensor_data_pipeline___spark.session import get_spark
 
     spark = get_spark("mine-scale-check")
+
+    if args.mode == "distinct":
+        corpus = (
+            sim.synthetic_mixture_corpus(
+                spark, args.n, n_labels=args.labels, sigma=args.sigma
+            )
+            .repartition(32)
+            .cache()
+        )
+        n = corpus.count()
+        anchors = corpus.filter(F.col("vec_id") < args.anchors).cache()
+        n_anchors = anchors.count()
+        print(f"corpus={n} anchors={n_anchors} (distinct)", file=sys.stderr)
+        return run_compare(spark, sim, corpus, anchors, n, n_anchors, args, nprobes)
+
     base = spark.read.parquet(SRC)
 
     reps = spark.range(args.factor).select(F.col("id").alias("rep"))
@@ -72,7 +104,10 @@ def main() -> None:
     anchors = corpus.filter(F.col("vec_id") < args.anchors).cache()
     n_anchors = anchors.count()
     print(f"corpus={n} anchors={n_anchors}", file=sys.stderr)
+    return run_compare(spark, sim, corpus, anchors, n, n_anchors, args, nprobes)
 
+
+def run_compare(spark, sim, corpus, anchors, n, n_anchors, args, nprobes):
     t0 = time.perf_counter()
     brute_df = sim.hard_negatives(anchors, corpus, k=args.k)
     brute_rows = brute_df.collect()
@@ -88,48 +123,55 @@ def main() -> None:
     cents.count()
     t_train = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    blocked_df = sim.hard_negatives_ivf(
-        anchors, corpus, cents, k=args.k, nprobe=args.nprobe
-    )
-    blocked_rows = blocked_df.collect()
-    blocked = {(r.query_id, r.vec_id) for r in blocked_rows}
-    t_blocked = time.perf_counter() - t0
-    recall = len(brute & blocked) / len(brute) if brute else 0.0
-
-    # cosine regret: on a replica-heavy corpus id-recall punishes
-    # picking a tied near-equal-cosine copy of the same base negative;
-    # what mining actually needs is the HARDNESS of the negatives, so
-    # also report the mean drop in per-anchor mean top-k cosine
+    # cosine regret alongside id-recall: on a replica-heavy corpus
+    # id-recall punishes picking a tied near-equal-cosine copy of the
+    # same base negative (the --mode distinct corpus removes that
+    # confound); regret = mean drop in per-anchor mean top-k cosine.
     def mean_cos(rows):
         acc: dict[int, list[float]] = {}
         for r in rows:
             acc.setdefault(r.query_id, []).append(r.cosine)
         return {q: sum(v) / len(v) for q, v in acc.items()}
 
-    bm, km = mean_cos(brute_rows), mean_cos(blocked_rows)
-    regrets = [bm[q] - km.get(q, 0.0) for q in bm]
-    regret = sum(regrets) / len(regrets) if regrets else 0.0
-    print(
-        f"blocked: train {t_train:.1f}s + mine {t_blocked:.1f}s, "
-        f"recall@{args.k}={recall:.3f}",
-        file=sys.stderr,
-    )
-
-    print(
-        json.dumps(
+    bm = mean_cos(brute_rows)
+    per_probe = []
+    for nprobe in nprobes:
+        t0 = time.perf_counter()
+        blocked_rows = sim.hard_negatives_ivf(
+            anchors, corpus, cents, k=args.k, nprobe=nprobe
+        ).collect()
+        blocked = {(r.query_id, r.vec_id) for r in blocked_rows}
+        t_blocked = time.perf_counter() - t0
+        recall = len(brute & blocked) / len(brute) if brute else 0.0
+        km = mean_cos(blocked_rows)
+        regrets = [bm[q] - km.get(q, 0.0) for q in bm]
+        regret = sum(regrets) / len(regrets) if regrets else 0.0
+        print(
+            f"blocked nprobe={nprobe}: mine {t_blocked:.1f}s, "
+            f"recall@{args.k}={recall:.3f}, regret={regret:.4f}",
+            file=sys.stderr,
+        )
+        per_probe.append(
             {
-                "corpus": n,
-                "anchors": n_anchors,
-                "ncells": args.ncells,
-                "nprobe": args.nprobe,
-                "k": args.k,
-                "brute_s": round(t_brute, 2),
-                "centroid_train_s": round(t_train, 2),
+                "nprobe": nprobe,
                 "blocked_mine_s": round(t_blocked, 2),
                 "speedup_mine": round(t_brute / t_blocked, 2),
                 "recall_vs_brute": round(recall, 4),
                 "mean_cosine_regret": round(regret, 6),
+            }
+        )
+
+    print(
+        json.dumps(
+            {
+                "mode": args.mode,
+                "corpus": n,
+                "anchors": n_anchors,
+                "ncells": args.ncells,
+                "k": args.k,
+                "brute_s": round(t_brute, 2),
+                "centroid_train_s": round(t_train, 2),
+                "probes": per_probe,
             }
         )
     )

@@ -415,3 +415,30 @@ def test_lsh_topk_multiprobe_recall_monotone(spark):
     # coin flips), so the useful floor sits at radius 2: measured
     # 0.075 / 0.15 / 0.55 at h = 0 / 1 / 2
     assert recalls[2] >= 0.4, recalls
+
+
+def test_blocked_mining_recall_floor_on_distinct_corpus(spark):
+    """VERDICT r6 directive #4: recall measured on a corpus of DISTINCT
+    vectors (seeded mixture, no replicas), where id-recall@k is a clean
+    metric — the 400k replica study's 0.38 id-recall was an artifact of
+    ~200 near-equal copies per negative. On the mixture corpus, probing
+    2/8 cells must keep at least half of the true hard negatives
+    (measured 0.64 at 20k vectors, scripts/mine_scale_check.py)."""
+    from sensor_data_pipeline___spark.operators import similarity as sim
+
+    corpus = sim.synthetic_mixture_corpus(
+        spark, 4000, n_labels=8, sigma=0.3
+    ).cache()
+    anchors = corpus.filter(F.col("vec_id") < 64)
+    cents = sim.ivf_centroids(corpus, ncells=8, iters=1)
+    blocked = {
+        (r.query_id, r.vec_id)
+        for r in sim.hard_negatives_ivf(
+            anchors, corpus, cents, k=5, nprobe=2
+        ).collect()
+    }
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in sim.hard_negatives(anchors, corpus, k=5).collect()
+    }
+    assert len(blocked & brute) / len(brute) >= 0.5
