@@ -86,11 +86,26 @@ def run_silver(wh: Warehouse, full_refresh: bool = False) -> int:
     return n
 
 
-def run_gold(wh: Warehouse, full_refresh: bool = False) -> int:
-    """Silver → gold incremental run. Returns days (re)computed."""
+def run_gold(
+    wh: Warehouse,
+    full_refresh: bool = False,
+    affected_days: "list | None" = None,
+) -> int:
+    """Silver → gold incremental run. Returns days (re)computed.
+
+    ``affected_days`` (the streaming fast path) hands the touched days
+    as a driver-side literal list: the calculated_at watermark scan and
+    the processed_at semi-join both disappear, and the IN-filter on the
+    partition column prunes the silver scan to exactly those days'
+    partitions — in the micro-batch loop that is two table-scan jobs
+    per trigger replaced by one pruned scan."""
     silver = wh.read(SILVER)
 
-    if not full_refresh and wh.exists(GOLD):
+    if affected_days is not None and not full_refresh and wh.exists(GOLD):
+        if not affected_days:
+            return 0
+        silver = silver.filter(F.col("reading_date").isin(affected_days))
+    elif not full_refresh and wh.exists(GOLD):
         existing = wh.read(GOLD)
         wm = _scalar_watermark(existing, "calculated_at")
         if wm is not None:
@@ -113,10 +128,77 @@ def run_gold(wh: Warehouse, full_refresh: bool = False) -> int:
     return n
 
 
-def run_pipeline(wh: Warehouse, full_refresh: bool = False) -> tuple[int, int]:
+def run_pipeline(
+    wh: Warehouse,
+    full_refresh: bool = False,
+    increment: "DataFrame | None" = None,
+    affected_days: "list | None" = None,
+) -> tuple[int, int]:
     """The hourly DAG body: staging then marts, ordinary call order
-    (reference airflow/dags/sensor_data_pipeline.py:88,101)."""
-    return run_silver(wh, full_refresh), run_gold(wh, full_refresh)
+    (reference airflow/dags/sensor_data_pipeline.py:88,101).
+
+    ``increment`` is the streaming fast path (VERDICT r6 directive #6):
+    the micro-batch loop already HOLDS the exact new bronze rows, so
+    re-deriving them from the table — a processed_at watermark scan of
+    silver plus a bronze re-read that grows with batch history — is
+    pure fixed overhead per trigger. With the increment handed in, the
+    parse consumes it directly, the touched days become a driver-side
+    literal list (bounded by the batch's distinct dates), and both the
+    silver merge and the gold recompute prune to those days'
+    PARTITIONS. Semantically identical to the watermark path by
+    construction: the increment IS precisely the set of rows past the
+    watermark (each batch merges to silver before its checkpoint
+    commits; a replayed batch re-presents the same deterministic
+    raw_ids and the merge upserts them idempotently — M1).
+
+    Requires silver to already hold everything except the increment,
+    which the streaming loop guarantees; callers without that
+    guarantee use the watermark path (increment=None).
+
+    ``affected_days`` (optional, with ``increment``) lets the caller
+    hand in the increment's distinct reading dates when it already has
+    them — the streaming gate aggregation derives them in its own
+    scan, saving the distinct+collect job here. A SUPERSET of the true
+    touched days is safe (an untouched day in the list is rewritten
+    byte-identically and its gold recomputed to the same values);
+    days with no valid rows cost one redundant partition rewrite."""
+    if increment is None or full_refresh or not wh.exists(SILVER):
+        return run_silver(wh, full_refresh), run_gold(wh, full_refresh)
+
+    bronze = increment.select("id", "raw_line", "ingested_at")
+    # LAZY on purpose: the merged checkpoint below is the single
+    # materialization — parsing inside it avoids a dedicated parse job
+    # per trigger (the count at the end re-reads the caller's cached
+    # increment, a fraction of a full parse job)
+    new_silver = bronze_to_silver(bronze)
+    if affected_days is not None:
+        days = affected_days
+    else:
+        days = [
+            r["reading_date"]
+            for r in new_silver.select("reading_date").distinct().collect()
+        ]
+    if not days:
+        return 0, 0
+    existing = wh.read(SILVER)
+    # checkpoint the merged days ONCE: the silver write, and the gold
+    # recompute below, both replay the materialization — without it,
+    # gold would re-read silver (another mergeSchema footer job, a
+    # second pruned scan, and a replay of the anti-join) per trigger
+    merged = (
+        existing.filter(F.col("reading_date").isin(days))  # pruned scan
+        .join(new_silver.select("raw_id"), "raw_id", "left_anti")
+        .unionByName(new_silver, allowMissingColumns=True)
+    ).localCheckpoint(eager=True)
+    wh.write(SILVER, merged)  # dynamic overwrite of touched partitions
+    # gold for the touched days straight from the frame just written —
+    # identical input to run_gold(affected_days=days) re-reading the
+    # table, without the table read
+    new_gold = silver_to_gold(merged).localCheckpoint(eager=True)
+    g = int(new_gold.count())
+    if g > 0:
+        wh.write(GOLD, new_gold)
+    return int(new_silver.count()), g
 
 
 def backfill_gold(wh: Warehouse, start_date: str, end_date: str) -> int:

@@ -97,10 +97,20 @@ def _ingest_batch_fn(wh: Warehouse, reject_dir: str | None):
             flagged.unpersist()
 
     def _process_flagged(flagged: DataFrame, batch_id: int) -> None:
+        # one gate scan yields BOTH the all-or-nothing verdict and the
+        # batch's distinct reading dates (collect_set skips the nulls
+        # from blank/invalid lines) — handing the days to the DAG body
+        # saves it a distinct+collect job per trigger. Gate-valid days
+        # are a safe superset of silver-valid days (see run_pipeline).
+        ts_str, _name, _val = parsing.silver_tokens(F.col("raw_line"))
+        day = F.to_date(F.timestamp_seconds(ts_str.cast("long")))
         counts = flagged.agg(
             F.sum(F.when(~F.col("_blank") & ~F.col("_valid"), 1).otherwise(0)).alias(
                 "invalid"
-            )
+            ),
+            F.collect_set(
+                F.when(~F.col("_blank") & F.col("_valid"), day)
+            ).alias("days"),
         ).first()
         if int(counts["invalid"] or 0) > 0:
             if reject_dir is not None:
@@ -120,10 +130,24 @@ def _ingest_batch_fn(wh: Warehouse, reject_dir: str | None):
         )
         # dynamic partitionOverwriteMode (session default): only the
         # batch_id=N partition present in this frame is replaced
-        bronze_rows.write.mode("overwrite").partitionBy("batch_id").parquet(
-            wh.path(BRONZE)
-        )
-        incremental.run_pipeline(wh)
+        # persisted: the bronze write and the increment fast path each
+        # consume these rows — one materialization, not two parses
+        bronze_rows = bronze_rows.persist()
+        try:
+            bronze_rows.write.mode("overwrite").partitionBy("batch_id").parquet(
+                wh.path(BRONZE)
+            )
+            # hand the in-hand increment AND its days to the DAG body:
+            # skips the silver/gold watermark scans, the bronze table
+            # re-read (which grows with batch history), and the days
+            # distinct+collect — the per-trigger fixed-overhead cut of
+            # VERDICT r6 directive #6
+            incremental.run_pipeline(
+                wh, increment=bronze_rows,
+                affected_days=list(counts["days"]),
+            )
+        finally:
+            bronze_rows.unpersist()
 
     return process_batch
 
