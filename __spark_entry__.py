@@ -30,29 +30,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate caps at the FIRST 50 registered
-# queries, so ordering is part of the contract. The priority window
-# packs the strongest oracle-hash-verifiable coverage: reference
-# parity, the full TPC-H adaptation, the queries fixed/resharded this
-# round, and the advanced joins/set-ops/profiling families. Rows-only
-# (no-oracle) entries ride the local replica harness
+# queries, so ordering is part of the contract. Rows-only (no-oracle)
+# entries ride the local replica harness
 # (tests/test_queries_oracle.py) instead of spending gate slots.
-# Round-6 rotation (VERDICT r5 directive #1): the gate window keeps a
-# 12-entry veteran spine (the reference-parity core that never
+# Round-7 rotation (VERDICT r6 directive #1): the gate window keeps
+# the 11-entry veteran spine (reference-parity core that never
 # rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item, and similarity_topk as the
-# brute-force twin of the newly gated hard_negative_mining) and fills
-# the remaining 38 slots with EVERY oracle-backed query that has never
-# been driver-checked — including the two post-sweep orphans
-# (histogram_sketch_quantiles, hard_negative_mining) VERDICT r5 called
-# out. After this window runs green, all 133 oracle-backed entries
-# will have been independently driver-gated at least once across
-# rounds 1-6. Displaced veterans (TPC-H q5/q10/q12/q22, the as-of /
-# range joins, gap-fill, rollup/pivot/unpivot, TF-IDF, M4, HLL
-# rollup, sampling, contamination, redaction — all r5-gate-green) stay
-# covered by the local replica harness (tests/test_queries_oracle.py,
-# the driver's exact Arrow fetch) and by scripts/verify_driver.py,
-# whose full-surface sf0.01 hostile-session sweep ran green before
-# this rotation landed.
+# session_window_batch watch item), adds the THREE never-gated
+# entries per GATE_LEDGER.md — zorder_curve_stats (the one r6 orphan,
+# registered after the r6 gate ran) and the two new exact-mode ANN
+# twins (ann_topk_ivf_exact / ann_topk_lsh_exact, VERDICT r6
+# directive #3) — and fills the remaining 36 slots with the STALEST
+# previously-gated entries (last gated r2-r4: the window/fingerprint/
+# lang families from r2, the profiling and TPC-H q13-q21 families
+# from r4), refreshing their driver coverage. The ledger invariant
+# ("every oracle-backed entry gated at least once") is auditable in
+# GATE_LEDGER.md, regenerated per round by
+# scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
+# local replica harness and scripts/verify_driver.py's full-surface
+# sf0.01 sweep.
 _PRIORITY = (
     # reference parity core (SURVEY.md §2) — never rotates out
     "silver_parse",
@@ -67,54 +63,50 @@ _PRIORITY = (
     "corpus_pipeline_stats",
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
-    # --- first-time gate entries (39 = every never-gated oracle-backed
-    # query in the registry) ---
-    # post-sweep orphans (VERDICT r5 top priority) + the r6 blocked
-    # miner (nprobe==ncells ⇒ exact, hash-verifiable)
-    "histogram_sketch_quantiles",
-    "hard_negative_mining",
-    "hard_negative_mining_blocked",
-    # r5 staged candidates (__spark_entry__ r5 comment)
-    "shard_assignment",
-    "mixture_sample_docs",
-    "collapse_repeat_tokens",
-    "char_entropy_quality",
-    "chunk_documents_stats",
-    "winsorize_event_values",
-    "duplicated_gram_fraction",
-    "embedding_quantization_stats",
-    # SQL/OLAP shapes
-    "grouping_sets_priority",
-    "json_extract_props",
-    "range_frame_user_spend",
-    "rank_distribution",
-    "conditional_boolean_aggs",
-    "set_intersect_customers",
-    "set_except_customers",
-    "string_agg_nations",
-    "corr_regression_returnflag",
-    "full_outer_click_purchase",
-    "latest_event_per_user",
-    "revenue_share_by_nation",
-    "daily_new_vs_returning",
-    "funnel_conversion",
-    "value_histogram",
-    "udtf_first_terms",
-    # text analysis
-    "top_terms",
-    "top_bigrams",
-    "text_normalization",
-    "quality_assertion_counts",
-    # embeddings
-    "embedding_centroid_norm",
-    "embedding_dim_variance",
-    "embedding_component_stats",
-    "hash_split_sizes",
-    # sketch accuracy contracts + multimodal
-    "cms_heavy_hitters",
-    "approx_distinct_accuracy",
-    "approx_percentile_accuracy",
-    "waveform_envelope",
+    # --- never-gated (GATE_LEDGER.md): the r6 orphan + the two
+    # exact-mode ANN twins registered this round ---
+    "zorder_curve_stats",
+    "ann_topk_ivf_exact",
+    "ann_topk_lsh_exact",
+    # --- stalest refresh: last gated r2 ---
+    "anti_join_inactive_customers",
+    "cube_orders",
+    "dedup_token_set",
+    "distinct_agg_suppliers",
+    "embedding_near_dup",
+    "fingerprint_md5",
+    "hourly_tumbling_window",
+    "lag_daily_power_delta",
+    "lang_distribution",
+    "lang_id_heuristic",
+    "percentile_prices",
+    "semi_join_active_customers",
+    "string_functions_parts",
+    "text_quality",
+    "token_counts",
+    "window_running_total",
+    "winnowing_fingerprint",
+    # --- last gated r3 ---
+    "distinct_projection",
+    "in_list_filter",
+    "iso_multiformat_parse",
+    # --- last gated r4 ---
+    "benford_first_digit",
+    "column_profile_orders",
+    "content_pattern_profile",
+    "dedup_exact_stats",
+    "interarrival_histogram",
+    "inverted_index_sample",
+    "ntile_deciles",
+    "psi_value_drift",
+    "q13_customer_distribution",
+    "q14_brand_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q21_sole_supplier_failed_orders",
+    "q2_min_cost_supplier",
 )
 
 
