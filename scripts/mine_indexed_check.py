@@ -1,0 +1,109 @@
+"""Persisted-index mining amortization (VERDICT r6 directive #2's
+scale claim, measured).
+
+`hard_negatives_ivf` re-runs `ivf_assign` over the whole corpus on
+every mining call; `hard_negatives_ivf_indexed` reads the
+`save_ivf_index` store with the probed cells pushed as partition
+filters. This script builds a distinct-vector mixture corpus
+(`synthetic_mixture_corpus` — same recipe as mine_scale_check
+--mode distinct), saves the index once, then times R repeated mining
+runs both ways — the repeated-run regime an embedding-training loop
+actually exercises (mine fresh hard negatives every epoch against the
+same corpus snapshot). One JSON line to stdout.
+
+Usage::
+
+    python scripts/mine_indexed_check.py [--n 200000] [--anchors 500] \
+        [--ncells 16] [--nprobe 2] [--k 5] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--anchors", type=int, default=500)
+    ap.add_argument("--ncells", type=int, default=16)
+    ap.add_argument("--nprobe", type=int, default=2)
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.session import get_spark
+
+    spark = get_spark("mine-indexed-check")
+    corpus = (
+        sim.synthetic_mixture_corpus(spark, args.n, n_labels=40, sigma=0.3)
+        .repartition(32)
+        .cache()
+    )
+    corpus.count()
+    anchors = corpus.filter(F.col("vec_id") < args.anchors).cache()
+    anchors.count()
+
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/ivf"
+        t0 = time.perf_counter()
+        sim.save_ivf_index(
+            corpus, path, ncells=args.ncells, iters=1,
+            extra_cols=("label",),
+        )
+        t_build = time.perf_counter() - t0
+
+        cents = spark.read.parquet(path + "/centroids").cache()
+        cents.count()
+
+        mem_s, idx_s = [], []
+        idx_pairs = mem_pairs = None
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            mem_rows = sim.hard_negatives_ivf(
+                anchors, corpus, cents, k=args.k, nprobe=args.nprobe
+            ).collect()
+            mem_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            idx_rows = sim.hard_negatives_ivf_indexed(
+                spark, path, anchors, k=args.k, nprobe=args.nprobe
+            ).collect()
+            idx_s.append(time.perf_counter() - t0)
+            mem_pairs = {(r.query_id, r.vec_id) for r in mem_rows}
+            idx_pairs = {(r.query_id, r.vec_id) for r in idx_rows}
+
+        agree = (
+            len(mem_pairs & idx_pairs) / len(mem_pairs) if mem_pairs else 0.0
+        )
+        print(
+            json.dumps(
+                {
+                    "corpus": args.n,
+                    "anchors": args.anchors,
+                    "ncells": args.ncells,
+                    "nprobe": args.nprobe,
+                    "runs": args.runs,
+                    "index_build_s": round(t_build, 2),
+                    "inmemory_mine_s": [round(x, 2) for x in mem_s],
+                    "indexed_mine_s": [round(x, 2) for x in idx_s],
+                    "speedup_per_run": round(
+                        (sum(mem_s) / len(mem_s)) / (sum(idx_s) / len(idx_s)),
+                        2,
+                    ),
+                    "pair_agreement": round(agree, 4),
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
