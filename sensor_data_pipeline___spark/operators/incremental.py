@@ -133,6 +133,7 @@ def run_pipeline(
     full_refresh: bool = False,
     increment: "DataFrame | None" = None,
     affected_days: "list | None" = None,
+    want_counts: bool = True,
 ) -> tuple[int, int]:
     """The hourly DAG body: staging then marts, ordinary call order
     (reference airflow/dags/sensor_data_pipeline.py:88,101).
@@ -161,7 +162,12 @@ def run_pipeline(
     scan, saving the distinct+collect job here. A SUPERSET of the true
     touched days is safe (an untouched day in the list is rewritten
     byte-identically and its gold recomputed to the same values);
-    days with no valid rows cost one redundant partition rewrite."""
+    days with no valid rows cost one redundant partition rewrite.
+
+    ``want_counts=False`` (increment path only) skips the final
+    silver-row count — one whole Spark action per trigger that exists
+    only for the return value; callers that ignore the counts (the
+    streaming loop) get ``-1`` as the silver count instead."""
     if increment is None or full_refresh or not wh.exists(SILVER):
         return run_silver(wh, full_refresh), run_gold(wh, full_refresh)
 
@@ -198,7 +204,7 @@ def run_pipeline(
     g = int(new_gold.count())
     if g > 0:
         wh.write(GOLD, new_gold)
-    return int(new_silver.count()), g
+    return (int(new_silver.count()) if want_counts else -1), g
 
 
 def backfill_gold(wh: Warehouse, start_date: str, end_date: str) -> int:

@@ -145,6 +145,7 @@ def _ingest_batch_fn(wh: Warehouse, reject_dir: str | None):
             incremental.run_pipeline(
                 wh, increment=bronze_rows,
                 affected_days=list(counts["days"]),
+                want_counts=False,  # return value unused — skip the job
             )
         finally:
             bronze_rows.unpersist()
