@@ -43,16 +43,20 @@ def main() -> None:
     from sensor_data_pipeline___spark.session import get_spark
 
     spark = get_spark("mine-indexed-check")
-    corpus = (
-        sim.synthetic_mixture_corpus(spark, args.n, n_labels=40, sigma=0.3)
-        .repartition(32)
-        .cache()
-    )
-    corpus.count()
-    anchors = corpus.filter(F.col("vec_id") < args.anchors).cache()
-    anchors.count()
 
     with tempfile.TemporaryDirectory() as td:
+        # the corpus lives ON DISK for both paths — the regime the
+        # index exists for. (With the corpus cached in executor RAM the
+        # indexed path measures 0.87x: reading a pruned parquet store
+        # cannot beat RAM. At 100 TB the corpus is never RAM-resident;
+        # the honest comparison is full-scan-from-storage + assignment
+        # per run vs probe-mass-from-storage per run.)
+        sim.synthetic_mixture_corpus(
+            spark, args.n, n_labels=40, sigma=0.3
+        ).repartition(32).write.parquet(td + "/corpus")
+        corpus = spark.read.parquet(td + "/corpus")
+        anchors = corpus.filter(F.col("vec_id") < args.anchors).cache()
+        anchors.count()
         path = td + "/ivf"
         t0 = time.perf_counter()
         sim.save_ivf_index(
@@ -69,7 +73,8 @@ def main() -> None:
         for _ in range(args.runs):
             t0 = time.perf_counter()
             mem_rows = sim.hard_negatives_ivf(
-                anchors, corpus, cents, k=args.k, nprobe=args.nprobe
+                anchors, spark.read.parquet(td + "/corpus"), cents,
+                k=args.k, nprobe=args.nprobe,
             ).collect()
             mem_s.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
