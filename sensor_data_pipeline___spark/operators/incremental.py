@@ -200,11 +200,20 @@ def run_pipeline(
     # gold for the touched days straight from the frame just written —
     # identical input to run_gold(affected_days=days) re-reading the
     # table, without the table read
-    new_gold = silver_to_gold(merged).localCheckpoint(eager=True)
+    new_gold = silver_to_gold(merged)
+    if not want_counts:
+        # counts unwanted (the streaming loop): the day aggregate is a
+        # handful of rows over the checkpointed merge, so fold it into
+        # the write action itself — no checkpoint, no count job. An
+        # empty aggregate writes NO partitions under dynamic overwrite
+        # (a no-op), so the g>0 guard isn't needed either.
+        wh.write(GOLD, new_gold)
+        return -1, -1
+    new_gold = new_gold.localCheckpoint(eager=True)
     g = int(new_gold.count())
     if g > 0:
         wh.write(GOLD, new_gold)
-    return (int(new_silver.count()) if want_counts else -1), g
+    return int(new_silver.count()), g
 
 
 def backfill_gold(wh: Warehouse, start_date: str, end_date: str) -> int:

@@ -427,3 +427,38 @@ def test_increment_fast_path_matches_watermark_path(spark, tmp_path):
     assert s_inc == s_wm
     assert g_inc == g_wm
     assert len(g_inc) == 2  # two distinct days present
+
+
+def test_increment_fast_path_empty_gold_write_is_noop(spark, tmp_path):
+    """want_counts=False folds the gold aggregate into the write with
+    no emptiness guard — an empty aggregate under dynamic partition
+    overwrite must write NO partitions and leave existing gold
+    untouched (the invariant the fusion relies on)."""
+    from pyspark.sql import functions as F
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))
+    # day 1: both metrics -> a gold row
+    b0, _ = ingest.ingest_batch(
+        spark, ["1649941817 Voltage 1.34", "1649941818 Current 12.0"]
+    )
+    wh2.append(BRONZE, b0)
+    incremental.run_pipeline(wh2)
+    gold0 = wh2.read(GOLD).collect()
+    assert len(gold0) == 1
+
+    # day 2 increment: ONLY Voltage -> silver_to_gold aggregates to
+    # zero rows (F5 both-metrics filter)
+    b1, _ = ingest.ingest_batch(spark, ["1650028219 Voltage 3.00"])
+    b1 = b1.withColumn("id", F.col("id") + wh2.max_id(BRONZE))
+    wh2.append(BRONZE, b1)
+    n, g = incremental.run_pipeline(
+        wh2, increment=b1,
+        affected_days=[__import__("datetime").date(2022, 4, 15)],
+        want_counts=False,
+    )
+    assert (n, g) == (-1, -1)
+    gold1 = wh2.read(GOLD).collect()
+    assert len(gold1) == 1  # day 1's row intact, no day-2 partition
+    assert gold1[0]["calculated_at"] == gold0[0]["calculated_at"]
+    # the silver row DID land
+    assert wh2.read(SILVER).count() == 3
