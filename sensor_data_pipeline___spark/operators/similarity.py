@@ -624,6 +624,89 @@ def _probed_store_scan(
     )
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: "tuple[str, ...]" = (),
+) -> None:
+    """Append a batch of new vectors to an existing :func:`save_ivf_index`
+    store WITHOUT retraining or rewriting it — the index-maintenance
+    operation a growing corpus needs (full rebuild is O(corpus); an
+    append is O(batch)).
+
+    The batch is assigned against the STORED centroids (so search
+    semantics over appended rows are exactly as if the index had been
+    rebuilt with the same centroids — pinned by tests) and appended to
+    the hive ``cell=`` partitions; existing files are untouched bytes,
+    which also makes a crashed append safe to retry after cleaning the
+    write's temporary files. The store's quantization flavor is
+    detected from its schema and matched (int8 stores get int8
+    appends).
+
+    Centroids drift as the corpus grows: appended mass degrades cell
+    balance, not correctness (assignment is against fixed centroids).
+    Monitor with :func:`ivf_index_stats` and retrain on the warehouse
+    maintenance cadence — same lifecycle as compaction/Z-ordering.
+    """
+    cents = spark.read.parquet(path + "/centroids")
+    store_cols = spark.read.parquet(path + "/vectors").columns
+    assigned = ivf_assign(new_vectors, cents, vec_col=vec_col, id_col=id_col)
+    batch = (
+        quantize_embeddings(new_vectors, vec_col=vec_col, id_col=id_col)
+        if "qvec" in store_cols
+        else new_vectors.select(id_col, vec_col)
+    )
+    if extra_cols:
+        batch = batch.join(new_vectors.select(id_col, *extra_cols), id_col)
+    (
+        batch.join(assigned, id_col)
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path + "/vectors")
+    )
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Per-cell inventory of a :func:`save_ivf_index` store:
+    (cell, n_vectors, n_files, share, balance) where ``share`` is the
+    cell's fraction of all vectors and ``balance`` its size relative
+    to the ideal uniform cell (share × ncells — 1.0 = perfectly
+    balanced). The retrain trigger for :func:`ivf_index_append` drift:
+    probe cost tracks the LARGEST probed cells, so a balance creeping
+    past ~4-8 means probes pay multiples of the uniform cost and the
+    centroids should be retrained. One aggregate over the store's
+    partition column + file paths — metadata-cheap."""
+    # input_file_name() is non-deterministic and must be PROJECTED
+    # before aggregation (Spark rejects it inside agg arguments)
+    vecs = spark.read.parquet(path + "/vectors").withColumn(
+        "_file", F.input_file_name()
+    )
+    per_cell = vecs.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("_file").alias("n_files"),
+    )
+    total = per_cell.agg(
+        F.sum("n_vectors").alias("_tot"), F.count("*").alias("_ncells")
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vectors",
+            "n_files",
+            F.round(F.col("n_vectors") / F.col("_tot"), 6).alias("share"),
+            F.round(
+                F.col("n_vectors") * F.col("_ncells") / F.col("_tot"), 4
+            ).alias("balance"),
+        )
+        .orderBy("cell")
+    )
+
+
 def quantize_embeddings(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -4,6 +4,7 @@ path at the rounded precision both emit."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+import pytest
 
 from sensor_data_pipeline___spark.operators.similarity import (
     brute_force_topk,
@@ -442,3 +443,88 @@ def test_blocked_mining_recall_floor_on_distinct_corpus(spark):
         for r in sim.hard_negatives(anchors, corpus, k=5).collect()
     }
     assert len(blocked & brute) / len(brute) >= 0.5
+
+
+def test_ivf_index_append_matches_rebuild(spark, tmp_path):
+    """Appending a batch to a saved index must yield search results
+    IDENTICAL to rebuilding the store from the full corpus with the
+    same centroids — assignment is against the stored centroids, so
+    append is pure layout, not semantics. Existing files stay
+    untouched (append, not rewrite)."""
+    import glob
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    inc_p = str(tmp_path / "inc")
+    sim.save_ivf_index(old, inc_p, ncells=8, iters=1)
+    before = set(glob.glob(inc_p + "/vectors/*/*.parquet"))
+    sim.ivf_index_append(spark, inc_p, new)
+    after = set(glob.glob(inc_p + "/vectors/*/*.parquet"))
+    assert before <= after and len(after) > len(before)
+
+    # rebuild twin: same centroids (assign full corpus), fresh store
+    full_p = str(tmp_path / "full")
+    cents = spark.read.parquet(inc_p + "/centroids")
+    assigned = sim.ivf_assign(emb, cents)
+    (
+        emb.select("vec_id", "embedding")
+        .join(assigned, "vec_id")
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .parquet(full_p + "/vectors")
+    )
+    cents.write.parquet(full_p + "/centroids")
+
+    got = sorted(map(tuple, sim.ivf_topk_indexed(
+        spark, inc_p, queries, k=5, nprobe=8
+    ).collect()))
+    want = sorted(map(tuple, sim.ivf_topk_indexed(
+        spark, full_p, queries, k=5, nprobe=8
+    ).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_append_quantized_store_matches_flavor(spark, tmp_path):
+    """Appending to an int8 store must append int8 codes (schema
+    detected from the store), and searches over the appended store
+    must include appended vectors."""
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    old = emb.filter(F.col("vec_id") >= 100)
+    new = emb.filter(F.col("vec_id") < 100)
+    p = str(tmp_path / "q")
+    sim.save_ivf_index(old, p, ncells=8, iters=1, quantize=True)
+    sim.ivf_index_append(spark, p, new)
+    vecs = spark.read.parquet(p + "/vectors")
+    assert "qvec" in vecs.columns and "scale" in vecs.columns
+    assert vecs.count() == emb.count()
+    # an appended vector is findable: query for itself at full probe
+    q = emb.filter(F.col("vec_id") == 7)
+    got = sim.ivf_topk_indexed(spark, p, q, k=3, nprobe=8).collect()
+    assert len(got) == 3  # neighbors exist and search runs end-to-end
+
+
+def test_ivf_index_stats_balance(spark, tmp_path):
+    """Per-cell stats: shares sum to 1, balance is share x ncells, and
+    every stored cell is present."""
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    p = str(tmp_path / "ivf")
+    sim.save_ivf_index(emb, p, ncells=8, iters=1)
+    stats = sim.ivf_index_stats(spark, p).collect()
+    assert len(stats) == 8
+    assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-4
+    assert sum(r["n_vectors"] for r in stats) == emb.count()
+    for r in stats:
+        assert r["balance"] == pytest.approx(r["share"] * 8, abs=1e-3)
+        assert r["n_files"] >= 1
