@@ -69,6 +69,37 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Per-stratum FRACTION sampling keyed on content, not RNG: keep a
+    row iff ``hash_bucket(salt|id) < fraction[stratum] × BUCKETS`` —
+    the deterministic twin of :func:`stratified_sample` (same
+    per-stratum keep-probability semantics, but split membership is a
+    pure function of the id, so the sample is identical across
+    engines, layouts, reruns, and incremental corpus rebuilds; rows
+    never migrate in or out when unrelated data arrives). Strata
+    absent from the map are dropped, matching ``sampleBy``.
+
+    Nested samples compose: a stratum sampled at 0.2 is a SUBSET of
+    the same stratum sampled at 0.5 under the same salt (threshold
+    inclusion) — the property that lets a 100 TB pipeline carve
+    successively smaller reproducible subsets without re-hashing.
+    Narrow projection + filter, no shuffle, codegen'd md5."""
+    b = hash_bucket(F.col(id_col), salt)
+    keep = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = (F.col(strata_col) == F.lit(stratum)) & (
+            b < int(frac * BUCKETS)
+        )
+        keep = cond if keep is None else (keep | cond)
+    return df.filter(keep if keep is not None else F.lit(False))
+
+
 def deterministic_sample(
     df: DataFrame,
     stratum_col: str,

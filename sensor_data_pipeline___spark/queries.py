@@ -2904,6 +2904,50 @@ def q_hash_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "hash_stratified_counts",
+    # Deterministic per-stratum fraction sampling
+    # (operators/sampling.py:hash_stratified_sample): keep iff
+    # md5-bucket(salt|doc_id) < frac(lang) x 10000 — the content-stable
+    # twin of seeded sampleBy, so the SAMPLE MEMBERSHIP itself is
+    # cross-engine hash-verifiable (the graduation path VERDICT r6 #3
+    # prescribes: the deterministic variant carries the oracle, the
+    # RNG variant stays rows-only).
+    """
+    WITH s AS (
+      SELECT lang, n_chars,
+             CAST(('0x' || substr(md5('strat-v1' || '|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 10000 AS b
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s
+    WHERE (lang = 'en' AND b < 2500)
+       OR (lang = 'de' AND b < 5000)
+       OR (lang = 'fr' AND b < 5000)
+       OR (lang = 'es' AND b < 5000)
+       OR (lang = 'zh' AND b < 7500)
+    GROUP BY lang
+    """,
+)
+def q_hash_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    # downsample the overrepresented language, upsample the rare one —
+    # the mixture-rebalancing shape a pretraining corpus actually uses
+    frac = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.75}
+    return (
+        sampling.hash_stratified_sample(docs, "lang", frac, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 @_register("stratified_sample_counts")  # rows-only: Spark-seeded RNG
 def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded per-stratum Bernoulli sample sizes by language — reproducible

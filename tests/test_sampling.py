@@ -133,3 +133,38 @@ def test_contamination_short_docs_no_crash(spark, tmp_path):
     row = QUERIES["train_test_contamination"](spark, str(tmp_path)).first()
     assert row["n_train"] + row["n_test"] <= len(texts)
     assert 0 <= row["n_contaminated_train"] <= row["n_train"]
+
+
+def test_hash_stratified_sample_nests_and_is_layout_invariant(spark):
+    """hash_stratified_sample: (1) a stratum sampled at a smaller
+    fraction is a SUBSET of the same stratum at a larger fraction
+    under the same salt (threshold inclusion — the nested-subset
+    property); (2) membership survives repartitioning; (3) strata
+    absent from the map are dropped; (4) per-stratum rates land near
+    the requested fractions."""
+    from sensor_data_pipeline___spark.operators import sampling
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+
+    small = sampling.hash_stratified_sample(
+        docs, "lang", {"en": 0.2}, "doc_id"
+    )
+    big = sampling.hash_stratified_sample(
+        docs, "lang", {"en": 0.6}, "doc_id"
+    )
+    s_ids = {r.doc_id for r in small.select("doc_id").collect()}
+    b_ids = {r.doc_id for r in big.select("doc_id").collect()}
+    assert s_ids <= b_ids and len(s_ids) > 0
+
+    relaid = sampling.hash_stratified_sample(
+        docs.repartition(13), "lang", {"en": 0.6}, "doc_id"
+    )
+    assert {r.doc_id for r in relaid.select("doc_id").collect()} == b_ids
+
+    # absent strata dropped
+    assert big.filter(F.col("lang") != "en").count() == 0
+
+    # rate ≈ fraction (md5 is uniform; 193 en docs at sf0.001)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert abs(len(b_ids) / n_en - 0.6) < 0.15
