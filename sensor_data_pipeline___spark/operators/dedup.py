@@ -211,6 +211,173 @@ def minhash_near_dup(
     )
 
 
+def save_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the corpus's minhash signatures + banded LSH keys so a
+    NEW batch can be near-dup-checked against the corpus WITHOUT
+    re-signing it (:func:`near_dup_against_index`) — the dedup twin of
+    ``save_ivf_index``'s lifecycle: signing is the expensive pass
+    (shingle + hash over all text); the index makes it one-time.
+
+    Layout: ``signatures/`` (id, signature) and ``bands/``
+    (id, band_hash) hive-partitioned by ``band_idx`` — a batch probe
+    is an equi-join on (band_idx, band_hash) against a narrow long
+    table, never a re-scan of the text. Band geometry is part of the
+    index identity (a probe with different geometry would silently
+    find nothing), so it's recorded in ``meta/`` and validated by the
+    probe/append paths."""
+    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
+    sig.write.mode("overwrite").parquet(path + "/signatures")
+    _banded_keys(
+        docs.sparkSession.read.parquet(path + "/signatures"),
+        id_col, num_hashes, bands,
+    ).write.mode("overwrite").partitionBy("band_idx").parquet(path + "/bands")
+    meta = docs.sparkSession.createDataFrame(
+        [(num_hashes, bands, shingle_n)],
+        "num_hashes int, bands int, shingle_n int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _banded_keys(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) from a signature frame — the exact
+    banding expressions of :func:`minhash_near_dup`, shared so the
+    persisted index and the in-memory path bucket identically."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(
+                            F.col("signature"),
+                            b * rows_per_band + 1,
+                            rows_per_band,
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def _load_minhash_meta(spark, path: str) -> tuple:
+    r = spark.read.parquet(path + "/meta").first()
+    return int(r["num_hashes"]), int(r["bands"]), int(r["shingle_n"])
+
+
+def minhash_index_append(spark, path: str, new_docs: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """Admit a new batch into the index: sign it with the STORED
+    geometry and append signatures + band keys. O(batch), existing
+    files untouched — same append posture as ``ivf_index_append``.
+    The ingest loop is: probe (:func:`near_dup_against_index`) → drop
+    duplicates → append the survivors here."""
+    num_hashes, bands, shingle_n = _load_minhash_meta(spark, path)
+    sig = minhash_signature(new_docs, text_col, id_col, num_hashes, shingle_n)
+    sig.write.mode("append").parquet(path + "/signatures")
+    _banded_keys(sig, id_col, num_hashes, bands).write.mode(
+        "append"
+    ).partitionBy("band_idx").parquet(path + "/bands")
+
+
+def near_dup_against_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and a
+    :func:`save_minhash_index` corpus — the incremental-ingest dedup
+    check, costing O(batch signing + probe) instead of O(corpus).
+
+    Semantics pinned to :func:`minhash_near_dup` over corpus ∪ batch,
+    restricted to cross pairs (tests): the batch is signed with the
+    stored geometry, its band keys probe the stored ``bands/`` table
+    with a BROADCAST equi-join on (band_idx, band_hash) — the store is
+    scanned narrow (two longs + id), never re-signed, and never
+    shuffled. The bucket guard matches too: a probed bucket's size is
+    its stored members + its batch members, and buckets past
+    ``max_bucket`` are dropped whole (the boilerplate-bomb rule).
+    Batch-internal duplicates are out of scope — run
+    :func:`minhash_near_dup` on the batch itself for those.
+
+    Returns (new_id, corpus_id, est_jaccard)."""
+    num_hashes, bands, shingle_n = _load_minhash_meta(spark, path)
+    new_sig = minhash_signature(
+        new_docs, text_col, id_col, num_hashes, shingle_n
+    ).cache()
+    new_bands = _banded_keys(new_sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+    )
+    store = spark.read.parquet(path + "/bands").select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+    )
+    # probe: stored members of the batch's buckets (broadcast the
+    # batch side — it's the small one by construction)
+    probed = store.join(
+        F.broadcast(new_bands.select("band_idx", "band_hash").distinct()),
+        ["band_idx", "band_hash"],
+    )
+    # bucket guard over the UNION membership, matching minhash_near_dup
+    stored_n = probed.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("_ns")
+    )
+    new_n = new_bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("_nn")
+    )
+    ok = (
+        stored_n.join(F.broadcast(new_n), ["band_idx", "band_hash"])
+        .filter((F.col("_ns") + F.col("_nn")) <= max_bucket)
+        .select("band_idx", "band_hash")
+    )
+    cand = (
+        probed.join(F.broadcast(ok), ["band_idx", "band_hash"])
+        .join(F.broadcast(new_bands), ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .distinct()
+    )
+    sig_store = spark.read.parquet(path + "/signatures").select(
+        F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_c")
+    )
+    verified = cand.join(
+        F.broadcast(
+            new_sig.select(
+                F.col(id_col).alias("new_id"),
+                F.col("signature").alias("sig_n"),
+            )
+        ),
+        "new_id",
+    ).join(sig_store, "corpus_id")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_n"), F.col("sig_c"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return verified.select(
+        "new_id",
+        "corpus_id",
+        (agree / F.lit(num_hashes)).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= jaccard_threshold)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     candidate_pairs: DataFrame,

@@ -1,0 +1,108 @@
+
+
+def test_minhash_index_cross_pairs_match_inmemory_union(spark, tmp_path):
+    """near_dup_against_index over (index(corpus), batch) must equal
+    minhash_near_dup(corpus ∪ batch) restricted to cross pairs — same
+    signatures, same banding, same bucket guard, same agreement
+    filter. Batch contains exact copies of corpus docs so the cross
+    set is provably non-empty."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    # batch: the held-out docs PLUS exact copies of 5 corpus docs
+    copies = (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .orderBy("doc_id")
+        .limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(copies)
+
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(corpus, path)
+    cross = {
+        (min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id),
+         round(r.est_jaccard, 6))
+        for r in dedup.near_dup_against_index(
+            spark, path, batch
+        ).collect()
+    }
+    assert len(cross) >= 5  # the exact copies are all found
+
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    full = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 6))
+        for r in dedup.minhash_near_dup(
+            corpus.unionByName(batch)
+        ).collect()
+        if (r.doc_a in corpus_ids) != (r.doc_b in corpus_ids)
+    }
+    assert cross == full
+
+    # exact copies carry est_jaccard 1.0 against their source
+    ones = {(a, b) for a, b, j in cross if j == 1.0}
+    assert len(ones) >= 5
+
+
+def test_minhash_index_append_then_probe(spark, tmp_path):
+    """minhash_index_append admits a batch O(batch); a later probe of
+    a copy of an appended doc finds it at est_jaccard 1.0, and the
+    pre-append files are untouched bytes."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    late = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(corpus, path)
+    before = set(glob.glob(path + "/signatures/*.parquet")) | set(
+        glob.glob(path + "/bands/*/*.parquet")
+    )
+    dedup.minhash_index_append(spark, path, late)
+    after = set(glob.glob(path + "/signatures/*.parquet")) | set(
+        glob.glob(path + "/bands/*/*.parquet")
+    )
+    assert before <= after and len(after) > len(before)
+
+    probe = late.orderBy("doc_id").limit(3).withColumn(
+        "doc_id", F.col("doc_id") + 20_000_000
+    )
+    hits = dedup.near_dup_against_index(spark, path, probe).collect()
+    by_new = {r.new_id: r for r in hits}
+    for r in probe.collect():
+        hit = by_new[r.doc_id]
+        assert hit.est_jaccard == 1.0
+        assert hit.corpus_id == r.doc_id - 20_000_000
+
+
+def test_minhash_index_probe_plan_is_broadcast_no_cartesian(spark, tmp_path):
+    """The probe must reach the stored bands via broadcast equi-joins
+    on (band_idx, band_hash) — the store side is scanned narrow and
+    never cartesian-joined or shuffled against the batch."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.plans import explain
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(corpus, path)
+    plan = explain.formatted_plan(
+        dedup.near_dup_against_index(spark, path, batch)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "band_hash" in plan, plan
