@@ -653,6 +653,18 @@ def ivf_index_append(
     """
     cents = spark.read.parquet(path + "/centroids")
     store_cols = spark.read.parquet(path + "/vectors").columns
+    # schema-drift guard: an append missing the store's metadata
+    # columns would write files whose footers lack them — later reads
+    # surface or drop the column depending on which footer parquet
+    # inference samples (silent corruption). Require parity up front.
+    core = {id_col, vec_col, "qvec", "scale", "cell"}
+    store_extras = [c for c in store_cols if c not in core]
+    if sorted(store_extras) != sorted(extra_cols):
+        raise ValueError(
+            f"index at {path} stores extra columns {sorted(store_extras)}; "
+            f"append must pass extra_cols to match (got "
+            f"{sorted(extra_cols)})"
+        )
     assigned = ivf_assign(new_vectors, cents, vec_col=vec_col, id_col=id_col)
     batch = (
         quantize_embeddings(new_vectors, vec_col=vec_col, id_col=id_col)

@@ -528,3 +528,25 @@ def test_ivf_index_stats_balance(spark, tmp_path):
     for r in stats:
         assert r["balance"] == pytest.approx(r["share"] * 8, abs=1e-3)
         assert r["n_files"] >= 1
+
+
+def test_ivf_index_append_rejects_extra_col_mismatch(spark, tmp_path):
+    """Appending without the store's metadata columns must raise, not
+    write files with a diverging schema (parquet inference samples one
+    footer — a silent-corruption class)."""
+    import pytest as _pytest
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    p = str(tmp_path / "ivf")
+    sim.save_ivf_index(emb, p, ncells=4, iters=0, extra_cols=("label",))
+    with _pytest.raises(ValueError, match="extra columns"):
+        sim.ivf_index_append(spark, p, emb.limit(5))
+    # matching extra_cols appends fine
+    sim.ivf_index_append(
+        spark, p,
+        emb.limit(5).withColumn("vec_id", F.col("vec_id") + 10_000),
+        extra_cols=("label",),
+    )
