@@ -211,6 +211,16 @@ def lsh_topk(
         m for m in range(1 << num_planes)
         if bin(m).count("1") <= probe_hamming
     ]
+    # the probe set is a LITERAL array in the plan — cap it before it
+    # becomes a plan-size/broadcast problem (sum C(planes, i) explodes
+    # combinatorially; 4096 probes already means the bucketing is doing
+    # nothing and brute_force_topk is the right tool)
+    if len(masks) > 4096:
+        raise ValueError(
+            f"{len(masks)} probe buckets (num_planes={num_planes}, "
+            f"probe_hamming={probe_hamming}) — reduce probe_hamming or "
+            "use brute_force_topk; past ~4k probes LSH blocks nothing"
+        )
     bucketed = lsh_bucket(
         corpus, num_planes=num_planes, dim=dim, vec_col=vec_col, seed=seed
     ).select(
@@ -940,6 +950,12 @@ def hard_negatives_ivf_indexed(
     the :func:`hard_negatives` brute twin (pinned by tests). Returns
     (query_id, vec_id, negative_label, cosine, rnk)."""
     cents = spark.read.parquet(path + "/centroids")
+    if label_col not in spark.read.parquet(path + "/vectors").columns:
+        raise ValueError(
+            f"index at {path} does not store '{label_col}' — save it "
+            f"with save_ivf_index(..., extra_cols=('{label_col}',)) so "
+            "mining can read labels from the probed partitions"
+        )
     probes = _ivf_probes(anchors, cents, nprobe, vec_col, id_col).join(
         anchors.select(
             F.col(id_col).alias("query_id"), F.col(label_col).alias("_qlabel")

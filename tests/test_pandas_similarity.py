@@ -550,3 +550,31 @@ def test_ivf_index_append_rejects_extra_col_mismatch(spark, tmp_path):
         emb.limit(5).withColumn("vec_id", F.col("vec_id") + 10_000),
         extra_cols=("label",),
     )
+
+
+def test_lsh_topk_caps_probe_explosion():
+    """probe mask enumeration is a literal plan array — a runaway
+    Hamming ball must raise with guidance, not build a 65k-element
+    plan."""
+    import pytest as _pytest
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+
+    with _pytest.raises(ValueError, match="probe buckets"):
+        sim.lsh_topk(None, None, num_planes=16, probe_hamming=16)
+
+
+def test_hard_negatives_ivf_indexed_requires_stored_label(spark, tmp_path):
+    """Mining against a store saved WITHOUT the label column must fail
+    fast with the fix spelled out, not with a raw unresolved-column
+    analysis error deep in the plan."""
+    import pytest as _pytest
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    p = str(tmp_path / "nolabel")
+    sim.save_ivf_index(emb, p, ncells=4, iters=0)  # no extra_cols
+    with _pytest.raises(ValueError, match="extra_cols"):
+        sim.hard_negatives_ivf_indexed(spark, p, emb.limit(4))
