@@ -356,8 +356,13 @@ def pruned_scan_units(path: str, box: "dict[str, tuple]") -> "dict":
             if st is None:
                 return True  # no stats ⇒ cannot skip
             mn, mx = st
-            if mx < lo or mn > hi:
-                return False
+            try:
+                if mx < lo or mn > hi:
+                    return False
+            except TypeError:
+                # stats type incomparable with the predicate bounds
+                # (e.g. string column vs numeric box) ⇒ cannot skip
+                return True
         return True
 
     for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
