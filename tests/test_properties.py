@@ -316,3 +316,44 @@ def test_histogram_sketch_merge_invariants(spark, rows, n_splits):
     assert merged == direct
     assert sum(merged.values()) == len(rows)
     assert all(0 <= b < bins for _, b in merged)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+def test_hash_stratified_membership_matches_python_md5(spark, ids, frac):
+    """hash_stratified_sample membership is a pure function of
+    md5(salt|id) — recompute it with Python's hashlib as an
+    independent in-process oracle (the same cross-engine argument the
+    DuckDB oracle makes, at property-test breadth). Also pins the
+    nested-subset law: halving the fraction selects a subset."""
+    import hashlib
+
+    from sensor_data_pipeline___spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in sorted(ids)], "doc_id long, lang string"
+    )
+    got = {
+        r.doc_id
+        for r in sampling.hash_stratified_sample(
+            df, "lang", {"s": frac}, "doc_id"
+        ).collect()
+    }
+
+    def bucket(i):
+        h = hashlib.md5(f"strat-v1|{i}".encode()).hexdigest()
+        return int(h[:8], 16) % sampling.BUCKETS
+
+    want = {i for i in ids if bucket(i) < int(frac * sampling.BUCKETS)}
+    assert got == want
+
+    half = {
+        r.doc_id
+        for r in sampling.hash_stratified_sample(
+            df, "lang", {"s": frac / 2}, "doc_id"
+        ).collect()
+    }
+    assert half <= got
