@@ -286,7 +286,12 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame,
     The ingest loop is: probe (:func:`near_dup_against_index`) → drop
     duplicates → append the survivors here."""
     num_hashes, bands, shingle_n = _load_minhash_meta(spark, path)
-    sig = minhash_signature(new_docs, text_col, id_col, num_hashes, shingle_n)
+    # materialize the signature pass ONCE: both writes replay the
+    # checkpoint instead of each re-running the shingle+hash pass (the
+    # expensive part this function exists to bound at O(batch))
+    sig = minhash_signature(
+        new_docs, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
     sig.write.mode("append").parquet(path + "/signatures")
     _banded_keys(sig, id_col, num_hashes, bands).write.mode(
         "append"
