@@ -298,6 +298,39 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame,
     ).partitionBy("band_idx").parquet(path + "/bands")
 
 
+def minhash_index_stats(
+    spark, path: str, max_bucket: int = 200
+) -> DataFrame:
+    """Per-band bucket-population stats for a :func:`save_minhash_index`
+    store: (band_idx, n_buckets, max_bucket_size, p99_bucket_size,
+    n_over_max, docs_in_over_max) — the operational view of the
+    boilerplate-bomb guard. Buckets past ``max_bucket`` are exactly
+    the ones :func:`near_dup_against_index` drops whole; a growing
+    ``docs_in_over_max`` share means mass near-identical content is
+    accumulating (handle with exact dedup upstream) or the band
+    geometry needs re-tuning. One narrow aggregate over the band
+    table — the same maintenance cadence as ``ivf_index_stats``."""
+    bands = spark.read.parquet(path + "/bands")
+    per_bucket = bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        per_bucket.groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("sz").alias("max_bucket_size"),
+            F.percentile_approx("sz", 0.99).alias("p99_bucket_size"),
+            F.sum(F.when(F.col("sz") > max_bucket, 1).otherwise(0)).alias(
+                "n_over_max"
+            ),
+            F.sum(
+                F.when(F.col("sz") > max_bucket, F.col("sz")).otherwise(0)
+            ).alias("docs_in_over_max"),
+        )
+        .orderBy("band_idx")
+    )
+
+
 def near_dup_against_index(
     spark,
     path: str,

@@ -106,3 +106,38 @@ def test_minhash_index_probe_plan_is_broadcast_no_cartesian(spark, tmp_path):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan and "band_hash" in plan, plan
+
+
+def test_minhash_index_stats_counts_guarded_buckets(spark, tmp_path):
+    """Bucket stats agree with a direct recount, and buckets past
+    max_bucket are exactly the probe's dropped population: with a mass
+    of identical docs the bomb bucket shows up in n_over_max."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") < 200)
+    # a boilerplate bomb: 30 exact copies of one doc
+    bomb = (
+        docs.filter(F.col("doc_id") == 0)
+        .crossJoin(spark.range(30).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") + 1_000_000 + F.col("rep")).alias("doc_id"),
+            "text",
+        )
+    )
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(
+        corpus.select("doc_id", "text").unionByName(bomb), path
+    )
+    stats = dedup.minhash_index_stats(spark, path, max_bucket=20).collect()
+    assert len(stats) == 8  # one row per band
+    assert sum(r["n_buckets"] for r in stats) > 0
+    # every band sees the >=31-member bomb bucket (identical text ->
+    # identical signature -> same bucket in every band)
+    for r in stats:
+        assert r["max_bucket_size"] >= 31
+        assert r["n_over_max"] >= 1
+        assert r["docs_in_over_max"] >= 31
