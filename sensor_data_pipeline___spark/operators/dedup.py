@@ -233,12 +233,18 @@ def save_minhash_index(
     index identity (a probe with different geometry would silently
     find nothing), so it's recorded in ``meta/`` and validated by the
     probe/append paths."""
-    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
-    sig.write.mode("overwrite").parquet(path + "/signatures")
+    sig = minhash_signature(
+        docs, text_col, id_col, num_hashes, shingle_n
+    ).withColumn("ingest_key", F.lit("base"))
+    sig.write.mode("overwrite").partitionBy("ingest_key").parquet(
+        path + "/signatures"
+    )
     _banded_keys(
         docs.sparkSession.read.parquet(path + "/signatures"),
-        id_col, num_hashes, bands,
-    ).write.mode("overwrite").partitionBy("band_idx").parquet(path + "/bands")
+        id_col, num_hashes, bands, keep=("ingest_key",),
+    ).write.mode("overwrite").partitionBy("band_idx", "ingest_key").parquet(
+        path + "/bands"
+    )
     meta = docs.sparkSession.createDataFrame(
         [(num_hashes, bands, shingle_n)],
         "num_hashes int, bands int, shingle_n int",
@@ -247,14 +253,16 @@ def save_minhash_index(
 
 
 def _banded_keys(
-    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int,
+    keep: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """(id, band_idx, band_hash) from a signature frame — the exact
-    banding expressions of :func:`minhash_near_dup`, shared so the
-    persisted index and the in-memory path bucket identically."""
+    """(id, band_idx, band_hash[, *keep]) from a signature frame — the
+    exact banding expressions of :func:`minhash_near_dup`, shared so
+    the persisted index and the in-memory path bucket identically."""
     rows_per_band = num_hashes // bands
     return sig.select(
         id_col,
+        *keep,
         F.posexplode(
             F.array(
                 *[
@@ -279,23 +287,55 @@ def _load_minhash_meta(spark, path: str) -> tuple:
 
 def minhash_index_append(spark, path: str, new_docs: DataFrame,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> None:
+                         id_col: str = "doc_id",
+                         ingest_key: "str | None" = None) -> None:
     """Admit a new batch into the index: sign it with the STORED
     geometry and append signatures + band keys. O(batch), existing
     files untouched — same append posture as ``ivf_index_append``.
     The ingest loop is: probe (:func:`near_dup_against_index`) → drop
-    duplicates → append the survivors here."""
+    duplicates → append the survivors here.
+
+    ``ingest_key`` makes the append EFFECTIVELY-ONCE from an
+    at-least-once caller (a streaming foreachBatch that can replay
+    after a crash between this append and its checkpoint commit): the
+    batch's rows land in ``ingest_key=<key>`` partitions via dynamic
+    partition overwrite, so a replay with the same key REPLACES its
+    own earlier attempt instead of appending duplicate signatures —
+    the same batch-identity trick as the bronze torn-commit fix. Pass
+    a replay-stable key (e.g. the micro-batch id); with ``None`` the
+    write is a plain append under key 'adhoc' and a replay WILL
+    duplicate (fine for one-shot batch use)."""
     num_hashes, bands, shingle_n = _load_minhash_meta(spark, path)
     # materialize the signature pass ONCE: both writes replay the
     # checkpoint instead of each re-running the shingle+hash pass (the
     # expensive part this function exists to bound at O(batch))
-    sig = minhash_signature(
-        new_docs, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=True)
-    sig.write.mode("append").parquet(path + "/signatures")
-    _banded_keys(sig, id_col, num_hashes, bands).write.mode(
-        "append"
-    ).partitionBy("band_idx").parquet(path + "/bands")
+    sig = (
+        minhash_signature(new_docs, text_col, id_col, num_hashes, shingle_n)
+        .withColumn("ingest_key", F.lit(ingest_key or "adhoc"))
+        .localCheckpoint(eager=True)
+    )
+    mode = "overwrite" if ingest_key is not None else "append"
+    # pin dynamic partition overwrite for THESE writes (restore after):
+    # under the static default an "overwrite" would wipe every other
+    # batch's partitions, not just this key's own — the same guard as
+    # the bronze offset-replay writer
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "dynamic")
+    try:
+        sig.write.mode(mode).partitionBy("ingest_key").parquet(
+            path + "/signatures"
+        )
+        _banded_keys(
+            sig, id_col, num_hashes, bands, keep=("ingest_key",)
+        ).write.mode(mode).partitionBy("band_idx", "ingest_key").parquet(
+            path + "/bands"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
 
 
 def minhash_index_stats(

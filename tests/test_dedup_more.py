@@ -66,11 +66,11 @@ def test_minhash_index_append_then_probe(spark, tmp_path):
 
     path = str(tmp_path / "mh")
     dedup.save_minhash_index(corpus, path)
-    before = set(glob.glob(path + "/signatures/*.parquet")) | set(
+    before = set(glob.glob(path + "/signatures/*/*.parquet")) | set(
         glob.glob(path + "/bands/*/*.parquet")
     )
     dedup.minhash_index_append(spark, path, late)
-    after = set(glob.glob(path + "/signatures/*.parquet")) | set(
+    after = set(glob.glob(path + "/signatures/*/*.parquet")) | set(
         glob.glob(path + "/bands/*/*.parquet")
     )
     assert before <= after and len(after) > len(before)
@@ -141,3 +141,41 @@ def test_minhash_index_stats_counts_guarded_buckets(spark, tmp_path):
         assert r["max_bucket_size"] >= 31
         assert r["n_over_max"] >= 1
         assert r["docs_in_over_max"] >= 31
+
+
+def test_minhash_index_append_replay_is_effectively_once(spark, tmp_path):
+    """A streaming caller can crash between the index append and its
+    checkpoint commit and replay the batch: with a replay-stable
+    ingest_key the second append REPLACES the first attempt's
+    partitions (dynamic overwrite) — no duplicate signatures, no
+    duplicate band keys, probe results unchanged."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    late = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 330))
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(corpus, path)
+
+    n_corpus = corpus.count()
+    dedup.minhash_index_append(spark, path, late, ingest_key="batch-7")
+    # crash + replay: same batch, same key
+    dedup.minhash_index_append(spark, path, late, ingest_key="batch-7")
+
+    sigs = spark.read.parquet(path + "/signatures")
+    assert sigs.count() == n_corpus + late.count()
+    assert sigs.select("doc_id").distinct().count() == sigs.count()
+    bands_n = spark.read.parquet(path + "/bands").count()
+    assert bands_n == (n_corpus + late.count()) * 8  # 8 bands, no dupes
+
+    # probe of a copy of an appended doc still finds exactly it
+    probe = late.orderBy("doc_id").limit(2).withColumn(
+        "doc_id", F.col("doc_id") + 30_000_000
+    )
+    hits = dedup.near_dup_against_index(spark, path, probe).collect()
+    exact = [r for r in hits if r.est_jaccard == 1.0
+             and r.corpus_id == r.new_id - 30_000_000]
+    assert len(exact) == 2
