@@ -569,9 +569,10 @@ def save_ivf_index(
         store = store.join(corpus.select(id_col, *extra_cols), id_col)
     (
         store.join(assigned, id_col)
+        .withColumn("ingest_key", F.lit("base"))
         .repartition("cell")
         .write.mode("overwrite")
-        .partitionBy("cell")
+        .partitionBy("cell", "ingest_key")
         .parquet(path + "/vectors")
     )
 
@@ -641,6 +642,7 @@ def ivf_index_append(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     extra_cols: "tuple[str, ...]" = (),
+    ingest_key: "str | None" = None,
 ) -> None:
     """Append a batch of new vectors to an existing :func:`save_ivf_index`
     store WITHOUT retraining or rewriting it — the index-maintenance
@@ -660,6 +662,14 @@ def ivf_index_append(
     balance, not correctness (assignment is against fixed centroids).
     Monitor with :func:`ivf_index_stats` and retrain on the warehouse
     maintenance cadence — same lifecycle as compaction/Z-ordering.
+
+    ``ingest_key`` makes the append EFFECTIVELY-ONCE from an
+    at-least-once caller: the batch lands in its own secondary hive
+    partitions (``cell=.../ingest_key=<key>``) via dynamic partition
+    overwrite, so a crash-replay with the same key replaces its own
+    earlier attempt instead of duplicating vectors — identical
+    contract to ``minhash_index_append``. With ``None`` the write is a
+    plain append under key 'adhoc' (one-shot batch use).
     """
     cents = spark.read.parquet(path + "/centroids")
     store_cols = spark.read.parquet(path + "/vectors").columns
@@ -667,7 +677,7 @@ def ivf_index_append(
     # columns would write files whose footers lack them — later reads
     # surface or drop the column depending on which footer parquet
     # inference samples (silent corruption). Require parity up front.
-    core = {id_col, vec_col, "qvec", "scale", "cell"}
+    core = {id_col, vec_col, "qvec", "scale", "cell", "ingest_key"}
     store_extras = [c for c in store_cols if c not in core]
     if sorted(store_extras) != sorted(extra_cols):
         raise ValueError(
@@ -683,13 +693,24 @@ def ivf_index_append(
     )
     if extra_cols:
         batch = batch.join(new_vectors.select(id_col, *extra_cols), id_col)
-    (
+    out = (
         batch.join(assigned, id_col)
+        .withColumn("ingest_key", F.lit(ingest_key or "adhoc"))
         .repartition("cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(path + "/vectors")
     )
+    mode = "overwrite" if ingest_key is not None else "append"
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "dynamic")
+    try:
+        out.write.mode(mode).partitionBy("cell", "ingest_key").parquet(
+            path + "/vectors"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:

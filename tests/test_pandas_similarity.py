@@ -463,9 +463,9 @@ def test_ivf_index_append_matches_rebuild(spark, tmp_path):
 
     inc_p = str(tmp_path / "inc")
     sim.save_ivf_index(old, inc_p, ncells=8, iters=1)
-    before = set(glob.glob(inc_p + "/vectors/*/*.parquet"))
+    before = set(glob.glob(inc_p + "/vectors/*/*/*.parquet"))
     sim.ivf_index_append(spark, inc_p, new)
-    after = set(glob.glob(inc_p + "/vectors/*/*.parquet"))
+    after = set(glob.glob(inc_p + "/vectors/*/*/*.parquet"))
     assert before <= after and len(after) > len(before)
 
     # rebuild twin: same centroids (assign full corpus), fresh store
@@ -578,3 +578,25 @@ def test_hard_negatives_ivf_indexed_requires_stored_label(spark, tmp_path):
     sim.save_ivf_index(emb, p, ncells=4, iters=0)  # no extra_cols
     with _pytest.raises(ValueError, match="extra_cols"):
         sim.hard_negatives_ivf_indexed(spark, p, emb.limit(4))
+
+
+def test_ivf_index_append_replay_is_effectively_once(spark, tmp_path):
+    """With a replay-stable ingest_key, re-running the same append
+    (crash between append and checkpoint commit) replaces its own
+    partitions — vector count and search results unchanged."""
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    old = emb.filter(F.col("vec_id") >= 100)
+    new = emb.filter(F.col("vec_id") < 100)
+    p = str(tmp_path / "ivf")
+    sim.save_ivf_index(old, p, ncells=8, iters=1)
+    sim.ivf_index_append(spark, p, new, ingest_key="b3")
+    sim.ivf_index_append(spark, p, new, ingest_key="b3")  # replay
+    vecs = spark.read.parquet(p + "/vectors")
+    assert vecs.count() == emb.count()
+    assert vecs.select("vec_id").distinct().count() == emb.count()
+    q = emb.filter(F.col("vec_id") < 3)
+    got = sim.ivf_topk_indexed(spark, p, q, k=5, nprobe=8)
+    assert got.count() == 15  # 3 queries x k, no duplicate candidates
