@@ -260,3 +260,86 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.chunk_n_tokens").alias("chunk_n_tokens"),
     )
+
+
+def segment_docs(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, seg_idx, segment): fixed-width token windows — the segment
+    granularity for cross-document boilerplate analysis on corpora
+    whose text has no native line structure (a corpus with newlines
+    would segment on those instead; the downstream ops only see
+    (id, seg_idx, segment) and don't care). The ragged tail window is
+    kept. Narrow: split + slice expressions, one generate — no
+    shuffle."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx", "_i"),
+        toks.alias("_toks"),
+    ).select(
+        id_col,
+        "seg_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("_i") * seg_tokens + 1, seg_tokens)
+        ).alias("segment"),
+    )
+
+
+def drop_repeated_segments(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    max_repeat: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the C4/RefinedWeb
+    line-dedup recipe at segment granularity): drop every segment
+    whose GLOBAL occurrence count exceeds ``max_repeat`` — headers,
+    navigation chrome, license blocks that repeat across a crawl — and
+    reassemble each document from its surviving segments in order.
+    Documents reduced to nothing are dropped (empty text carries no
+    training signal).
+
+    Scale shape: segments shuffle once on their md5 (constant-width
+    key, not segment text) for the global count; counts join back as
+    a hash equi-join; reassembly is one groupBy with
+    ``sort_array(collect_list(struct(seg_idx, segment)))`` — order
+    restored without a window. Total shuffle volume is O(segments),
+    independent of how often boilerplate repeats. Returns
+    (id, text, n_dropped_segments)."""
+    segs = segment_docs(docs, seg_tokens, text_col, id_col).withColumn(
+        "_h", F.md5(F.col("segment"))
+    )
+    freq = segs.groupBy("_h").agg(F.count("*").alias("_n"))
+    flagged = segs.join(freq, "_h").withColumn(
+        "_keep", F.col("_n") <= max_repeat
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_keep"),
+                        F.struct("seg_idx", "segment"),
+                    )
+                )
+            ).alias("_kept"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias(
+                "n_dropped_segments"
+            ),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform(F.col("_kept"), lambda s: s["segment"])
+            ).alias(text_col),
+            F.col("n_dropped_segments").cast("long"),
+        )
+        .filter(F.length(text_col) > 0)
+    )

@@ -2948,6 +2948,53 @@ def q_hash_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "segment_frequency_stats",
+    # Cross-document boilerplate census at 10-token-segment granularity
+    # (operators/text.py:segment_docs) — the measurement half of
+    # drop_repeated_segments (the C4/RefinedWeb line-dedup recipe for
+    # corpora without native line structure). Segmentation must agree
+    # between engines exactly: Spark slice(toks, i*10+1, 10) (1-based,
+    # LENGTH) == DuckDB list_slice(toks, i*10+1, i*10+10) (1-based,
+    # INCLUSIVE end); both clamp the ragged tail.
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, g.i*10+1, g.i*10+10), ' ')
+               AS segment
+      FROM base, unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS g(i)
+    ), freq AS (
+      SELECT segment, count(*) AS n FROM segs GROUP BY segment
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_segments,
+           CAST(sum(n) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+             AS repeated_occurrences,
+           CAST(max(n) AS BIGINT) AS max_repeat
+    FROM freq
+    """,
+)
+def q_segment_frequency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        T.segment_docs(docs, seg_tokens=10)
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"))
+    )
+    return freq.agg(
+        F.count("*").alias("n_distinct_segments"),
+        F.sum("n").alias("n_segments"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0)).alias(
+            "repeated_occurrences"
+        ),
+        F.max("n").alias("max_repeat"),
+    )
+
+
 @_register("stratified_sample_counts")  # rows-only: Spark-seeded RNG
 def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded per-stratum Bernoulli sample sizes by language — reproducible

@@ -135,3 +135,52 @@ def test_chunk_documents_rejects_bad_stride(spark):
         chunk_documents(_docs(spark, ["a b"]), chunk_tokens=8, stride=9)
     with pytest.raises(ValueError):
         chunk_documents(_docs(spark, ["a b"]), chunk_tokens=8, stride=0)
+
+
+def test_drop_repeated_segments_removes_cross_doc_boilerplate(spark):
+    """The C4-style recipe: a 10-token boilerplate block shared by
+    many documents is dropped from every one; unique content survives
+    with segment order preserved; a doc that is pure boilerplate
+    disappears; and at max_repeat=inf everything round-trips."""
+    from sensor_data_pipeline___spark.operators import text as T
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq = lambda d, s: " ".join(f"u{d}x{s}t{i}" for i in range(10))  # noqa: E731
+    rows = [
+        # boilerplate + unique + boilerplate-again (same global seg)
+        (1, boiler + " " + uniq(1, 0) + " " + uniq(1, 1)),
+        (2, boiler + " " + uniq(2, 0)),
+        (3, uniq(3, 0) + " " + boiler),
+        (4, boiler),  # pure boilerplate -> document disappears
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in T.drop_repeated_segments(docs, seg_tokens=10).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text"] == uniq(1, 0) + " " + uniq(1, 1)
+    assert out[2]["text"] == uniq(2, 0)
+    assert out[3]["text"] == uniq(3, 0)
+    assert out[1]["n_dropped_segments"] == 1
+    assert out[3]["n_dropped_segments"] == 1
+
+    # no-op mode: nothing exceeds max_repeat -> identity reassembly
+    full = {
+        r.doc_id: r.text
+        for r in T.drop_repeated_segments(
+            docs, seg_tokens=10, max_repeat=10
+        ).collect()
+    }
+    assert full == {d: t for d, t in rows}
+
+
+def test_drop_repeated_segments_preserves_order_with_ragged_tail(spark):
+    """Segments reassemble in seg_idx order including a ragged tail
+    window shorter than seg_tokens."""
+    from sensor_data_pipeline___spark.operators import text as T
+
+    text = " ".join(f"w{i}" for i in range(23))  # 3 segments: 10/10/3
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = T.drop_repeated_segments(docs, seg_tokens=10).collect()
+    assert out[0]["text"] == text and out[0]["n_dropped_segments"] == 0
