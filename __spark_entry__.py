@@ -36,14 +36,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-7 rotation (VERDICT r6 directive #1): the gate window keeps
 # the 11-entry veteran spine (reference-parity core that never
 # rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the FIVE never-gated
+# session_window_batch watch item), adds the SIX never-gated
 # entries per GATE_LEDGER.md — zorder_curve_stats (the one r6 orphan,
 # registered after the r6 gate ran) and the two new exact-mode ANN
 # twins (ann_topk_ivf_exact / ann_topk_lsh_exact, VERDICT r6
-# directive #3) plus hash_stratified_counts and
-# segment_frequency_stats (the round's new deterministic sampling and
-# boilerplate-census queries) — and fills the remaining 34 slots with
-# the STALEST
+# directive #3) plus hash_stratified_counts,
+# segment_frequency_stats, and user_event_sequences (the round's new
+# deterministic sampling / boilerplate-census / training-sequence
+# queries) — and fills the remaining 33 slots with the STALEST
 # previously-gated entries (last gated r2-r4: the window/fingerprint/
 # lang families from r2, the profiling and TPC-H q13-q21 families
 # from r4), refreshing their driver coverage. The ledger invariant
@@ -73,6 +73,7 @@ _PRIORITY = (
     "ann_topk_lsh_exact",
     "hash_stratified_counts",
     "segment_frequency_stats",
+    "user_event_sequences",
     # --- stalest refresh: last gated r2 ---
     "anti_join_inactive_customers",
     "cube_orders",
@@ -109,7 +110,6 @@ _PRIORITY = (
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q19_discounted_revenue",
 )
 
 

@@ -145,3 +145,55 @@ def mixture_sample(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_quota", "_rn")
     )
+
+
+def user_event_sequences(
+    events: DataFrame,
+    max_len: int = 64,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user chronological event-type sequences — the
+    behavioral-pretraining handoff (each user's action history becomes
+    one training example), truncated to the first ``max_len`` events
+    with the truncation loss reported.
+
+    Ordering is (ts, event_id): the surrogate id breaks timestamp ties
+    deterministically, so the sequence string is reproducible across
+    engines — which is what lets the DuckDB oracle hash-verify whole
+    sequences, not just counts. Physical shape: ONE groupBy with
+    ``sort_array(collect_list(struct(ts, id, type)))`` — per-user
+    ordering comes from the in-memory array sort of each group, not a
+    global window (no second shuffle, no SinglePartition); per-group
+    state is bounded by that user's event count, and the slice bounds
+    the output row at ``max_len`` tokens.
+
+    Returns (user_id, seq, n_events, n_truncated)."""
+    sorted_events = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("_ts"),
+                F.col(id_col).alias("_id"),
+                F.col(type_col).alias("_t"),
+            )
+        )
+    )
+    return (
+        events.groupBy(user_col)
+        .agg(sorted_events.alias("_ev"), F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.slice(F.col("_ev"), 1, max_len), lambda s: s["_t"]
+                ),
+            ).alias("seq"),
+            "n_events",
+            F.greatest(
+                F.col("n_events") - F.lit(max_len), F.lit(0)
+            ).cast("long").alias("n_truncated"),
+        )
+    )

@@ -2949,6 +2949,37 @@ def q_hash_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "user_event_sequences",
+    # Behavioral-pretraining sequences (operators/export.py:
+    # user_event_sequences): each user's chronological event-type
+    # string, truncated at 64, with the (ts, event_id) tiebreak making
+    # WHOLE SEQUENCES hash-verifiable cross-engine — not just counts.
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, ' ' ORDER BY ts, event_id)
+             FILTER (WHERE rn <= 64) AS seq,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(greatest(max(n) - 64, 0) AS BIGINT) AS n_truncated
+    FROM s GROUP BY user_id
+    """,
+)
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.export import (
+        user_event_sequences,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return user_event_sequences(ev, max_len=64)
+
+
+@_register(
     "segment_frequency_stats",
     # Cross-document boilerplate census at 10-token-segment granularity
     # (operators/text.py:segment_docs) — the measurement half of

@@ -129,3 +129,36 @@ def test_mixture_sample_stable_under_growth(spark, docs):
 def test_mixture_sample_empty_quotas_rejected(spark, docs):
     with pytest.raises(ValueError):
         mixture_sample(docs, "lang", "doc_id", {})
+
+
+def test_user_event_sequences_order_truncation_and_plan(spark):
+    """Sequences are (ts, event_id)-ordered, truncated at max_len with
+    the loss counted, and the plan has no global window (ordering via
+    per-group array sort — no SinglePartition stage)."""
+    import datetime as dt
+
+    from sensor_data_pipeline___spark.operators.export import (
+        user_event_sequences,
+    )
+    from sensor_data_pipeline___spark.plans import explain
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 5 events, one ts TIE broken by event_id (ids 2,3)
+        (10, t0, 1, "a"), (11, t0 + dt.timedelta(seconds=1), 1, "b"),
+        (13, t0 + dt.timedelta(seconds=2), 1, "d"),
+        (12, t0 + dt.timedelta(seconds=2), 1, "c"),
+        (14, t0 + dt.timedelta(seconds=3), 1, "e"),
+        # user 2: single event
+        (20, t0, 2, "z"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.user_id: r for r in user_event_sequences(ev, max_len=3).collect()}
+    assert out[1]["seq"] == "a b c"  # tie at +2s: id 12 before id 13
+    assert out[1]["n_events"] == 5 and out[1]["n_truncated"] == 2
+    assert out[2]["seq"] == "z" and out[2]["n_truncated"] == 0
+
+    plan = explain.formatted_plan(user_event_sequences(ev, max_len=3))
+    assert "Window" not in plan, plan
