@@ -288,7 +288,8 @@ def _load_minhash_meta(spark, path: str) -> tuple:
 def minhash_index_append(spark, path: str, new_docs: DataFrame,
                          text_col: str = "text",
                          id_col: str = "doc_id",
-                         ingest_key: "str | None" = None) -> None:
+                         ingest_key: "str | None" = None,
+                         precomputed_sig: "DataFrame | None" = None) -> None:
     """Admit a new batch into the index: sign it with the STORED
     geometry and append signatures + band keys. O(batch), existing
     files untouched — same append posture as ``ivf_index_append``.
@@ -304,16 +305,25 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame,
     the same batch-identity trick as the bronze torn-commit fix. Pass
     a replay-stable key (e.g. the micro-batch id); with ``None`` the
     write is a plain append under key 'adhoc' and a replay WILL
-    duplicate (fine for one-shot batch use)."""
+    duplicate (fine for one-shot batch use).
+
+    ``precomputed_sig`` (from :func:`sign_for_index` — stored-geometry
+    signatures, already materialized) lets the probe→drop→append
+    ingest loop reuse the probe's signing pass instead of re-running
+    shingle+hash here; filter it to the admitted ids first."""
     num_hashes, bands, shingle_n = _load_minhash_meta(spark, path)
     # materialize the signature pass ONCE: both writes replay the
     # checkpoint instead of each re-running the shingle+hash pass (the
     # expensive part this function exists to bound at O(batch))
     sig = (
-        minhash_signature(new_docs, text_col, id_col, num_hashes, shingle_n)
-        .withColumn("ingest_key", F.lit(ingest_key or "adhoc"))
-        .localCheckpoint(eager=True)
-    )
+        precomputed_sig.select(id_col, "signature")
+        if precomputed_sig is not None
+        else minhash_signature(
+            new_docs, text_col, id_col, num_hashes, shingle_n
+        )
+    ).withColumn("ingest_key", F.lit(ingest_key or "adhoc"))
+    if precomputed_sig is None:
+        sig = sig.localCheckpoint(eager=True)
     mode = "overwrite" if ingest_key is not None else "append"
     # pin dynamic partition overwrite for THESE writes (restore after):
     # under the static default an "overwrite" would wipe every other
@@ -371,6 +381,29 @@ def minhash_index_stats(
     )
 
 
+def sign_for_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sign a batch with the STORED geometry of a
+    :func:`save_minhash_index` store and materialize the result
+    (eager ``localCheckpoint`` — blocks are freed when the frame is
+    GC'd, unlike a ``cache()`` entry that pins in the CacheManager
+    until an explicit unpersist). The ingest loop signs each batch
+    ONCE here and hands the frame to BOTH
+    :func:`near_dup_against_index` and :func:`minhash_index_append`
+    via ``precomputed_sig`` — signing is the expensive pass
+    (shingle + hash over the batch text), so the probe→drop→append
+    loop shouldn't pay it twice."""
+    num_hashes, _, shingle_n = _load_minhash_meta(spark, path)
+    return minhash_signature(
+        new_docs, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+
+
 def near_dup_against_index(
     spark,
     path: str,
@@ -379,6 +412,7 @@ def near_dup_against_index(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.8,
     max_bucket: int = 200,
+    precomputed_sig: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and a
     :func:`save_minhash_index` corpus — the incremental-ingest dedup
@@ -395,11 +429,23 @@ def near_dup_against_index(
     Batch-internal duplicates are out of scope — run
     :func:`minhash_near_dup` on the batch itself for those.
 
+    ``precomputed_sig`` (from :func:`sign_for_index`) skips the
+    signing pass — the per-batch ingest loop signs once and shares
+    the frame with :func:`minhash_index_append`. Without it the
+    signature is materialized via an eager ``localCheckpoint`` whose
+    blocks are GC-reclaimed with the frame — NOT ``cache()``, which
+    would accumulate CacheManager entries across the long-lived
+    per-batch probe loop this function is the hot path of.
+
     Returns (new_id, corpus_id, est_jaccard)."""
     num_hashes, bands, shingle_n = _load_minhash_meta(spark, path)
-    new_sig = minhash_signature(
-        new_docs, text_col, id_col, num_hashes, shingle_n
-    ).cache()
+    new_sig = (
+        precomputed_sig
+        if precomputed_sig is not None
+        else minhash_signature(
+            new_docs, text_col, id_col, num_hashes, shingle_n
+        ).localCheckpoint(eager=True)
+    )
     new_bands = _banded_keys(new_sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("new_id"), "band_idx", "band_hash"
     )

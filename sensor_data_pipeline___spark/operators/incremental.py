@@ -163,6 +163,11 @@ def run_pipeline(
     touched days is safe (an untouched day in the list is rewritten
     byte-identically and its gold recomputed to the same values);
     days with no valid rows cost one redundant partition rewrite.
+    A SUBSET is safe too, but lossy for the increment: the parse is
+    restricted to the listed days, so out-of-list increment rows are
+    IGNORED this run (their days' existing partitions are untouched
+    — never overwritten with increment-only rows) and must be
+    re-presented with their day listed to land.
 
     ``want_counts=False`` (increment path only) skips the final
     silver-row count — one whole Spark action per trigger that exists
@@ -179,6 +184,17 @@ def run_pipeline(
     new_silver = bronze_to_silver(bronze)
     if affected_days is not None:
         days = affected_days
+        # CONTRACT GUARD: the merged frame is written with dynamic
+        # partition overwrite, so any increment row whose day is NOT
+        # in the caller's list would otherwise land in `merged` and
+        # OVERWRITE that day's partition with increment-only rows —
+        # silently deleting the day's existing silver. Restricting the
+        # parse to the listed days makes a subset list non-destructive:
+        # out-of-list increment rows are IGNORED this run (their days'
+        # partitions untouched), and a superset list stays exactly as
+        # documented. Callers that can't guarantee a superset should
+        # pass affected_days=None and pay the distinct scan.
+        new_silver = new_silver.filter(F.col("reading_date").isin(days))
     else:
         days = [
             r["reading_date"]

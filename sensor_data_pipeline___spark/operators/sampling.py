@@ -49,8 +49,12 @@ def hash_split(
     ``id_col`` and ``salt``. Changing the salt re-deals every row;
     growing the corpus never moves an existing row."""
     b = hash_bucket(F.col(id_col), salt)
-    t_hi = int(train * BUCKETS)
-    v_hi = t_hi + int(val * BUCKETS)
+    # round, not truncate: fractions that are inexact in binary (0.29
+    # × 10000 = 2899.999…) would otherwise shift the boundary by one
+    # bucket vs the documented ``fraction × BUCKETS`` cutoff — and vs
+    # any cross-engine oracle that computes the threshold exactly
+    t_hi = int(round(train * BUCKETS))
+    v_hi = t_hi + int(round(val * BUCKETS))
     return df.withColumn(
         "split",
         F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test"),
@@ -94,7 +98,9 @@ def hash_stratified_sample(
     keep = None
     for stratum, frac in sorted(fractions.items()):
         cond = (F.col(strata_col) == F.lit(stratum)) & (
-            b < int(frac * BUCKETS)
+            # round, not truncate — see hash_split (0.29 → 2900, not
+            # int(2899.999…) = 2899)
+            b < int(round(frac * BUCKETS))
         )
         keep = cond if keep is None else (keep | cond)
     return df.filter(keep if keep is not None else F.lit(False))

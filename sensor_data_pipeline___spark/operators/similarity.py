@@ -728,13 +728,18 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     vecs = spark.read.parquet(path + "/vectors").withColumn(
         "_file", F.input_file_name()
     )
+    # ncells is the TRAINED cell count from the centroids table, not
+    # the populated-cell count: once append drift empties a cell (or
+    # training produced empty cells), counting populated cells would
+    # understate every balance figure vs the documented share × ncells
+    # semantics — exactly when the retrain signal matters most. The
+    # centroids table is ncells rows — a bounded driver scalar.
+    ncells = spark.read.parquet(path + "/centroids").count()
     per_cell = vecs.groupBy("cell").agg(
         F.count("*").alias("n_vectors"),
         F.countDistinct("_file").alias("n_files"),
     )
-    total = per_cell.agg(
-        F.sum("n_vectors").alias("_tot"), F.count("*").alias("_ncells")
-    )
+    total = per_cell.agg(F.sum("n_vectors").alias("_tot"))
     return (
         per_cell.crossJoin(F.broadcast(total))
         .select(
@@ -743,7 +748,7 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
             "n_files",
             F.round(F.col("n_vectors") / F.col("_tot"), 6).alias("share"),
             F.round(
-                F.col("n_vectors") * F.col("_ncells") / F.col("_tot"), 4
+                F.col("n_vectors") * F.lit(ncells) / F.col("_tot"), 4
             ).alias("balance"),
         )
         .orderBy("cell")

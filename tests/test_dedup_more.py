@@ -179,3 +179,66 @@ def test_minhash_index_append_replay_is_effectively_once(spark, tmp_path):
     exact = [r for r in hits if r.est_jaccard == 1.0
              and r.corpus_id == r.new_id - 30_000_000]
     assert len(exact) == 2
+
+
+def test_sign_for_index_precomputed_sig_matches_and_feeds_append(spark, tmp_path):
+    """ADVICE r7: the per-batch ingest loop signs ONCE via
+    sign_for_index and hands the frame to both the probe and the
+    append. (1) probe with precomputed_sig ≡ probe that signs
+    internally; (2) append with the filtered signature frame produces
+    a store equal to one built by a self-signing append; (3) the
+    internal materialization is a localCheckpoint, not a lingering
+    cache entry (no CacheManager accumulation in the hot loop)."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    copies = (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .orderBy("doc_id")
+        .limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(copies)
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    dedup.save_minhash_index(corpus, p1)
+    dedup.save_minhash_index(corpus, p2)
+
+    spark.catalog.clearCache()
+    sig = dedup.sign_for_index(spark, p1, batch)
+    with_pre = {
+        (r.new_id, r.corpus_id, round(r.est_jaccard, 6))
+        for r in dedup.near_dup_against_index(
+            spark, p1, batch, precomputed_sig=sig
+        ).collect()
+    }
+    self_signed = {
+        (r.new_id, r.corpus_id, round(r.est_jaccard, 6))
+        for r in dedup.near_dup_against_index(spark, p2, batch).collect()
+    }
+    assert with_pre == self_signed and len(with_pre) >= 5
+    # neither path registered a plan-cache entry (localCheckpoint
+    # blocks are GC-reclaimed with the frame; a cache() entry would
+    # pin in the CacheManager until explicit unpersist — the leak)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    # drop the duplicate-of-corpus docs, append survivors both ways
+    dup_ids = {a for a, _, j in with_pre if j >= 0.8}
+    surv_sig = sig.filter(~F.col("doc_id").isin(list(dup_ids)))
+    surv = batch.filter(~F.col("doc_id").isin(list(dup_ids)))
+    dedup.minhash_index_append(
+        spark, p1, surv, ingest_key="b1", precomputed_sig=surv_sig
+    )
+    dedup.minhash_index_append(spark, p2, surv, ingest_key="b1")
+    for sub in ("/signatures", "/bands"):
+        a = sorted(
+            map(tuple, spark.read.parquet(p1 + sub).collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(p2 + sub).collect())
+        )
+        assert a == b

@@ -462,3 +462,60 @@ def test_increment_fast_path_empty_gold_write_is_noop(spark, tmp_path):
     assert gold1[0]["calculated_at"] == gold0[0]["calculated_at"]
     # the silver row DID land
     assert wh2.read(SILVER).count() == 3
+
+
+def test_increment_fast_path_subset_days_never_deletes(spark, tmp_path):
+    """ADVICE r7 (medium): an affected_days list that is a SUBSET of
+    the increment's actual reading dates must never destroy data. The
+    unlisted day's existing silver partition used to be overwritten
+    with increment-only rows (the parse emitted them into the merged
+    frame); the contract guard now restricts the parse to the listed
+    days, so the unlisted day's partition is untouched and only the
+    listed day's rows land."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))
+    # seed day 1 (2022-04-14) with two rows via the classic path
+    b0, _ = ingest.ingest_batch(
+        spark, ["1649941817 Voltage 1.34", "1649941818 Current 12.0"]
+    )
+    wh2.append(BRONZE, b0)
+    incremental.run_pipeline(wh2)
+    day1 = datetime.date(2022, 4, 14)
+    before = sorted(
+        (r["raw_id"], r["metric_name"])
+        for r in wh2.read(SILVER)
+        .filter(F.col("reading_date") == F.lit(day1))
+        .collect()
+    )
+    assert len(before) == 2
+
+    # increment touches day 1 AND day 2, but the caller only lists
+    # day 2 — the day-1 increment row must be IGNORED, not merged, and
+    # day 1's existing partition must survive byte-identically
+    b1, _ = ingest.ingest_batch(
+        spark,
+        ["1650028219 Voltage 3.00", "1650028220 Current 14.0",
+         "1649941819 Voltage 9.99"],
+    )
+    b1 = b1.withColumn("id", F.col("id") + wh2.max_id(BRONZE))
+    wh2.append(BRONZE, b1)
+    incremental.run_pipeline(
+        wh2, increment=b1,
+        affected_days=[datetime.date(2022, 4, 15)],
+        want_counts=False,
+    )
+    silver = wh2.read(SILVER)
+    after = sorted(
+        (r["raw_id"], r["metric_name"])
+        for r in silver.filter(
+            F.col("reading_date") == F.lit(day1)
+        ).collect()
+    )
+    assert after == before  # day 1 untouched — no deletion, no 9.99 row
+    day2 = silver.filter(
+        F.col("reading_date") == F.lit(datetime.date(2022, 4, 15))
+    )
+    assert day2.count() == 2  # listed day landed normally

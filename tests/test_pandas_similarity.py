@@ -600,3 +600,31 @@ def test_ivf_index_append_replay_is_effectively_once(spark, tmp_path):
     q = emb.filter(F.col("vec_id") < 3)
     got = sim.ivf_topk_indexed(spark, p, q, k=5, nprobe=8)
     assert got.count() == 15  # 3 queries x k, no duplicate candidates
+
+
+def test_ivf_index_stats_balance_uses_trained_ncells(spark, tmp_path):
+    """ADVICE r7: balance must be share × TRAINED ncells (centroids
+    table), not share × populated-cell count — with empty cells the
+    two diverge exactly when the retrain signal matters. Drift is
+    simulated by emptying one cell's partition (all its members
+    superseded); the remaining cells' balance must still read
+    share × trained-ncells."""
+    import shutil
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    p = str(tmp_path / "ivf")
+    sim.save_ivf_index(emb, p, ncells=8, iters=1)
+    ncells_trained = spark.read.parquet(p + "/centroids").count()
+    assert ncells_trained == 8
+    victim = spark.read.parquet(p + "/vectors").select("cell").first()[0]
+    shutil.rmtree(str(tmp_path / "ivf" / "vectors" / f"cell={victim}"))
+
+    stats = sim.ivf_index_stats(spark, p).collect()
+    assert len(stats) < ncells_trained  # the drift scenario is real
+    for r in stats:
+        assert r["balance"] == pytest.approx(
+            r["share"] * ncells_trained, abs=1e-3
+        )

@@ -168,3 +168,29 @@ def test_hash_stratified_sample_nests_and_is_layout_invariant(spark):
     # rate ≈ fraction (md5 is uniform; 193 en docs at sf0.001)
     n_en = docs.filter(F.col("lang") == "en").count()
     assert abs(len(b_ids) / n_en - 0.6) < 0.15
+
+
+def test_thresholds_round_not_truncate(spark):
+    """Pin the ADVICE r7 fix: binary-inexact fractions (0.29 × 10000 =
+    2899.999…) must round to the documented ``fraction × BUCKETS``
+    cutoff, not truncate one bucket short — a cross-engine oracle
+    computing the threshold exactly (2900) would otherwise mismatch on
+    any id hashing to the boundary bucket."""
+    df = spark.range(5000).withColumn("s", F.lit("en"))
+
+    kept = sampling.hash_stratified_sample(df, "s", {"en": 0.29}, "id")
+    exact = df.filter(
+        sampling.hash_bucket(F.col("id"), "strat-v1") < 2900
+    )
+    assert {r.id for r in kept.collect()} == {r.id for r in exact.collect()}
+
+    # hash_split: train=0.7 → boundary exactly 7000 (0.7×10000 is
+    # 6999.999… in binary), val=0.1 → 7000+1000
+    split = sampling.hash_split(df, "id", train=0.7, val=0.1)
+    b = sampling.hash_bucket(F.col("id"), "split-v1")
+    ref = df.withColumn(
+        "want",
+        F.when(b < 7000, "train").when(b < 8000, "val").otherwise("test"),
+    )
+    joined = split.join(ref.select("id", "want"), "id")
+    assert joined.filter(F.col("split") != F.col("want")).count() == 0
