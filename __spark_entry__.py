@@ -33,22 +33,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, so ordering is part of the contract. Rows-only (no-oracle)
 # entries ride the local replica harness
 # (tests/test_queries_oracle.py) instead of spending gate slots.
-# Round-7 rotation (VERDICT r6 directive #1): the gate window keeps
-# the 11-entry veteran spine (reference-parity core that never
-# rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the SIX never-gated
-# entries per GATE_LEDGER.md — zorder_curve_stats (the one r6 orphan,
-# registered after the r6 gate ran) and the two new exact-mode ANN
-# twins (ann_topk_ivf_exact / ann_topk_lsh_exact, VERDICT r6
-# directive #3) plus hash_stratified_counts,
-# segment_frequency_stats, and user_event_sequences (the round's new
-# deterministic sampling / boilerplate-census / training-sequence
-# queries) — and fills the remaining 33 slots with the STALEST
-# previously-gated entries (last gated r2-r4: the window/fingerprint/
-# lang families from r2, the profiling and TPC-H q13-q21 families
-# from r4), refreshing their driver coverage. The ledger invariant
-# ("every oracle-backed entry gated at least once") is auditable in
-# GATE_LEDGER.md, regenerated per round by
+# Round-8 rotation (standing policy from VERDICT r6 directive #1,
+# refreshed per VERDICT r7 directive #2): the window keeps the
+# 11-entry veteran spine (reference-parity core that never rotates,
+# the TPC-H flagship, the corpus composite, dedup_exact, the
+# session_window_batch watch item), adds the THREE never-gated
+# entries per GATE_LEDGER.md — the two persisted-index exact-mode
+# twins (near_dup_probe_exact / hard_negative_mining_indexed_exact,
+# VERDICT r7 directive #1) and the reassembled-boilerplate-removal
+# whole-output query (segment_dedup_text, directive #3) — and fills
+# the remaining 36 slots with the STALEST previously-gated entries:
+# all 12 last gated in r4 (TPC-H q2-q9/q19/q21, set ops, trigram)
+# plus the first 24 (name order) of the r5-last cohort (as-of/range/
+# PIT joins, gap-fill, sketches, sessionization, profiling). The
+# ledger invariant ("every oracle-backed entry gated at least once")
+# is auditable in GATE_LEDGER.md, regenerated per round by
 # scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
 # local replica harness and scripts/verify_driver.py's full-surface
 # sf0.01 sweep.
@@ -66,50 +65,49 @@ _PRIORITY = (
     "corpus_pipeline_stats",
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
-    # --- never-gated (GATE_LEDGER.md): the r6 orphan + the two
-    # exact-mode ANN twins registered this round ---
-    "zorder_curve_stats",
-    "ann_topk_ivf_exact",
-    "ann_topk_lsh_exact",
-    "hash_stratified_counts",
-    "segment_frequency_stats",
-    "user_event_sequences",
-    # --- stalest refresh: last gated r2 ---
-    "anti_join_inactive_customers",
-    "cube_orders",
-    "dedup_token_set",
-    "distinct_agg_suppliers",
-    "embedding_near_dup",
-    "fingerprint_md5",
-    "hourly_tumbling_window",
-    "lag_daily_power_delta",
-    "lang_distribution",
-    "lang_id_heuristic",
-    "percentile_prices",
-    "semi_join_active_customers",
-    "string_functions_parts",
-    "text_quality",
-    "token_counts",
-    "window_running_total",
-    "winnowing_fingerprint",
-    # --- last gated r3 ---
-    "distinct_projection",
-    "in_list_filter",
-    "iso_multiformat_parse",
-    # --- last gated r4 ---
-    "benford_first_digit",
-    "column_profile_orders",
-    "content_pattern_profile",
-    "dedup_exact_stats",
-    "interarrival_histogram",
-    "inverted_index_sample",
-    "ntile_deciles",
-    "psi_value_drift",
-    "q13_customer_distribution",
-    "q14_brand_revenue_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
+    # --- never-gated (GATE_LEDGER.md): the r7 flagship index ops'
+    # exact-mode twins + the reassembly whole-output oracle ---
+    "near_dup_probe_exact",
+    "hard_negative_mining_indexed_exact",
+    "segment_dedup_text",
+    # --- stalest refresh: last gated r4 ---
+    "q19_discounted_revenue",
+    "q21_sole_supplier_failed_orders",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q6_revenue_change",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_profit",
+    "set_except_all_customers",
+    "set_intersect_all_customers",
+    "trigram_repetition",
+    # --- stalest refresh: last gated r5 (first 23 by name) ---
+    "asof_last_purchase",
+    "asof_next_click",
+    "bloom_semi_join_lineitem",
+    "cohort_retention",
+    "connected_components_fuzzy",
+    "deterministic_stratified_sample",
+    "equi_depth_histogram",
+    "ewma_daily_value",
+    "fuzzy_name_pairs",
+    "gapfill_forward_fill",
+    "gapfill_linear_interp",
+    "hll_distinct_rollup",
+    "m4_downsample",
+    "mad_outliers",
+    "multimodal_binary_meta",
+    "pack_sequences",
+    "pit_join_click_version",
+    "pivot_daily_avg",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q22_idle_rich_customers",
+    "q5_region_revenue",
+    "range_join_purchase_clicks",
+    "redaction_stats",
 )
 
 

@@ -5962,3 +5962,182 @@ def q_zorder_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hr").cast("int").alias("max_hour"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index exact-mode twins (VERDICT r7 directive #1): the two
+# flagship index lifecycles — minhash dedup probe and IVF mining — each
+# driven through the REAL on-disk store (built to a fresh tmp dir inside
+# the query, the only way a (spark, sf_dir) callable can carry state)
+# at settings where the approximate machinery provably reduces to an
+# exact, engine-independent answer, so the brute-force SQL twin is a
+# valid hash oracle. The production approximate settings stay under
+# recall contracts in tests — the same graduation pattern that made
+# ann_topk_{ivf,lsh}_exact hash-verifiable in r7.
+# ---------------------------------------------------------------------------
+
+_CROSS_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    for i in generate_series(1, len(t)-2)]) AS s
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+           round(len(list_intersect(b.s, c.s))::DOUBLE
+                 / len(list_distinct(b.s || c.s)), 6) AS jaccard
+    FROM sh b JOIN sh c ON b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+    WHERE round(len(list_intersect(b.s, c.s))::DOUBLE
+                / len(list_distinct(b.s || c.s)), 6) >= 0.8
+    """
+
+
+@_register(
+    "near_dup_probe_exact",
+    # The persisted-minhash-index ingest probe (operators/dedup.py:
+    # save_minhash_index / near_dup_against_index) in exact-recall
+    # mode: 64 bands of 1 row each means a cross pair is a candidate
+    # iff the signatures agree in >= 1 of 64 positions — miss
+    # probability (1-J)^64 <= 2e-45 at J >= 0.8, zero missed
+    # candidates on this corpus (asserted by the exact twin itself).
+    # Candidates are then verified with EXACT n-gram Jaccard
+    # (ngram_jaccard_pairs), which is engine-independent — so the
+    # DuckDB brute cross-batch Jaccard join is a valid hash oracle for
+    # the ENTIRE index lifecycle: store write (signatures + bands +
+    # meta), stored-geometry batch signing, broadcast band probe,
+    # bucket-guard arithmetic, and the verification joins. Production
+    # geometry (8x8 bands, bucket cap 200) keeps its probabilistic
+    # recall contract in tests/test_dedup_more.py.
+    _CROSS_JACCARD_ORACLE,
+)
+def q_near_dup_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sensor_data_pipeline___spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    path = tempfile.mkdtemp(prefix="mh_probe_exact_")
+    dedup.save_minhash_index(
+        corpus, path, num_hashes=64, bands=64, shingle_n=3
+    )
+    cand = dedup.near_dup_against_index(
+        spark, path, batch, jaccard_threshold=0.0, max_bucket=1_000_000_000
+    )
+    pairs = cand.select(
+        F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+    )
+    exact = dedup.ngram_jaccard_pairs(docs, pairs, shingle_n=3)
+    return exact.select(
+        F.col("doc_a").alias("new_id"),
+        F.col("doc_b").alias("corpus_id"),
+        F.round("jaccard", 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.8)
+
+
+@_register(
+    "hard_negative_mining_indexed_exact",
+    # The persisted-IVF-store miner (operators/similarity.py:
+    # save_ivf_index / hard_negatives_ivf_indexed) at nprobe == ncells
+    # on a full-precision store with the label persisted via
+    # extra_cols: every cell is probed, so the partition-pruned store
+    # scan + label read-from-footers + cell-search ranking must be
+    # bit-identical to brute-force mining — the same SQL twin as
+    # hard_negative_mining verifies the INDEXED path end-to-end
+    # (store build, centroid reload, probe collect, PartitionFilters
+    # scan, label-mismatch ranking). Approximate nprobe keeps its
+    # recall floor in tests/test_pandas_similarity.py.
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlabel,
+             list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, label AS clabel,
+             list_transform(embedding, x -> x::DOUBLE) AS ce
+      FROM embeddings
+    ), sims AS (
+      SELECT q.query_id, c.vec_id, c.clabel AS negative_label,
+             round(list_dot_product(qe, ce) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                   6) AS cosine
+      FROM q CROSS JOIN c
+      WHERE q.query_id <> c.vec_id AND q.qlabel <> c.clabel
+    )
+    SELECT query_id, vec_id, negative_label, cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def q_hard_negative_mining_indexed_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from sensor_data_pipeline___spark.operators.similarity import (
+        hard_negatives_ivf_indexed,
+        save_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_mine_exact_")
+    save_ivf_index(emb, path, ncells=8, iters=1, extra_cols=("label",))
+    anchors = emb.filter(F.col("vec_id") < 8)
+    return hard_negatives_ivf_indexed(spark, path, anchors, k=5, nprobe=8)
+
+
+@_register(
+    "segment_dedup_text",
+    # The TRANSFORM half of the C4/RefinedWeb boilerplate recipe
+    # (operators/text.py:drop_repeated_segments), whole-output
+    # verified (VERDICT r7 directive #3): every segment occurring
+    # globally more than once is dropped and each document reassembled
+    # from its survivors in order — the oracle hashes the REASSEMBLED
+    # text (md5, keeping gate rows narrow — the user_event_sequences
+    # whole-output pattern), so segmentation, global census,
+    # keep/drop flags, in-order reassembly, and the empty-doc filter
+    # are all on the hash-verified path. Segmentation is pinned
+    # engine-identical by segment_frequency_stats (the measurement
+    # half); reassembly here is string_agg ORDER BY seg_idx ==
+    # sort_array(collect_list(struct(seg_idx, segment))).
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), segs AS (
+      SELECT doc_id, g.i AS seg_idx,
+             array_to_string(list_slice(toks, g.i*10+1, g.i*10+10), ' ')
+               AS segment
+      FROM base, unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS g(i)
+    ), freq AS (
+      SELECT segment, count(*) AS n FROM segs GROUP BY segment
+    ), flagged AS (
+      SELECT s.doc_id, s.seg_idx, s.segment, f.n <= 1 AS keep
+      FROM segs s JOIN freq f USING (segment)
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(segment, ' ' ORDER BY seg_idx)
+               FILTER (WHERE keep) AS new_text,
+             CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+               AS n_dropped_segments
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT doc_id, md5(new_text) AS text_md5, n_dropped_segments
+    FROM rebuilt WHERE new_text IS NOT NULL AND len(new_text) > 0
+    """,
+)
+def q_segment_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = T.drop_repeated_segments(docs, seg_tokens=10, max_repeat=1)
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_dropped_segments",
+    )
