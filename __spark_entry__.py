@@ -37,14 +37,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # refreshed per VERDICT r7 directive #2): the window keeps the
 # 11-entry veteran spine (reference-parity core that never rotates,
 # the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the THREE never-gated
+# session_window_batch watch item), adds the FIVE never-gated
 # entries per GATE_LEDGER.md — the two persisted-index exact-mode
 # twins (near_dup_probe_exact / hard_negative_mining_indexed_exact,
-# VERDICT r7 directive #1) and the reassembled-boilerplate-removal
-# whole-output query (segment_dedup_text, directive #3) — and fills
+# VERDICT r7 directive #1), the reassembled-boilerplate-removal
+# whole-output query (segment_dedup_text, directive #3), and the two
+# invariant-oracle graduations (lsh_bucket_invariants /
+# minhash_band_invariants, directive #8) — and fills
 # the remaining 36 slots with the STALEST previously-gated entries:
 # all 12 last gated in r4 (TPC-H q2-q9/q19/q21, set ops, trigram)
-# plus the first 24 (name order) of the r5-last cohort (as-of/range/
+# plus the first 22 (name order) of the r5-last cohort (as-of/range/
 # PIT joins, gap-fill, sketches, sessionization, profiling). The
 # ledger invariant ("every oracle-backed entry gated at least once")
 # is auditable in GATE_LEDGER.md, regenerated per round by
@@ -106,8 +108,10 @@ _PRIORITY = (
     "q12_shipmode_priority",
     "q22_idle_rich_customers",
     "q5_region_revenue",
-    "range_join_purchase_clicks",
-    "redaction_stats",
+    # --- never-gated: the r8 invariant-oracle graduations (directive
+    # #8) — registered this round, gated this round ---
+    "lsh_bucket_invariants",
+    "minhash_band_invariants",
 )
 
 

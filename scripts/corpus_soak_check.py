@@ -14,10 +14,23 @@ growth.
 
 One JSON line to stdout.
 
+``--mode neardup`` (VERDICT r7 directive #4) runs
+``corpus_ingest_stream_neardup`` instead: the same harness with
+PLANTED STRADDLING NEAR-DUPS — in every odd-indexed file, ids with
+``id % 20 == 7`` carry the token stream of ``id - docs_per_file``
+(an even-file, unplanted doc) with the last token tweaked (shingle
+Jaccard ≈ 0.93) — and a cold-start minhash index composed in. After
+the soak it ASSERTS the directive's two invariants: the clean store
+contains no near-dup pairs at the 0.8 threshold (one of each planted
+pair survives, whichever batch arrived first), and the incremental
+index equals a from-scratch ``save_minhash_index`` build over exactly
+the admitted corpus (signatures and band keys, compared
+distributively via exceptAll).
+
 Usage::
 
     python scripts/corpus_soak_check.py [--docs-per-file 10000] \
-        [--n-files 80]
+        [--n-files 80] [--mode exact|neardup]
 """
 
 from __future__ import annotations
@@ -34,6 +47,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs-per-file", type=int, default=10_000)
     ap.add_argument("--n-files", type=int, default=80)
+    ap.add_argument("--mode", choices=("exact", "neardup"), default="exact")
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -51,30 +65,94 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         drop = os.path.join(td, "drop")
         total = args.docs_per_file * args.n_files
-        (
-            spark.range(total)
-            .select(
-                F.col("id").alias("doc_id"),
+        dpf = args.docs_per_file
+        if args.mode == "neardup":
+            # distinct-vocabulary docs (near-dup detection needs real
+            # shingle structure, unlike the exact mode's shared-token
+            # text): 30 tokens hash-derived from a BASE id. Planted
+            # near-dups: odd-file ids with id % 20 == 7 reuse the
+            # token stream of id - dpf (an even-file id, never itself
+            # planted — no chains) with the tail token tweaked.
+            planted = (F.floor(F.col("id") / dpf) % 2 == 1) & (
+                F.col("id") % 20 == 7
+            )
+            base = F.when(planted, F.col("id") - dpf).otherwise(F.col("id"))
+            toks = F.transform(
+                F.sequence(F.lit(0), F.lit(28)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(base, i), F.lit(50_000)).cast("string"),
+                ),
+            )
+            tail = F.when(
+                planted, F.concat(F.lit("tweak"), F.col("id").cast("string"))
+            ).otherwise(
                 F.concat(
-                    F.lit(" ".join(f"tok{i}" for i in range(29)) + " uid"),
-                    F.col("id").cast("string"),
-                ).alias("text"),
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(base, F.lit(29)), F.lit(50_000)).cast(
+                        "string"
+                    ),
+                )
+            )
+            text = F.concat_ws(" ", F.concat(toks, F.array(tail)))
+            gen = spark.range(total).select(
+                F.col("id").alias("doc_id"),
+                text.alias("text"),
+                planted.alias("planted"),
                 F.lit("en").alias("lang"),
                 F.lit("bench").alias("source"),
                 F.timestamp_seconds(
                     F.lit(1_700_000_000) + F.col("id") % 3600
                 ).alias("fetched_at"),
             )
-            .repartition(args.n_files)
-            .write.json(drop)
-        )
-        q = sp.corpus_ingest_stream(
-            spark,
-            drop,
-            os.path.join(td, "out"),
-            os.path.join(td, "ckpt"),
-            max_files_per_trigger=1,
-        )
+            n_planted = gen.filter("planted").count()
+            # one FILE per id-contiguous slab so "odd file" really
+            # straddles micro-batches (repartition would scramble)
+            gen.withColumn(
+                "f", F.floor(F.col("doc_id") / dpf).cast("int")
+            ).drop("planted").repartitionByRange(
+                args.n_files, "f"
+            ).drop("f").write.json(drop)
+        else:
+            (
+                spark.range(total)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.concat(
+                        F.lit(" ".join(f"tok{i}" for i in range(29)) + " uid"),
+                        F.col("id").cast("string"),
+                    ).alias("text"),
+                    F.lit("en").alias("lang"),
+                    F.lit("bench").alias("source"),
+                    F.timestamp_seconds(
+                        F.lit(1_700_000_000) + F.col("id") % 3600
+                    ).alias("fetched_at"),
+                )
+                .repartition(args.n_files)
+                .write.json(drop)
+            )
+        if args.mode == "neardup":
+            from sensor_data_pipeline___spark.operators import dedup
+
+            idx = os.path.join(td, "mh_index")
+            seed = spark.createDataFrame([], "doc_id long, text string")
+            dedup.save_minhash_index(seed, idx)  # cold start
+            q = sp.corpus_ingest_stream_neardup(
+                spark,
+                drop,
+                os.path.join(td, "out"),
+                os.path.join(td, "ckpt"),
+                idx,
+                max_files_per_trigger=1,
+            )
+        else:
+            q = sp.corpus_ingest_stream(
+                spark,
+                drop,
+                os.path.join(td, "out"),
+                os.path.join(td, "ckpt"),
+                max_files_per_trigger=1,
+            )
         q.awaitTermination(1800)
         done = sorted(
             (
@@ -93,6 +171,45 @@ def main() -> None:
         out_rows = (
             spark.read.parquet(os.path.join(td, "out")).count()
         )
+        extra = {}
+        if args.mode == "neardup":
+            from sensor_data_pipeline___spark.operators import dedup
+
+            store = spark.read.parquet(os.path.join(td, "out")).select(
+                "doc_id", "text"
+            )
+            # THE hard invariant: the clean store contains no near-dup
+            # pair detectable at the index's own geometry — whatever
+            # the ingest probe could see, it dropped. (A planted pair
+            # the 8x8 banding misses at ingest is missed identically
+            # by this store-wide pass — same content-deterministic
+            # signatures — so detector-consistency, not raw plant
+            # count, is the invariant.)
+            residual = dedup.minhash_near_dup(store).count()
+            assert residual == 0, f"{residual} near-dup pairs in clean store"
+            # recall bound: 8 bands x 8 rows at the plants' J ~ 0.93
+            # has per-pair miss probability (1 - 0.93^8)^8 ~ 0.14%, so
+            # ~5-6 of 4000 plants legitimately slip through; anything
+            # beyond 1% signals a probe bug, not LSH variance.
+            n_missed = out_rows - (total - n_planted)
+            assert 0 <= n_missed <= max(1, n_planted // 100), (
+                out_rows, total, n_planted, n_missed
+            )
+            scratch = os.path.join(td, "mh_scratch")
+            dedup.save_minhash_index(store, scratch)
+            for sub in ("/signatures", "/bands"):
+                inc = spark.read.parquet(idx + sub).drop("ingest_key")
+                fs = spark.read.parquet(scratch + sub).drop("ingest_key")
+                d1 = inc.exceptAll(fs).count()
+                d2 = fs.exceptAll(inc).count()
+                assert d1 == 0 and d2 == 0, (sub, d1, d2)
+            extra = {
+                "mode": "neardup",
+                "n_planted_neardups": n_planted,
+                "n_lsh_recall_misses": n_missed,
+                "store_has_no_neardups": True,
+                "index_equals_scratch_build": True,
+            }
         print(
             json.dumps(
                 {
@@ -111,6 +228,7 @@ def main() -> None:
                         p50(exec_ms[2 * third :]), 1
                     ),
                     "batch_ms_max": max(exec_ms),
+                    **extra,
                 }
             )
         )

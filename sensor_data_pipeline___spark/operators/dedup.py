@@ -127,9 +127,16 @@ def minhash_near_dup(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     max_bucket: int = 200,
+    precomputed_sig: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH over minhash signatures,
     verified by estimated Jaccard (signature agreement rate).
+
+    ``precomputed_sig`` reuses an existing (id, signature) frame
+    (e.g. :func:`sign_for_index`'s per-batch checkpoint in the ingest
+    loop, which needs BOTH the cross-index probe and this
+    batch-internal pass from one signing) — it must have been signed
+    with the same ``num_hashes``/``shingle_n``.
 
     Band geometry: with b bands of r rows the candidate threshold is
     ≈ (1/b)^(1/r); the default 8×8 targets J≈0.8 — a pair at the
@@ -150,7 +157,13 @@ def minhash_near_dup(
     # the signature feeds three plan branches (banding + both sides of
     # the verification join) — cache it rather than recompute; ~0.5 KB
     # per doc, LRU-evicted (at 100 TB this is a materialized table)
-    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n).cache()
+    sig = (
+        precomputed_sig
+        if precomputed_sig is not None
+        else minhash_signature(
+            docs, text_col, id_col, num_hashes, shingle_n
+        ).cache()
+    )
     # static per-band expressions (python loop, not a higher-order
     # function): stays in whole-stage codegen, and xxhash64 consumes the
     # signature slice directly — no per-band string materialization
@@ -240,7 +253,7 @@ def save_minhash_index(
         path + "/signatures"
     )
     _banded_keys(
-        docs.sparkSession.read.parquet(path + "/signatures"),
+        _read_signatures(docs.sparkSession, path, id_col),
         id_col, num_hashes, bands, keep=("ingest_key",),
     ).write.mode("overwrite").partitionBy("band_idx", "ingest_key").parquet(
         path + "/bands"
@@ -283,6 +296,23 @@ def _banded_keys(
 def _load_minhash_meta(spark, path: str) -> tuple:
     r = spark.read.parquet(path + "/meta").first()
     return int(r["num_hashes"]), int(r["bands"]), int(r["shingle_n"])
+
+
+def _read_signatures(spark, path: str, id_col: str) -> DataFrame:
+    """Schema-explicit read of ``signatures/`` — an index saved from
+    an EMPTY seed corpus (the streaming cold start) has partition
+    dirs for no keys at all, and schema inference would fail where an
+    explicit schema correctly yields an empty frame."""
+    return spark.read.schema(
+        f"{id_col} long, signature array<bigint>, ingest_key string"
+    ).parquet(path + "/signatures")
+
+
+def _read_bands(spark, path: str, id_col: str) -> DataFrame:
+    """Schema-explicit read of ``bands/`` (see :func:`_read_signatures`)."""
+    return spark.read.schema(
+        f"{id_col} long, band_hash bigint, band_idx int, ingest_key string"
+    ).parquet(path + "/bands")
 
 
 def minhash_index_append(spark, path: str, new_docs: DataFrame,
@@ -413,10 +443,21 @@ def near_dup_against_index(
     jaccard_threshold: float = 0.8,
     max_bucket: int = 200,
     precomputed_sig: "DataFrame | None" = None,
+    exclude_ingest_key: "str | None" = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and a
     :func:`save_minhash_index` corpus — the incremental-ingest dedup
     check, costing O(batch signing + probe) instead of O(corpus).
+
+    ``exclude_ingest_key`` drops that key's partitions from the probed
+    store (partition-pruned — ingest_key is a partition column on both
+    subdirs). The at-least-once ingest loop passes its OWN batch key:
+    on a crash-replay AFTER the append landed, the store already holds
+    this batch's signatures, and probing against them would match
+    every batch doc to itself — wrongly rejecting the whole batch and
+    (under the batch-keyed store overwrite) DELETING its rows. With
+    the self-key excluded a replay probes exactly the store state the
+    first attempt saw.
 
     Semantics pinned to :func:`minhash_near_dup` over corpus ∪ batch,
     restricted to cross pairs (tests): the batch is signed with the
@@ -449,7 +490,16 @@ def near_dup_against_index(
     new_bands = _banded_keys(new_sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("new_id"), "band_idx", "band_hash"
     )
-    store = spark.read.parquet(path + "/bands").select(
+    bands_raw = _read_bands(spark, path, id_col)
+    sigs_raw = _read_signatures(spark, path, id_col)
+    if exclude_ingest_key is not None:
+        bands_raw = bands_raw.filter(
+            F.col("ingest_key") != exclude_ingest_key
+        )
+        sigs_raw = sigs_raw.filter(
+            F.col("ingest_key") != exclude_ingest_key
+        )
+    store = bands_raw.select(
         F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
     )
     # probe: stored members of the batch's buckets (broadcast the
@@ -477,7 +527,7 @@ def near_dup_against_index(
         .filter(F.col("new_id") != F.col("corpus_id"))
         .distinct()
     )
-    sig_store = spark.read.parquet(path + "/signatures").select(
+    sig_store = sigs_raw.select(
         F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_c")
     )
     verified = cand.join(

@@ -6141,3 +6141,81 @@ def q_segment_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         "n_dropped_segments",
     )
+
+
+@_register(
+    "lsh_bucket_invariants",
+    # Invariant-oracle twin of the rows-only lsh_bucket_histogram
+    # (VERDICT r7 directive #8): bucket MEMBERSHIP is engine-specific
+    # (hyperplane hashing), but bucketing is a PARTITION of the corpus
+    # — every vector lands in exactly one bucket — so the histogram's
+    # mass conservation is cross-engine checkable: the per-bucket
+    # counts must sum to the corpus size, with as many distinct
+    # vectors as rows. A dropped or double-bucketed vector anywhere in
+    # the hash → groupBy machinery breaks the hash match.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS total_vectors,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS distinct_vectors
+    FROM embeddings
+    """,
+)
+def q_lsh_bucket_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.similarity import lsh_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hist = (
+        lsh_bucket(emb, num_planes=8)
+        .groupBy("lsh_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.col("vec_id")).alias("nd"),
+        )
+    )
+    return hist.agg(
+        F.sum("n").alias("total_vectors"),
+        F.sum("nd").alias("distinct_vectors"),
+    )
+
+
+@_register(
+    "minhash_band_invariants",
+    # Invariant-oracle twin for the minhash banding stage (the pair
+    # source behind minhash_cluster_stats, VERDICT r7 directive #8):
+    # band HASHES are engine-specific, but the banded-keys relation is
+    # structurally determined — every doc with a non-empty shingle set
+    # emits EXACTLY ``bands`` (8) band rows. Sum, doc count, and the
+    # per-doc min/max band counts are all cross-engine checkable; a
+    # doc dropped by the signature groupBy, or a band duplicated or
+    # lost in the posexplode, breaks the hash match. (Docs with fewer
+    # than shingle_n tokens have no shingles and legitimately drop out
+    # — both engines exclude them.)
+    """
+    WITH eligible AS (
+      SELECT doc_id FROM documents
+      WHERE len(string_split_regex(text, '\\s+')) >= 3
+    )
+    SELECT CAST(count(*) * 8 AS BIGINT) AS n_band_rows,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(8 AS BIGINT) AS min_bands_per_doc,
+           CAST(8 AS BIGINT) AS max_bands_per_doc
+    FROM eligible
+    """,
+)
+def q_minhash_band_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        _banded_keys,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    banded = _banded_keys(
+        minhash_signature(docs, num_hashes=64, shingle_n=3),
+        "doc_id", 64, 8,
+    )
+    per_doc = banded.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    return per_doc.agg(
+        F.sum("nb").alias("n_band_rows"),
+        F.count("*").alias("n_docs"),
+        F.min("nb").alias("min_bands_per_doc"),
+        F.max("nb").alias("max_bands_per_doc"),
+    )

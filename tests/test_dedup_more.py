@@ -242,3 +242,26 @@ def test_sign_for_index_precomputed_sig_matches_and_feeds_append(spark, tmp_path
             map(tuple, spark.read.parquet(p2 + sub).collect())
         )
         assert a == b
+
+
+def test_minhash_index_cold_start_from_empty_seed(spark, tmp_path):
+    """The streaming cold start: save_minhash_index on an EMPTY frame
+    must produce a probeable, appendable store (schema-explicit store
+    reads — inference over an all-partition-pruned empty dataset would
+    fail). First probe finds nothing, append admits, second probe
+    finds the copy."""
+    from sensor_data_pipeline___spark.operators import dedup
+
+    path = str(tmp_path / "mh")
+    seed = spark.createDataFrame([], "doc_id long, text string")
+    dedup.save_minhash_index(seed, path)
+
+    text = " ".join(f"t{i}" for i in range(24))
+    b1 = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert dedup.near_dup_against_index(spark, path, b1).count() == 0
+    dedup.minhash_index_append(spark, path, b1, ingest_key="b0")
+    b2 = spark.createDataFrame([(2, text)], "doc_id long, text string")
+    hits = dedup.near_dup_against_index(spark, path, b2).collect()
+    assert [(r.new_id, r.corpus_id, r.est_jaccard) for r in hits] == [
+        (2, 1, 1.0)
+    ]
