@@ -62,6 +62,13 @@ BENCH_QUERIES = [
     "hll_distinct_rollup",
     "psi_value_drift",
     "m4_downsample",
+    # round-8 additions: the C4-style boilerplate-removal TRANSFORM
+    # (census + flag join + in-order reassembly — three O(segments)
+    # shuffles) and the composed Gopher quality filter (pure
+    # single-pass column expressions — the cheap end of the family,
+    # benched to keep it cheap)
+    "segment_dedup_text",
+    "gopher_filter_counts",
 ]
 
 

@@ -20,6 +20,8 @@ splitting plus the bucket-size cap below.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -263,6 +265,11 @@ def save_minhash_index(
         "num_hashes int, bands int, shingle_n int",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    ptr = os.path.join(path, "CURRENT")
+    if os.path.exists(ptr):
+        # a fresh save IS the new store: a stale pointer from an
+        # earlier compacted generation would otherwise shadow it
+        os.remove(ptr)
 
 
 def _banded_keys(
@@ -298,21 +305,36 @@ def _load_minhash_meta(spark, path: str) -> tuple:
     return int(r["num_hashes"]), int(r["bands"]), int(r["shingle_n"])
 
 
+def _mh_root(path: str) -> str:
+    """Resolve the CURRENT version of a minhash index store — same
+    pointer protocol as the IVF store's ``_store_root``: flat layout
+    from :func:`save_minhash_index` is the implicit v0; each
+    :func:`minhash_index_compact` writes a complete ``path/v<N>/`` and
+    atomically swaps ``path/CURRENT``. ``meta/`` (band geometry) is
+    version-invariant and stays at the top level."""
+    ptr = os.path.join(path, "CURRENT")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(path, f.read().strip())
+    return path
+
+
 def _read_signatures(spark, path: str, id_col: str) -> DataFrame:
-    """Schema-explicit read of ``signatures/`` — an index saved from
-    an EMPTY seed corpus (the streaming cold start) has partition
-    dirs for no keys at all, and schema inference would fail where an
-    explicit schema correctly yields an empty frame."""
+    """Schema-explicit read of ``signatures/`` at the CURRENT version —
+    an index saved from an EMPTY seed corpus (the streaming cold
+    start) has partition dirs for no keys at all, and schema inference
+    would fail where an explicit schema correctly yields an empty
+    frame."""
     return spark.read.schema(
         f"{id_col} long, signature array<bigint>, ingest_key string"
-    ).parquet(path + "/signatures")
+    ).parquet(_mh_root(path) + "/signatures")
 
 
 def _read_bands(spark, path: str, id_col: str) -> DataFrame:
     """Schema-explicit read of ``bands/`` (see :func:`_read_signatures`)."""
     return spark.read.schema(
         f"{id_col} long, band_hash bigint, band_idx int, ingest_key string"
-    ).parquet(path + "/bands")
+    ).parquet(_mh_root(path) + "/bands")
 
 
 def minhash_index_append(spark, path: str, new_docs: DataFrame,
@@ -355,6 +377,7 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame,
     if precomputed_sig is None:
         sig = sig.localCheckpoint(eager=True)
     mode = "overwrite" if ingest_key is not None else "append"
+    root = _mh_root(path)
     # pin dynamic partition overwrite for THESE writes (restore after):
     # under the static default an "overwrite" would wipe every other
     # batch's partitions, not just this key's own — the same guard as
@@ -364,12 +387,12 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame,
     spark.conf.set(conf, "dynamic")
     try:
         sig.write.mode(mode).partitionBy("ingest_key").parquet(
-            path + "/signatures"
+            root + "/signatures"
         )
         _banded_keys(
             sig, id_col, num_hashes, bands, keep=("ingest_key",)
         ).write.mode(mode).partitionBy("band_idx", "ingest_key").parquet(
-            path + "/bands"
+            root + "/bands"
         )
     finally:
         if prev is None:
@@ -390,7 +413,7 @@ def minhash_index_stats(
     accumulating (handle with exact dedup upstream) or the band
     geometry needs re-tuning. One narrow aggregate over the band
     table — the same maintenance cadence as ``ivf_index_stats``."""
-    bands = spark.read.parquet(path + "/bands")
+    bands = spark.read.parquet(_mh_root(path) + "/bands")
     per_bucket = bands.groupBy("band_idx", "band_hash").agg(
         F.count("*").alias("sz")
     )
@@ -409,6 +432,64 @@ def minhash_index_stats(
         )
         .orderBy("band_idx")
     )
+
+
+def minhash_index_compact(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    files_per_band: int = 1,
+) -> str:
+    """Fold an index's accumulated per-batch ``ingest_key`` partitions
+    into one compact generation — the small-files maintenance the
+    streaming ingest loop creates by design (every micro-batch appends
+    its own ``ingest_key=b<id>`` partition under every band: an
+    80-batch soak leaves ~650 partition dirs of tiny files, and probe
+    cost at scale is dominated by file-open/footer overhead long
+    before bytes).
+
+    Same versioned-root protocol as ``ivf_retrain``: the current
+    generation's signatures are rewritten under ``path/v<N>/`` with a
+    single ``ingest_key='base'``, band keys are REBUILT from the
+    compacted signatures (cheap — xxhash over signature slices, no
+    text), and the ``CURRENT`` pointer swaps atomically. Readers
+    resolve the pointer first; a crash before the swap leaves the old
+    generation serving; old generations are immutable until
+    maintenance deletes them.
+
+    QUIESCE ingest during compaction: a batch that replays its append
+    AFTER the swap would recreate its ``ingest_key`` partition in the
+    new generation while its rows are already folded into 'base' —
+    duplicate signatures. Run on the maintenance cadence between
+    triggers (the same contract as compacting any changelog sink).
+
+    Returns the new generation's root path."""
+    num_hashes, bands, _ = _load_minhash_meta(spark, path)
+    root = _mh_root(path)
+    sig = (
+        _read_signatures(spark, path, id_col)
+        .drop("ingest_key")
+        .withColumn("ingest_key", F.lit("base"))
+    )
+    cur = os.path.basename(root)
+    n = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
+    new_root = os.path.join(path, f"v{n}")
+    sig.coalesce(files_per_band).write.mode("overwrite").partitionBy(
+        "ingest_key"
+    ).parquet(new_root + "/signatures")
+    compacted = spark.read.schema(
+        f"{id_col} long, signature array<bigint>, ingest_key string"
+    ).parquet(new_root + "/signatures")
+    _banded_keys(
+        compacted, id_col, num_hashes, bands, keep=("ingest_key",)
+    ).coalesce(files_per_band).write.mode("overwrite").partitionBy(
+        "band_idx", "ingest_key"
+    ).parquet(new_root + "/bands")
+    tmp = os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{n}")
+    os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic swap
+    return new_root
 
 
 def sign_for_index(

@@ -197,3 +197,106 @@ def user_event_sequences(
             ).cast("long").alias("n_truncated"),
         )
     )
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    n_shards: int,
+    text_col: str = "text",
+    meta_cols: "tuple[str, ...]" = (),
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Materialize the shuffled corpus as WebDataset-style tar shards
+    (``shard-%05d.tar``, one ``{key}.txt`` member per document plus an
+    optional ``{key}.json`` of metadata columns) — the sequential-read
+    artifact multimodal/image-text trainers stream with the public
+    webdataset loader convention (Aizman et al.; tarfile is stdlib, no
+    extra dependency).
+
+    Determinism is the contract, twice over: row order inside each tar
+    is the content-keyed :func:`shard_assign` stream order (layout-
+    and rerun-invariant), and the tar bytes themselves are
+    reproducible — member mtime/uid/gid are zeroed and keys are the
+    zero-padded stream position, so the same corpus always produces
+    byte-identical shards (pinned by tests; the property that makes
+    training-data artifacts content-addressable).
+
+    Scale shape: one shuffle (``repartition(n_shards, shard)``), then
+    each task streams its shard(s) to tar via ``mapInPandas`` — rows
+    never collect to the driver; a task holds one Arrow batch at a
+    time. Shard count sizes the tar (~0.5-1 GB at 100 TB, like the
+    parquet variant). Returns (shard, path, n_records, n_bytes) — the
+    manifest, one row per tar."""
+    import json as _json
+    import os as _os
+    import tarfile as _tarfile
+
+    # no leading underscores: pandas itertuples renames private-ish
+    # fields to positional names and the writer below reads by name
+    assigned = shard_assign(df, id_col, n_shards, salt).select(
+        "shard", "pos", F.col(id_col).cast("string").alias("wds_key_id"),
+        F.col(text_col).alias("wds_text"),
+        *(F.col(c) for c in meta_cols),
+    )
+    _os.makedirs(out_dir, exist_ok=True)
+    meta_list = list(meta_cols)
+
+    def write_tars(batches):
+        import io
+
+        import pandas as pd
+
+        open_tars: dict = {}  # shard -> (tarfile, counts)
+
+        def tar_for(shard: int):
+            if shard not in open_tars:
+                p = _os.path.join(out_dir, f"shard-{shard:05d}.tar")
+                open_tars[shard] = [_tarfile.open(p, "w"), p, 0, 0]
+            return open_tars[shard]
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                ent = tar_for(int(d["shard"]))
+                key = f"{int(d['pos']):09d}-{d['wds_key_id']}"
+                data = (d["wds_text"] or "").encode("utf-8")
+                info = _tarfile.TarInfo(name=f"{key}.txt")
+                info.size = len(data)
+                info.mtime = 0  # byte-reproducibility
+                ent[0].addfile(info, io.BytesIO(data))
+                ent[3] += len(data)
+                if meta_list:
+                    meta = _json.dumps(
+                        {c: d[c] for c in meta_list}, sort_keys=True,
+                        default=str,
+                    ).encode("utf-8")
+                    minfo = _tarfile.TarInfo(name=f"{key}.json")
+                    minfo.size = len(meta)
+                    minfo.mtime = 0
+                    ent[0].addfile(minfo, io.BytesIO(meta))
+                    ent[3] += len(meta)
+                ent[2] += 1
+        out = []
+        for shard, (tf, p, n, nb) in open_tars.items():
+            tf.close()
+            out.append((shard, p, n, nb))
+        yield pd.DataFrame(
+            out, columns=["shard", "path", "n_records", "n_bytes"]
+        )
+
+    manifest = (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .mapInPandas(
+            write_tars,
+            "shard long, path string, n_records long, n_bytes long",
+        )
+    )
+    # mapInPandas is lazy — materialize the write and return the
+    # manifest rows (bounded: one per tar)
+    rows = manifest.collect()
+    return df.sparkSession.createDataFrame(
+        rows, "shard long, path string, n_records long, n_bytes long"
+    )

@@ -343,3 +343,64 @@ def drop_repeated_segments(
         )
         .filter(F.length(text_col) > 0)
     )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    min_distinct_trigram_frac: float = 0.3,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Composed Gopher-style document quality filter (Rae et al. 2021
+    §A1.1, the public rule set every LLM corpus pipeline re-implements):
+    per document, one boolean per rule plus the conjunction — the form
+    a pipeline actually ships, where the individual features
+    (:func:`quality_features`, the trigram census) are the diagnostics.
+
+    Rules: token count within [min_tokens, max_tokens]; mean token
+    length within [min_avg_len, max_avg_len]; distinct-trigram
+    fraction ≥ threshold (in-document repetition — the mirror of the
+    CROSS-document :func:`drop_repeated_segments`); at least
+    ``min_stopword_hits`` distinct stopwords present (the
+    gibberish/listing detector). All rules are single-pass narrow
+    column expressions over the tokenization — no shuffle, no UDF; at
+    100 TB this rides the same scan as ingest parsing.
+
+    Returns (id, n_tokens, ok_token_count, ok_avg_len, ok_repetition,
+    ok_stopwords, passed)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    avg_len = F.length(F.regexp_replace(F.col(text_col), " ", "")) / n.cast(
+        "double"
+    )
+    from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
+
+    tri = F.transform(
+        _zipped_windows(toks, 3),
+        lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]),
+    )
+    tri_frac = F.size(F.array_distinct(tri)) / F.size(tri).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")]),
+        )
+    )
+    ok_count = (n >= min_tokens) & (n <= max_tokens)
+    ok_avg = (avg_len >= min_avg_len) & (avg_len <= max_avg_len)
+    ok_rep = (F.size(tri) > 0) & (tri_frac >= min_distinct_trigram_frac)
+    ok_stop = stop_hits >= min_stopword_hits
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        ok_count.alias("ok_token_count"),
+        ok_avg.alias("ok_avg_len"),
+        ok_rep.alias("ok_repetition"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_count & ok_avg & ok_rep & ok_stop).alias("passed"),
+    )

@@ -6219,3 +6219,68 @@ def q_minhash_band_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nb").alias("min_bands_per_doc"),
         F.max("nb").alias("max_bands_per_doc"),
     )
+
+
+@_register(
+    "gopher_filter_counts",
+    # Composed Gopher-rule quality filter (operators/text.py:
+    # gopher_quality_flags — Rae et al. 2021 §A1.1): per-rule failure
+    # counts + the conjunction's pass count over the corpus. The rules
+    # are pure column expressions over one tokenization pass (token
+    # count bounds, mean token length bounds, distinct-trigram
+    # fraction, distinct-stopword hits), so the whole filter is
+    # engine-reproducible: every ratio is an integer/integer divide
+    # and both engines compare against the same literals.
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             length(replace(text, ' ', ''))::DOUBLE / len(toks) AS avg_len,
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in generate_series(1, len(toks)-2)] AS tri,
+             len(list_intersect(list_distinct(toks),
+                                ['the','a','of','and','to'])) AS stop_hits
+      FROM t
+    ), g AS (
+      SELECT (n >= 30 AND n <= 90) AS ok_token_count,
+             (avg_len >= 3.0 AND avg_len <= 10.0) AS ok_avg_len,
+             (len(tri) > 0 AND
+              len(list_distinct(tri))::DOUBLE / len(tri) >= 0.3)
+               AS ok_repetition,
+             (stop_hits >= 2) AS ok_stopwords
+      FROM f
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN NOT ok_token_count THEN 1 END) AS BIGINT)
+             AS fail_token_count,
+           CAST(count(CASE WHEN NOT ok_avg_len THEN 1 END) AS BIGINT)
+             AS fail_avg_len,
+           CAST(count(CASE WHEN NOT ok_repetition THEN 1 END) AS BIGINT)
+             AS fail_repetition,
+           CAST(count(CASE WHEN NOT ok_stopwords THEN 1 END) AS BIGINT)
+             AS fail_stopwords,
+           CAST(count(CASE WHEN ok_token_count AND ok_avg_len
+                           AND ok_repetition AND ok_stopwords THEN 1 END)
+                AS BIGINT) AS n_passed
+    FROM g
+    """,
+)
+def q_gopher_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = T.gopher_quality_flags(docs, min_tokens=30, max_tokens=90)
+    return flags.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(~F.col("ok_token_count"), 1)).alias(
+            "fail_token_count"
+        ),
+        F.count(F.when(~F.col("ok_avg_len"), 1)).alias("fail_avg_len"),
+        F.count(F.when(~F.col("ok_repetition"), 1)).alias(
+            "fail_repetition"
+        ),
+        F.count(F.when(~F.col("ok_stopwords"), 1)).alias("fail_stopwords"),
+        F.count(F.when(F.col("passed"), 1)).alias("n_passed"),
+    )

@@ -265,3 +265,81 @@ def test_minhash_index_cold_start_from_empty_seed(spark, tmp_path):
     assert [(r.new_id, r.corpus_id, r.est_jaccard) for r in hits] == [
         (2, 1, 1.0)
     ]
+
+
+def test_minhash_index_compact_folds_batches_and_probe_is_unchanged(
+    spark, tmp_path
+):
+    """Compaction folds per-batch ingest_key partitions into one
+    'base' generation under a versioned root with an atomic CURRENT
+    swap: probe results are row-identical before and after, the file
+    count collapses, the old generation stays on disk, and
+    post-compact appends land in the NEW generation."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 200), path)
+    for i, lo in enumerate(range(200, 320, 30)):
+        late = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 30)
+        )
+        dedup.minhash_index_append(spark, path, late, ingest_key=f"b{i}")
+
+    probe = docs.filter(F.col("doc_id") < 320).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    before_hits = sorted(
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in dedup.near_dup_against_index(spark, path, probe).collect()
+    )
+    assert len(before_hits) >= 320  # every copy found pre-compact
+    files_before = len(glob.glob(path + "/bands/*/*/*.parquet"))
+
+    new_root = dedup.minhash_index_compact(spark, path)
+    assert os.path.basename(new_root) == "v1"
+    assert os.path.isdir(path + "/bands")  # v0 untouched
+
+    after_hits = sorted(
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in dedup.near_dup_against_index(spark, path, probe).collect()
+    )
+    assert after_hits == before_hits
+    files_after = len(glob.glob(path + "/v1/bands/*/*/*.parquet"))
+    assert files_after < files_before / 3
+
+    # appends continue against the new generation; a fresh probe of an
+    # appended doc's copy hits at 1.0
+    late = docs.filter(
+        (F.col("doc_id") >= 320) & (F.col("doc_id") < 330)
+    )
+    dedup.minhash_index_append(spark, path, late, ingest_key="post")
+    assert (
+        spark.read.parquet(path + "/v1/signatures")
+        .filter(F.col("ingest_key") == "post")
+        .count()
+        == 10
+    )
+    p2 = late.withColumn("doc_id", F.col("doc_id") + 60_000_000)
+    hits = dedup.near_dup_against_index(spark, path, p2).collect()
+    assert (
+        len([r for r in hits
+             if r.est_jaccard == 1.0
+             and r.corpus_id == r.new_id - 60_000_000]) == 10
+    )
+
+    # a fresh save over the compacted store resets to flat layout
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 50), path)
+    assert not os.path.exists(path + "/CURRENT")
+    assert dedup.near_dup_against_index(
+        spark, path,
+        docs.filter(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + 70_000_000
+        ),
+    ).count() == 5
