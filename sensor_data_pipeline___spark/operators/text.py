@@ -404,3 +404,43 @@ def gopher_quality_flags(
         ok_stop.alias("ok_stopwords"),
         (ok_count & ok_avg & ok_rep & ok_stop).alias("passed"),
     )
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram cross-entropy under a LM trained on the
+    corpus itself — the CCNet-recipe quality signal (Wenzek et al.
+    2020: score each doc by LM perplexity, then filter or stratify by
+    score bands; a full KenLM is env-blocked here, but the unigram
+    member of the family is exactly expressible in relational ops and
+    carries the same pipeline shape).
+
+    P(w) = count(w) / total_tokens over the corpus (no smoothing
+    needed in-corpus — every scored token was counted), score =
+    mean(-ln P(w)) per document: low = stereotypical text, high =
+    rare-token-heavy (gibberish or genuinely novel — the CCNet bands).
+
+    Scale shape: explode tokens → one groupBy(token) for the
+    frequency table (vocabulary-sized — AQE broadcasts the join back
+    when small), token-frequency equi-join, one groupBy(doc) for the
+    mean. Shuffle volume O(tokens) with constant-width keys; the
+    vocabulary table is the only state and it is a fraction of corpus
+    bytes at any scale. Returns (id, n_tokens, avg_neg_logprob)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = toks.join(freq, "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

@@ -6284,3 +6284,69 @@ def q_gopher_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("ok_stopwords"), 1)).alias("fail_stopwords"),
         F.count(F.when(F.col("passed"), 1)).alias("n_passed"),
     )
+
+
+@_register(
+    "unigram_lm_scores",
+    # CCNet-style LM quality scoring (operators/text.py:
+    # unigram_lm_scores): per-doc mean negative log-probability under
+    # the corpus's own unigram distribution. Both engines compute
+    # -ln(count/total) per token and average per doc; ln/avg are IEEE
+    # doubles on both sides and the 6dp rounding absorbs
+    # summation-order noise (same posture as every avg-based oracle
+    # here).
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS t FROM freq
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(c / t)), 6) AS avg_neg_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+
+    return T.unigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "semantic_dedup_exact",
+    # SemDeDup (operators/similarity.py: semantic_dedup) in exact mode
+    # (ncells=1 — no blocking, every pair compared), so the survivor
+    # set is engine-independent: a vector survives iff no lower-id
+    # vector exceeds the cosine threshold. The synthetic embeddings
+    # top out at pairwise cosine ~0.51, so the threshold is 0.45 —
+    # low enough for a non-degenerate drop set; the semantics under
+    # test are the keep-smallest-id collapse and the cluster-blocked
+    # plumbing, not the threshold's calibration.
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))) > 0.45
+    )
+    SELECT v.vec_id FROM v
+    WHERE v.vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+)
+def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.45, ncells=1, iters=0).select(
+        "vec_id"
+    )

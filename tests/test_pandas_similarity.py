@@ -742,3 +742,29 @@ def test_ivf_retrain_quantized_store_and_replay_keys_carry_over(
     # its own key's rows in the CURRENT version, no duplicates
     sim.ivf_index_append(spark, p, late, ingest_key="b9")
     assert spark.read.parquet(p + "/v1/vectors").count() == len(codes_before)
+
+
+def test_semantic_dedup_blocked_is_superset_of_exact_survivors(spark):
+    """SemDeDup recall direction: clustering can only MISS cross-block
+    pairs, so the blocked survivor set is always a superset of the
+    exact (ncells=1) survivor set — and both keep the smallest id of
+    every dropped pair."""
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    exact = {
+        r.vec_id
+        for r in sim.semantic_dedup(
+            emb, threshold=0.45, ncells=1, iters=0
+        ).select("vec_id").collect()
+    }
+    blocked = {
+        r.vec_id
+        for r in sim.semantic_dedup(
+            emb, threshold=0.45, ncells=4, iters=1
+        ).select("vec_id").collect()
+    }
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert exact <= blocked <= all_ids
+    assert len(exact) < len(all_ids)  # the drop set is non-degenerate
