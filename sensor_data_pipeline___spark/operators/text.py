@@ -444,3 +444,151 @@ def unigram_lm_scores(
             ),
         )
     )
+
+
+def duplicate_ngram_coverage(
+    docs: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document coverage by CROSS-DOCUMENT duplicated ``n``-token
+    substrings — the measurement behind exact-substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": drop or trim spans of ≥N tokens that appear verbatim in
+    more than one document). A true suffix array doesn't map to
+    relational ops, but its n-gram-window form does exactly: a token
+    position is covered iff some duplicated n-gram window contains it,
+    and the union length of fixed-width sorted intervals folds in one
+    pass over each doc's sorted duplicate-window starts:
+    ``n + Σ min(n, gap)``.
+
+    Keys are md5 of the n-gram STRING — constant-width shuffle rows
+    AND engine-identical (the oracle recomputes the same md5), unlike
+    xxhash64. Shape: one posexplode (O(tokens) rows), one
+    groupBy(md5) census with a HAVING on distinct docs, a hash join
+    back, one groupBy(doc) with an in-group sorted fold — no window
+    function, no self-join; every shuffle key is fixed-width. The
+    reported ``dup_fraction`` is the trim/drop decision input (e.g.
+    C4 drops docs with >X% duplicated mass; the span list for actual
+    trimming is the same join's output).
+
+    Returns (id, n_tokens, covered_tokens, dup_fraction) for docs with
+    at least one duplicated window."""
+    from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
+
+    toks = _tokens(text_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                _zipped_windows(toks, n),
+                lambda s: F.md5(
+                    F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])
+                ),
+            )
+        ).alias("pos", "h"),
+    ).filter(F.col("n_tokens") >= n)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        grams.join(dup, "h")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.sort_array(F.collect_list("pos")).alias("_starts"),
+        )
+    )
+    sz = F.size("_starts")
+    gaps = F.zip_with(
+        F.slice(F.col("_starts"), 2, sz - 1),
+        F.slice(F.col("_starts"), 1, sz - 1),
+        lambda cur, prev: F.least(F.lit(n), cur - prev),
+    )
+    covered = F.aggregate(
+        gaps, F.lit(n).cast("long"), lambda acc, v: acc + v.cast("long")
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_tokens").cast("long"),
+        covered.alias("covered_tokens"),
+        F.round(
+            covered / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_fraction"),
+    )
+
+
+def trim_duplicate_ngrams(
+    docs: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The TRANSFORM half of exact-substring dedup: remove every token
+    covered by a cross-document duplicated ``n``-gram window (the Lee
+    et al. 2022 action — trim the verbatim-shared spans, keep the
+    document's unique remainder; :func:`duplicate_ngram_coverage` is
+    the measurement half). Documents trimmed to nothing are dropped.
+
+    Same census/join as the coverage pass; the trim itself is a pure
+    column expression — for each doc, token ``i`` survives iff no
+    duplicated start ``s`` has ``s ≤ i ≤ s+n−1``, evaluated with a
+    nested higher-order filter over the doc's (small, sorted) start
+    list. Per-doc cost is O(tokens × dup-starts); dup-starts is
+    bounded by tokens, and in practice by the doc's shared mass.
+    Untouched documents pass through with their original text.
+
+    Returns (id, text, n_removed_tokens)."""
+    from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
+
+    toks = _tokens(text_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                _zipped_windows(toks, n),
+                lambda s: F.md5(
+                    F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    starts = (
+        grams.join(dup, "h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+    )
+    with_starts = docs.join(starts, id_col, "left").withColumn(
+        "_starts", F.coalesce(F.col("_starts"), F.array())
+    )
+    tk = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(tk) - 1)
+    kept = F.filter(
+        F.zip_with(tk, idx, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("_starts"),
+            lambda st: (s["i"] >= st) & (s["i"] <= st + (n - 1)),
+        ),
+    )
+    new_text = F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+    return (
+        with_starts.select(
+            F.col(id_col),
+            new_text.alias(text_col),
+            (F.size(tk) - F.size(kept)).cast("long").alias(
+                "n_removed_tokens"
+            ),
+        )
+        .filter(F.length(text_col) > 0)
+    )

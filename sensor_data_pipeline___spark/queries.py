@@ -6350,3 +6350,98 @@ def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.45, ncells=1, iters=0).select(
         "vec_id"
     )
+
+
+@_register(
+    "duplicate_ngram_coverage",
+    # Exact-substring duplication measurement (operators/text.py:
+    # duplicate_ngram_coverage — the n-gram-window form of Lee et al.
+    # 2022 suffix-array dedup): per doc, the token mass covered by
+    # 20-grams that appear verbatim in ≥2 documents. Interval-union
+    # arithmetic (n + Σ min(n, gap) over sorted starts) is exact and
+    # engine-independent; DuckDB expresses the same fold with a lag
+    # window. md5 of the gram string keys both engines identically.
+    # Spark posexplode is 0-based, DuckDB generate_series 1-based —
+    # gaps are differences, so the offset cancels.
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, u.i AS pos, len(t) AS n_tokens,
+             md5(array_to_string(list_slice(t, u.i, u.i + 19), ' ')) AS h
+      FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(i)
+      WHERE len(t) >= 20
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), ds AS (
+      SELECT g.doc_id, g.pos, g.n_tokens,
+             lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+               AS prev
+      FROM g JOIN dup USING (h)
+    )
+    SELECT doc_id,
+           CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN prev IS NULL THEN 20
+                         ELSE least(20, pos - prev) END) AS BIGINT)
+             AS covered_tokens,
+           round(sum(CASE WHEN prev IS NULL THEN 20
+                          ELSE least(20, pos - prev) END)
+                 / any_value(n_tokens)::DOUBLE, 6) AS dup_fraction
+    FROM ds GROUP BY doc_id
+    """,
+)
+def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+
+    return T.duplicate_ngram_coverage(_t(spark, sf_dir, "documents"), n=20)
+
+
+@_register(
+    "trim_duplicate_ngrams_text",
+    # Whole-output verification of the exact-substring TRIM
+    # (operators/text.py: trim_duplicate_ngrams) — the
+    # segment_dedup_text pattern applied to the Lee et al. recipe:
+    # hash the trimmed text per doc so the census, the interval
+    # coverage, and the in-order token filter are all on the verified
+    # path. 1-based (DuckDB) vs 0-based (Spark) positions cancel
+    # inside the coverage predicate.
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(list_slice(t, u.i, u.i + 19), ' ')) AS h
+      FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(i)
+      WHERE len(t) >= 20
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), ds AS (
+      SELECT g.doc_id, list_sort(list(g.pos)) AS starts
+      FROM g JOIN dup USING (h) GROUP BY g.doc_id
+    ), trimmed AS (
+      SELECT t.doc_id,
+             array_to_string(
+               [t.t[i] for i in generate_series(1, len(t.t))
+                if len(list_filter(coalesce(ds.starts, []),
+                                   s -> i >= s AND i <= s + 19)) = 0],
+               ' ') AS new_text,
+             CAST(len(t.t) -
+               len([t.t[i] for i in generate_series(1, len(t.t))
+                    if len(list_filter(coalesce(ds.starts, []),
+                                       s -> i >= s AND i <= s + 19)) = 0])
+               AS BIGINT) AS n_removed_tokens
+      FROM toks t LEFT JOIN ds USING (doc_id)
+    )
+    SELECT doc_id, md5(new_text) AS text_md5, n_removed_tokens
+    FROM trimmed WHERE len(new_text) > 0
+    """,
+)
+def q_trim_duplicate_ngrams_text(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+
+    out = T.trim_duplicate_ngrams(_t(spark, sf_dir, "documents"), n=20)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_removed_tokens"
+    )
