@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     # benched to keep it cheap)
     "segment_dedup_text",
     "gopher_filter_counts",
+    # round-8 additions, second wave: unigram-LM quality scoring (two
+    # O(tokens) shuffles + a vocabulary join) and exact-substring
+    # duplication coverage (md5-keyed 20-gram census + interval fold)
+    "unigram_lm_scores",
+    "duplicate_ngram_coverage_fast",
 ]
 
 

@@ -446,11 +446,22 @@ def unigram_lm_scores(
     )
 
 
+def _gram_key(s, n: int, key: str):
+    """n-gram window → constant-width key: multi-arg xxhash64 over the
+    window's tokens (no gram string materialized — the scale default)
+    or md5 of the joined string (engine-identical — the oracle mode).
+    See duplicate_ngram_coverage's docstring for the trade."""
+    if key == "md5":
+        return F.md5(F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]))
+    return F.xxhash64(*[s[f"t{i}"] for i in range(n)]).cast("string")
+
+
 def duplicate_ngram_coverage(
     docs: DataFrame,
     n: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    key: str = "xxhash64",
 ) -> DataFrame:
     """Per-document coverage by CROSS-DOCUMENT duplicated ``n``-token
     substrings — the measurement behind exact-substring dedup (Lee et
@@ -463,9 +474,17 @@ def duplicate_ngram_coverage(
     pass over each doc's sorted duplicate-window starts:
     ``n + Σ min(n, gap)``.
 
-    Keys are md5 of the n-gram STRING — constant-width shuffle rows
-    AND engine-identical (the oracle recomputes the same md5), unlike
-    xxhash64. Shape: one posexplode (O(tokens) rows), one
+    Keys are constant-width hashes of the n-gram. The default
+    (``key="xxhash64"``) hashes the window's tokens directly —
+    multi-arg xxhash64, no per-position 20-token string ever
+    materialized, the same trick as ``_hashed_shingles`` and the
+    right constant at scale (the md5 variant measured ~0.69 scaling
+    exponent at ×10 mostly from gram-string concat+md5 bytes).
+    ``key="md5"`` concatenates and md5s the gram string instead —
+    engine-identical keys, which is what the DuckDB oracle twin
+    recomputes; collision risk is immaterial either way (64-bit over
+    ~10⁶ grams per partition-of-comparison), and a pinning test holds
+    both variants to identical coverage on the test corpus. Shape: one posexplode (O(tokens) rows), one
     groupBy(md5) census with a HAVING on distinct docs, a hash join
     back, one groupBy(doc) with an in-group sorted fold — no window
     function, no self-join; every shuffle key is fixed-width. The
@@ -484,9 +503,7 @@ def duplicate_ngram_coverage(
         F.posexplode(
             F.transform(
                 _zipped_windows(toks, n),
-                lambda s: F.md5(
-                    F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])
-                ),
+                lambda s: _gram_key(s, n, key),
             )
         ).alias("pos", "h"),
     ).filter(F.col("n_tokens") >= n)
@@ -528,6 +545,7 @@ def trim_duplicate_ngrams(
     n: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    key: str = "xxhash64",
 ) -> DataFrame:
     """The TRANSFORM half of exact-substring dedup: remove every token
     covered by a cross-document duplicated ``n``-gram window (the Lee
@@ -552,9 +570,7 @@ def trim_duplicate_ngrams(
         F.posexplode(
             F.transform(
                 _zipped_windows(toks, n),
-                lambda s: F.md5(
-                    F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])
-                ),
+                lambda s: _gram_key(s, n, key),
             )
         ).alias("pos", "h"),
     )

@@ -6393,7 +6393,11 @@ def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators import text as T
 
-    return T.duplicate_ngram_coverage(_t(spark, sf_dir, "documents"), n=20)
+    # key="md5": the oracle-parity key mode (the DuckDB twin recomputes
+    # the same md5); the operator's scale default is multi-arg xxhash64
+    return T.duplicate_ngram_coverage(
+        _t(spark, sf_dir, "documents"), n=20, key="md5"
+    )
 
 
 @_register(
@@ -6441,7 +6445,22 @@ def q_trim_duplicate_ngrams_text(
 ) -> DataFrame:
     from sensor_data_pipeline___spark.operators import text as T
 
-    out = T.trim_duplicate_ngrams(_t(spark, sf_dir, "documents"), n=20)
+    out = T.trim_duplicate_ngrams(
+        _t(spark, sf_dir, "documents"), n=20, key="md5"
+    )
     return out.select(
         "doc_id", F.md5("text").alias("text_md5"), "n_removed_tokens"
     )
+
+
+@_register("duplicate_ngram_coverage_fast")  # rows-only: xxhash64 keys
+def q_duplicate_ngram_coverage_fast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The scale-default key mode (multi-arg xxhash64, no gram-string
+    materialization) of duplicate_ngram_coverage — benched instead of
+    the md5 oracle mode; a pinning test holds the two modes to
+    identical output, so the oracle covers this one's semantics."""
+    from sensor_data_pipeline___spark.operators import text as T
+
+    return T.duplicate_ngram_coverage(_t(spark, sf_dir, "documents"), n=20)

@@ -184,3 +184,27 @@ def test_drop_repeated_segments_preserves_order_with_ragged_tail(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     out = T.drop_repeated_segments(docs, seg_tokens=10).collect()
     assert out[0]["text"] == text and out[0]["n_dropped_segments"] == 0
+
+
+def test_duplicate_ngram_key_modes_agree(spark):
+    """The scale-default xxhash64 gram key and the oracle-parity md5
+    key must produce identical coverage and identical trimmed text —
+    the keys only name the grams; collisions are the only way they
+    could diverge and there are none on this corpus."""
+    from sensor_data_pipeline___spark.operators import text as T
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    fast = sorted(
+        map(tuple, T.duplicate_ngram_coverage(docs, key="xxhash64").collect())
+    )
+    slow = sorted(
+        map(tuple, T.duplicate_ngram_coverage(docs, key="md5").collect())
+    )
+    assert fast == slow and len(fast) > 0
+
+    tf = sorted(map(tuple, T.trim_duplicate_ngrams(docs, key="xxhash64")
+                    .collect()))
+    tm = sorted(map(tuple, T.trim_duplicate_ngrams(docs, key="md5")
+                    .collect()))
+    assert tf == tm
