@@ -202,7 +202,11 @@ def run_pipeline(
         ]
     if not days:
         return 0, 0
-    existing = wh.read(SILVER)
+    # cached_schema: the streaming loop is the table's sole writer, so
+    # the per-trigger mergeSchema footer job (the one read cost that
+    # grows with silver's file count) is replaced by the recorded
+    # write schema — the catalog-metadata emulation (see Warehouse.read)
+    existing = wh.read(SILVER, cached_schema=True)
     # checkpoint the merged days ONCE: the silver write, and the gold
     # recompute below, both replay the materialization — without it,
     # gold would re-read silver (another mergeSchema footer job, a

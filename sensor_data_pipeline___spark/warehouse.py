@@ -49,6 +49,10 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # table -> schema of the most recent write through THIS
+        # instance (the catalog-metadata emulation read(cached_schema=
+        # True) consumes)
+        self._write_schema: dict = {}
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -58,7 +62,7 @@ class Warehouse:
         # (S9 table-existence check, reference airflow/hooks/database.py:66-101)
         return os.path.isdir(self.path(table))
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, cached_schema: bool = False) -> DataFrame:
         """Read a table; empty-with-schema if it doesn't exist yet.
 
         ``mergeSchema`` is on: after an in-place schema evolution (new
@@ -69,7 +73,18 @@ class Warehouse:
         inference is a distributed footer-read job over the table's
         files; a catalog-backed table format (Delta/Iceberg, absent in
         this container) records the evolved schema in metadata and
-        makes this free — this is the documented emulation tradeoff."""
+        makes this free — this is the documented emulation tradeoff.
+
+        ``cached_schema=True`` emulates exactly that catalog shortcut
+        for the per-trigger hot loop: if THIS Warehouse instance wrote
+        the table since construction, the read uses the recorded write
+        schema (no footer job at all — one whole Spark job saved per
+        trigger, and the footer job is the one per-batch cost that
+        GROWS with table file count). Falls back to mergeSchema when
+        no write has been recorded. Contract: only safe while this
+        instance is the table's sole writer (the streaming loop's
+        situation); an external writer's evolution is picked up on the
+        next non-cached read or write."""
         if not self.exists(table):
             schema = _SCHEMA[table]
             part = _PARTITION_COL[table]
@@ -78,6 +93,10 @@ class Warehouse:
                     list(schema.fields) + [T.StructField(part, T.DateType(), True)]
                 )
             return self.spark.createDataFrame([], schema)
+        if cached_schema and table in self._write_schema:
+            return self.spark.read.schema(
+                self._write_schema[table]
+            ).parquet(self.path(table))
         return self.spark.read.option("mergeSchema", "true").parquet(
             self.path(table)
         )
@@ -112,6 +131,10 @@ class Warehouse:
             df.write.mode(mode).partitionBy(part).parquet(self.path(table))
         finally:
             self.spark.conf.set(conf, prior)
+        # record the write schema for read(cached_schema=True) — the
+        # catalog-metadata emulation; evolution through THIS instance
+        # updates the record on every write
+        self._write_schema[table] = df.schema
 
     def append(self, table: str, df: DataFrame) -> None:
         self.write(table, df, mode="append")

@@ -615,8 +615,9 @@ def test_sensor_batch_body_job_count_is_pinned(spark, dirs):
     (~150 ms on the bench host), so the batch body's job count IS the
     latency floor. Steady state runs FIVE actions — gate aggregate,
     bronze write, merge checkpoint, silver write, gold write — which
-    AQE splits into at most 12 jobs on this shape (each shuffle stage
-    materializes as its own job; plus the mergeSchema footer read).
+    AQE splits into at most 11 jobs on this shape (each shuffle stage
+    materializes as its own job; the silver read uses the cached
+    write schema, so NO per-trigger mergeSchema footer job).
     Pin the ceiling so a regression that re-introduces a per-trigger
     materialization (watermark scan, days distinct+collect, gold
     count) fails structurally instead of showing up as a silent p50
@@ -644,4 +645,4 @@ def test_sensor_batch_body_job_count_is_pinned(spark, dirs):
     finally:
         n_jobs = len(sc.statusTracker().getJobIdsForGroup("steady-pin"))
         sc.setJobGroup(None, None)
-    assert 0 < n_jobs <= 12, n_jobs
+    assert 0 < n_jobs <= 11, n_jobs
