@@ -221,6 +221,91 @@ def bench_corpus_ingest(
         }
 
 
+def bench_corpus_neardup_ingest(
+    spark, docs_per_file: int = 2_000, n_files: int = 5
+) -> dict[str, float]:
+    """Near-dup-aware streaming corpus ingest (round 8): the
+    ``corpus_ingest_stream_neardup`` probe→drop→append loop against a
+    cold-start persisted minhash index — per batch: sign once, probe
+    the store (self-key excluded), drop batch-internal near-dups,
+    append survivors effectively-once, land the batch-keyed clean
+    store. Smaller volume than the exact-dedup bench because every
+    batch pays the fixed probe/append job set on top of signing; the
+    per-batch latency is the figure to watch round-over-round (the
+    corpus-linear band-scan term is characterized in SCALING.md's
+    80-batch soak instead)."""
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.streaming import pipeline as sp
+
+    with tempfile.TemporaryDirectory() as td:
+        drop = os.path.join(td, "drop")
+        total = docs_per_file * n_files
+        # distinct-vocabulary docs (the near-dup path actually hashes
+        # shingles; the exact bench's shared-token text would make
+        # every doc a near-dup of every other)
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(50_000)).cast(
+                    "string"
+                ),
+            ),
+        )
+        (
+            spark.range(total)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", toks).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("bench").alias("source"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.col("id") % 3600
+                ).alias("fetched_at"),
+            )
+            .repartition(n_files)
+            .write.json(drop)
+        )
+        idx = os.path.join(td, "mh_index")
+        dedup.save_minhash_index(
+            spark.createDataFrame([], "doc_id long, text string"), idx
+        )
+        q = sp.corpus_ingest_stream_neardup(
+            spark,
+            drop,
+            os.path.join(td, "out"),
+            os.path.join(td, "ckpt"),
+            idx,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        done = [
+            p
+            for p in q.recentProgress
+            if p["numInputRows"] > 0 and p["batchId"] >= 1
+        ]
+        if len(done) < 2:
+            raise RuntimeError(
+                f"need >=2 measured neardup batches, got {len(done)}"
+            )
+        rows = sum(p["numInputRows"] for p in done)
+        exec_ms = [p["durationMs"]["triggerExecution"] for p in done]
+        return {
+            "corpus_neardup_rows_per_s": round(
+                rows / (sum(exec_ms) / 1000.0), 1
+            ),
+            "corpus_neardup_batch_latency_ms_p50": round(
+                statistics.median(exec_ms), 1
+            ),
+            "corpus_neardup_batches_measured": len(done),
+        }
+
+
 def bench_export(spark, sf_dir: str, n_shards: int = 16) -> dict[str, float]:
     """Training-export write path: shard-assign + one-file-per-shard
     write of the documents table (operators/export.py:write_shards),
@@ -326,6 +411,10 @@ def main() -> None:
         result.update(bench_corpus_ingest(spark))
     except Exception as exc:  # noqa: BLE001 — record, keep going
         errors["corpus_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        result.update(bench_corpus_neardup_ingest(spark))
+    except Exception as exc:  # noqa: BLE001 — record, keep going
+        errors["corpus_neardup_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
     try:
         result.update(bench_export(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001 — record, keep going
