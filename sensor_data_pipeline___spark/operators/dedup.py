@@ -265,6 +265,7 @@ def save_minhash_index(
         "num_hashes int, bands int, shingle_n int",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    _META_CACHE.pop(path, None)  # a fresh save may change the geometry
     ptr = os.path.join(path, "CURRENT")
     if os.path.exists(ptr):
         # a fresh save IS the new store: a stale pointer from an
@@ -300,9 +301,21 @@ def _banded_keys(
     )
 
 
+#: path -> (num_hashes, bands, shingle_n). Band geometry is immutable
+#: for a store's lifetime (compaction preserves it; only a fresh
+#: save_minhash_index changes it, and that invalidates below) — so the
+#: per-batch ingest loop shouldn't pay a driver job re-reading the
+#: one-row meta parquet three times per trigger (sign, probe, append).
+_META_CACHE: dict = {}
+
+
 def _load_minhash_meta(spark, path: str) -> tuple:
-    r = spark.read.parquet(path + "/meta").first()
-    return int(r["num_hashes"]), int(r["bands"]), int(r["shingle_n"])
+    if path not in _META_CACHE:
+        r = spark.read.parquet(path + "/meta").first()
+        _META_CACHE[path] = (
+            int(r["num_hashes"]), int(r["bands"]), int(r["shingle_n"])
+        )
+    return _META_CACHE[path]
 
 
 def _mh_root(path: str) -> str:

@@ -561,6 +561,7 @@ def save_ivf_index(
         id_col=id_col, seed=seed,
     )
     cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    _CENT_CACHE.pop(path, None)  # flat root rewritten — drop stale cache
     assigned = ivf_assign(corpus, cents, vec_col=vec_col, id_col=id_col)
     store = (
         quantize_embeddings(corpus, vec_col=vec_col, id_col=id_col)
@@ -595,6 +596,23 @@ def _store_root(path: str) -> str:
         with open(ptr) as f:
             return os.path.join(path, f.read().strip())
     return path
+
+
+#: resolved-root -> collected centroid rows. A versioned root
+#: (path/v<N>) is immutable once the CURRENT pointer names it, so its
+#: centroids can be cached for the session; the FLAT root is mutable
+#: only through save_ivf_index, which invalidates. Saves one file
+#: listing + read job per search/mine/append call in per-batch loops.
+_CENT_CACHE: dict = {}
+
+
+def _read_centroids(spark, path: str) -> DataFrame:
+    root = _store_root(path)
+    if root not in _CENT_CACHE:
+        df = spark.read.parquet(root + "/centroids")
+        _CENT_CACHE[root] = (df.schema, df.collect())
+    schema, rows = _CENT_CACHE[root]
+    return spark.createDataFrame(rows, schema)
 
 
 def ivf_retrain(
@@ -699,7 +717,7 @@ def ivf_topk_indexed(
     the scan plans only the probed cells' files; everything else
     matches :func:`ivf_topk` expression-for-expression via the shared
     search helper."""
-    cents = spark.read.parquet(_store_root(path) + "/centroids")
+    cents = _read_centroids(spark, path)
     probes = _ivf_probes(queries, cents, nprobe, vec_col, id_col)
     c = _probed_store_scan(spark, path, probes, vec_col, id_col)
     return _ivf_cell_search(c, probes, k, id_col, round_digits)
@@ -776,7 +794,7 @@ def ivf_index_append(
     plain append under key 'adhoc' (one-shot batch use).
     """
     root = _store_root(path)
-    cents = spark.read.parquet(root + "/centroids")
+    cents = _read_centroids(spark, path)
     store_cols = spark.read.parquet(root + "/vectors").columns
     # schema-drift guard: an append missing the store's metadata
     # columns would write files whose footers lack them — later reads
@@ -1081,7 +1099,7 @@ def hard_negatives_ivf_indexed(
     ``nprobe == ncells`` on a full-precision store is bit-identical to
     the :func:`hard_negatives` brute twin (pinned by tests). Returns
     (query_id, vec_id, negative_label, cosine, rnk)."""
-    cents = spark.read.parquet(_store_root(path) + "/centroids")
+    cents = _read_centroids(spark, path)
     if label_col not in spark.read.parquet(
         _store_root(path) + "/vectors"
     ).columns:
