@@ -37,17 +37,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # refreshed per VERDICT r7 directive #2): the window keeps the
 # 11-entry veteran spine (reference-parity core that never rotates,
 # the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the FIVE never-gated
+# session_window_batch watch item), adds all TEN never-gated
 # entries per GATE_LEDGER.md — the two persisted-index exact-mode
 # twins (near_dup_probe_exact / hard_negative_mining_indexed_exact,
 # VERDICT r7 directive #1), the reassembled-boilerplate-removal
-# whole-output query (segment_dedup_text, directive #3), and the two
+# whole-output query (segment_dedup_text, directive #3), the two
 # invariant-oracle graduations (lsh_bucket_invariants /
-# minhash_band_invariants, directive #8) — and fills
-# the remaining 36 slots with the STALEST previously-gated entries:
-# all 12 last gated in r4 (TPC-H q2-q9/q19/q21, set ops, trigram)
-# plus the first 22 (name order) of the r5-last cohort (as-of/range/
-# PIT joins, gap-fill, sketches, sessionization, profiling). The
+# minhash_band_invariants, directive #8), and the five r8-registered
+# LLM-pipeline queries (gopher_filter_counts, unigram_lm_scores,
+# semantic_dedup_exact, duplicate_ngram_coverage,
+# trim_duplicate_ngrams_text — registered this round, gated this
+# round) — and fills the remaining 29 slots with the STALEST
+# previously-gated entries: all 12 last gated in r4 (TPC-H
+# q2-q9/q19/q21, set ops, trigram) plus the first 17 (name order) of
+# the r5-last cohort (as-of/PIT joins, gap-fill, sketches,
+# profiling). The
 # ledger invariant ("every oracle-backed entry gated at least once")
 # is auditable in GATE_LEDGER.md, regenerated per round by
 # scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
@@ -85,7 +89,12 @@ _PRIORITY = (
     "set_except_all_customers",
     "set_intersect_all_customers",
     "trigram_repetition",
-    # --- stalest refresh: last gated r5 (first 23 by name) ---
+    "gopher_filter_counts",
+    "unigram_lm_scores",
+    "semantic_dedup_exact",
+    "duplicate_ngram_coverage",
+    "trim_duplicate_ngrams_text",
+    # --- stalest refresh: last gated r5 (first 17 by name) ---
     "asof_last_purchase",
     "asof_next_click",
     "bloom_semi_join_lineitem",
@@ -103,11 +112,6 @@ _PRIORITY = (
     "multimodal_binary_meta",
     "pack_sequences",
     "pit_join_click_version",
-    "pivot_daily_avg",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q22_idle_rich_customers",
-    "q5_region_revenue",
     # --- never-gated: the r8 invariant-oracle graduations (directive
     # #8) — registered this round, gated this round ---
     "lsh_bucket_invariants",

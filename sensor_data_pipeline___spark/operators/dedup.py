@@ -248,6 +248,16 @@ def save_minhash_index(
     index identity (a probe with different geometry would silently
     find nothing), so it's recorded in ``meta/`` and validated by the
     probe/append paths."""
+    # a fresh save IS the new store: retire any stale CURRENT pointer
+    # from an earlier compacted generation FIRST — the band build
+    # below reads the signatures back through _read_signatures, which
+    # resolves the pointer, and a stale one would silently pair the
+    # NEW flat signatures with the OLD generation's band keys (every
+    # subsequent probe would then find nothing)
+    ptr = os.path.join(path, "CURRENT")
+    if os.path.exists(ptr):
+        os.remove(ptr)
+    _META_CACHE.pop(path, None)  # a fresh save may change the geometry
     sig = minhash_signature(
         docs, text_col, id_col, num_hashes, shingle_n
     ).withColumn("ingest_key", F.lit("base"))
@@ -265,12 +275,6 @@ def save_minhash_index(
         "num_hashes int, bands int, shingle_n int",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(path + "/meta")
-    _META_CACHE.pop(path, None)  # a fresh save may change the geometry
-    ptr = os.path.join(path, "CURRENT")
-    if os.path.exists(ptr):
-        # a fresh save IS the new store: a stale pointer from an
-        # earlier compacted generation would otherwise shadow it
-        os.remove(ptr)
 
 
 def _banded_keys(

@@ -556,12 +556,22 @@ def save_ivf_index(
     ``label``) alongside each vector, so downstream consumers like
     :func:`hard_negatives_ivf_indexed` read everything they need from
     the probed partitions alone — no join back to the corpus."""
+    # a fresh save IS the new store: retire any stale CURRENT pointer
+    # from an earlier ivf_retrain generation FIRST, or every reader
+    # would keep resolving (and appends keep landing in) the old
+    # versioned root while the new flat store sits unused — the same
+    # guard as save_minhash_index
+    ptr = os.path.join(path, "CURRENT")
+    if os.path.exists(ptr):
+        os.remove(ptr)
+    for k in [k for k in _CENT_CACHE if k == path or
+              k.startswith(os.path.join(path, "v"))]:
+        _CENT_CACHE.pop(k, None)
     cents = ivf_centroids(
         corpus, ncells=ncells, iters=iters, vec_col=vec_col,
         id_col=id_col, seed=seed,
     )
     cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
-    _CENT_CACHE.pop(path, None)  # flat root rewritten — drop stale cache
     assigned = ivf_assign(corpus, cents, vec_col=vec_col, id_col=id_col)
     store = (
         quantize_embeddings(corpus, vec_col=vec_col, id_col=id_col)

@@ -6012,6 +6012,7 @@ _CROSS_JACCARD_ORACLE = """
     _CROSS_JACCARD_ORACLE,
 )
 def q_near_dup_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     from sensor_data_pipeline___spark.operators import dedup
@@ -6019,7 +6020,15 @@ def q_near_dup_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
-    path = tempfile.mkdtemp(prefix="mh_probe_exact_")
+    # deterministic per-sf_dir path, REUSED (overwritten) across
+    # invocations: a fresh mkdtemp per run would leak /tmp dirs and
+    # grow the driver-side geometry cache without bound under the
+    # repeated verify/replica sweeps (review r8). Sequential harness
+    # contract — concurrent same-sf_dir invocations would race.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mh_probe_exact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     dedup.save_minhash_index(
         corpus, path, num_hashes=64, bands=64, shingle_n=3
     )
@@ -6078,6 +6087,7 @@ def q_near_dup_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hard_negative_mining_indexed_exact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    import os
     import tempfile
 
     from sensor_data_pipeline___spark.operators.similarity import (
@@ -6086,7 +6096,11 @@ def q_hard_negative_mining_indexed_exact(
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_mine_exact_")
+    # deterministic reused path — see q_near_dup_probe_exact
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_mine_exact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     save_ivf_index(emb, path, ncells=8, iters=1, extra_cols=("label",))
     anchors = emb.filter(F.col("vec_id") < 8)
     return hard_negatives_ivf_indexed(spark, path, anchors, k=5, nprobe=8)

@@ -132,9 +132,22 @@ class Warehouse:
         finally:
             self.spark.conf.set(conf, prior)
         # record the write schema for read(cached_schema=True) — the
-        # catalog-metadata emulation; evolution through THIS instance
-        # updates the record on every write
-        self._write_schema[table] = df.schema
+        # catalog-metadata emulation. UNION with the previous record,
+        # never last-write-wins: a narrower write (an append without an
+        # evolved column) must not make later cached reads silently
+        # DROP that column — on-disk files still carry it, and a
+        # dropped column would be made permanent by the next
+        # partition-overwrite merge. Union-by-name is exactly what a
+        # catalog does for additive evolution.
+        prev = self._write_schema.get(table)
+        if prev is None:
+            self._write_schema[table] = df.schema
+        else:
+            known = {f.name for f in prev.fields}
+            self._write_schema[table] = T.StructType(
+                list(prev.fields)
+                + [f for f in df.schema.fields if f.name not in known]
+            )
 
     def append(self, table: str, df: DataFrame) -> None:
         self.write(table, df, mode="append")

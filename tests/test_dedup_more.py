@@ -343,3 +343,34 @@ def test_minhash_index_compact_folds_batches_and_probe_is_unchanged(
             "doc_id", F.col("doc_id") + 70_000_000
         ),
     ).count() == 5
+
+
+def test_minhash_fresh_save_over_compacted_store_not_stale(spark, tmp_path):
+    """Review r8: a fresh save over a previously COMPACTED store must
+    not build its bands from the old generation's signatures (the
+    stale CURRENT pointer has to be retired BEFORE the band build
+    reads the signatures back). The re-save corpus here is
+    content-DISJOINT from the original, so a stale-bands read would
+    make every probe miss."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+
+    path = str(tmp_path / "mh")
+    corpus_a = spark.createDataFrame(
+        [(i, " ".join(f"alpha{i}w{j}" for j in range(24))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    dedup.save_minhash_index(corpus_a, path)
+    dedup.minhash_index_compact(spark, path)  # CURRENT -> v1
+
+    corpus_b = spark.createDataFrame(
+        [(i, " ".join(f"beta{i}w{j}" for j in range(24))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    dedup.save_minhash_index(corpus_b, path)  # fresh flat store
+
+    probe = corpus_b.withColumn("doc_id", F.col("doc_id") + 1_000)
+    hits = dedup.near_dup_against_index(spark, path, probe).collect()
+    found = {(r.new_id, r.corpus_id) for r in hits if r.est_jaccard == 1.0}
+    assert found == {(i + 1_000, i) for i in range(20)}

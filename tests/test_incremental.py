@@ -519,3 +519,33 @@ def test_increment_fast_path_subset_days_never_deletes(spark, tmp_path):
         F.col("reading_date") == F.lit(datetime.date(2022, 4, 15))
     )
     assert day2.count() == 2  # listed day landed normally
+
+
+def test_cached_schema_survives_narrower_append(spark, tmp_path):
+    """Review r8: the recorded write schema must be the UNION across
+    writes, not last-write-wins — an append missing an evolved column
+    must not make cached reads drop that column (on-disk files still
+    carry it; a later merge would make the loss permanent)."""
+    from pyspark.sql import functions as F
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))
+    import datetime
+
+    d = datetime.date(2022, 4, 14)
+    wide = spark.createDataFrame(
+        [(1, "Voltage", 1.5, d, "x")],
+        "raw_id long, metric_name string, metric_value double, "
+        "reading_date date, extra string",
+    )
+    wh2.write(SILVER, wide)
+    narrow = spark.createDataFrame(
+        [(2, "Current", 2.5, d)],
+        "raw_id long, metric_name string, metric_value double, "
+        "reading_date date",
+    )
+    wh2.append(SILVER, narrow)
+
+    got = wh2.read(SILVER, cached_schema=True)
+    assert "extra" in got.columns
+    rows = {r.raw_id: r.extra for r in got.collect()}
+    assert rows == {1: "x", 2: None}

@@ -768,3 +768,29 @@ def test_semantic_dedup_blocked_is_superset_of_exact_survivors(spark):
     all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert exact <= blocked <= all_ids
     assert len(exact) < len(all_ids)  # the drop set is non-degenerate
+
+
+def test_ivf_fresh_save_over_retrained_store_not_shadowed(spark, tmp_path):
+    """Review r8: save_ivf_index over a previously RETRAINED store
+    must retire the stale CURRENT pointer — otherwise every reader
+    keeps serving (and appends keep landing in) the old versioned
+    root while the fresh flat store sits unused."""
+    import os
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    p = str(tmp_path / "ivf")
+    corpus_a = emb.filter(F.col("vec_id") < 200)
+    sim.save_ivf_index(corpus_a, p, ncells=4, iters=1)
+    sim.ivf_retrain(spark, p)  # CURRENT -> v1
+
+    corpus_b = emb.filter(F.col("vec_id") >= 200)
+    sim.save_ivf_index(corpus_b, p, ncells=4, iters=1)
+    assert not os.path.exists(os.path.join(p, "CURRENT"))
+
+    q = corpus_b.filter(F.col("vec_id") < 210)
+    got = sim.ivf_topk_indexed(spark, p, q, k=3, nprobe=4)
+    ids = {r.vec_id for r in got.collect()}
+    assert ids and all(i >= 200 for i in ids)  # serves corpus B, not A
