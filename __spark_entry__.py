@@ -43,14 +43,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT r7 directive #1), the reassembled-boilerplate-removal
 # whole-output query (segment_dedup_text, directive #3), the two
 # invariant-oracle graduations (lsh_bucket_invariants /
-# minhash_band_invariants, directive #8), and the five r8-registered
+# minhash_band_invariants, directive #8), and the six r8-registered
 # LLM-pipeline queries (gopher_filter_counts, unigram_lm_scores,
 # semantic_dedup_exact, duplicate_ngram_coverage,
-# trim_duplicate_ngrams_text — registered this round, gated this
-# round) — and fills the remaining 29 slots with the STALEST
-# previously-gated entries: all 12 last gated in r4 (TPC-H
-# q2-q9/q19/q21, set ops, trigram) plus the first 17 (name order) of
-# the r5-last cohort (as-of/PIT joins, gap-fill, sketches,
+# trim_duplicate_ngrams_text, decontam_probe_index — registered this
+# round, gated this round) — and fills the remaining 28 slots with
+# the STALEST previously-gated entries: all 12 last gated in r4
+# (TPC-H q2-q9/q19/q21, set ops, trigram) plus the first 16 (name
+# order) of the r5-last cohort (as-of joins, gap-fill, sketches,
 # profiling). The
 # ledger invariant ("every oracle-backed entry gated at least once")
 # is auditable in GATE_LEDGER.md, regenerated per round by
@@ -94,7 +94,8 @@ _PRIORITY = (
     "semantic_dedup_exact",
     "duplicate_ngram_coverage",
     "trim_duplicate_ngrams_text",
-    # --- stalest refresh: last gated r5 (first 17 by name) ---
+    "decontam_probe_index",
+    # --- stalest refresh: last gated r5 (first 16 by name) ---
     "asof_last_purchase",
     "asof_next_click",
     "bloom_semi_join_lineitem",
@@ -111,7 +112,6 @@ _PRIORITY = (
     "mad_outliers",
     "multimodal_binary_meta",
     "pack_sequences",
-    "pit_join_click_version",
     # --- never-gated: the r8 invariant-oracle graduations (directive
     # #8) — registered this round, gated this round ---
     "lsh_bucket_invariants",

@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     # duplication coverage (md5-keyed 20-gram census + interval fold)
     "unigram_lm_scores",
     "duplicate_ngram_coverage_fast",
+    # round-8, third wave: the persisted-decontamination-index probe
+    # (save a benchmark 8-gram store + O(batch) membership probe —
+    # the index-maintenance cost and the probe cost ride one number;
+    # xxhash64 keys, the 100 TB default, unlike the string-keyed gate
+    # twin)
+    "decontam_probe_bench",
 ]
 
 

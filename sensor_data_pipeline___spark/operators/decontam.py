@@ -1,0 +1,255 @@
+"""Persisted benchmark-decontamination index.
+
+The C4/Dolma hygiene pass (``train_test_contamination`` in
+queries.py) recomputes the benchmark side's distinct word-n-gram set
+on every run. At 100 TB that inversion is wrong: the benchmark suite
+is FIXED and tiny next to the corpus, while training batches arrive
+forever. This module persists the benchmark's distinct grams ONCE and
+probes each training batch against the store in O(batch) — the
+decontamination member of the repo's persisted-index family
+(``save_minhash_index`` / ``save_ivf_index``), with one structural
+difference that makes it the strongest-verifiable of the three:
+membership is EXACT (no hash-seeded geometry, no recall knob), so the
+whole lifecycle is oracle-replayable end-to-end.
+
+Layout::
+
+    path/meta/        one row: (n, key)          — gram width + key mode
+    path/grams/       (g) partitioned by ingest_key
+
+Key modes:
+
+- ``"string"``: ``g`` is the gram text itself (``concat_ws`` of the
+  n-token window). Exactly replayable by any ANSI engine — the gated
+  oracle query uses this mode.
+- ``"xxhash64"``: ``g`` is a multi-arg xxhash64 over the window's
+  tokens — the gram string is never materialized and the join/shuffle
+  key is 8 bytes instead of ~50·n. Membership is identical to string
+  keys barring a 64-bit collision between a corpus-only and a
+  benchmark-only gram (odds ~1e-9 at millions of grams). This is the
+  100 TB default, the same trade ``corpus_pipeline_stats`` documents.
+
+Scale shape of the probe: batch grams are per-(doc, gram) distinct
+BEFORE the join, so the join keyspace is membership, not multiplicity;
+the store side is distinct grams only (narrow, one column) — at
+benchmark-suite sizes (millions of grams, not billions) it broadcasts,
+and AQE picks that up without a forced hint. The store is never
+re-grammed or shuffled wide; appends never read existing data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
+
+#: path -> (n, key). Gram geometry is immutable for a store's lifetime
+#: (only a fresh save_contamination_index changes it, which invalidates
+#: here) — the per-batch ingest loop shouldn't pay a driver job
+#: re-reading the one-row meta parquet every trigger.
+_META_CACHE: dict = {}
+
+
+def _gram_exprs(text_col: str, n: int, key: str) -> F.Column:
+    """Array of this document's distinct gram keys.
+
+    Tokenization is the oracle-replayable single-space split of
+    ``train_test_contamination`` (``split(lower(text), ' ')``), NOT the
+    any-whitespace API split — the store must probe identically from
+    SQL. A doc with fewer than ``n`` tokens yields an empty array
+    (mirrors the oracle's ``generate_series(1, len-n+1)`` yielding no
+    rows)."""
+    toks = F.split(F.lower(F.col(text_col)), " ", -1)
+    if key == "string":
+        if n == 1:
+            return F.array_distinct(toks)
+        grams = F.transform(
+            _zipped_windows(toks, n),
+            lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
+        )
+    elif key == "xxhash64":
+        if n == 1:
+            return F.array_distinct(
+                F.transform(toks, lambda t: F.xxhash64(t))
+            )
+        grams = F.transform(
+            _zipped_windows(toks, n),
+            lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)]),
+        )
+    else:
+        raise ValueError(f"unknown key mode {key!r}")
+    return F.array_distinct(grams)
+
+
+def _gram_type(key: str) -> str:
+    return "string" if key == "string" else "bigint"
+
+
+def save_contamination_index(
+    bench_docs: DataFrame,
+    path: str,
+    n: int = 8,
+    text_col: str = "text",
+    key: str = "xxhash64",
+) -> None:
+    """Persist the benchmark suite's distinct gram set. One pass over
+    the benchmark text; the store is a single narrow column partitioned
+    by ``ingest_key`` (``'base'`` for the initial save) so later
+    benchmark additions land in their own partitions
+    (:func:`contamination_index_append`) without rewriting this one."""
+    _META_CACHE.pop(path, None)  # a fresh save may change the geometry
+    grams = (
+        bench_docs.select(
+            F.explode(_gram_exprs(text_col, n, key)).alias("g")
+        )
+        .distinct()
+        .withColumn("ingest_key", F.lit("base"))
+    )
+    grams.write.mode("overwrite").partitionBy("ingest_key").parquet(
+        path + "/grams"
+    )
+    meta = bench_docs.sparkSession.createDataFrame(
+        [(n, key)], "n int, key string"
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _load_meta(spark, path: str) -> tuple:
+    if path not in _META_CACHE:
+        r = spark.read.parquet(path + "/meta").first()
+        _META_CACHE[path] = (int(r["n"]), str(r["key"]))
+    return _META_CACHE[path]
+
+
+def _read_grams(spark, path: str) -> DataFrame:
+    """Schema-explicit read (an index saved from an empty benchmark has
+    no partition dirs, where inference would fail but an explicit
+    schema correctly yields an empty frame)."""
+    _, key = _load_meta(spark, path)
+    return spark.read.schema(
+        f"g {_gram_type(key)}, ingest_key string"
+    ).parquet(path + "/grams")
+
+
+def contamination_index_append(
+    spark,
+    path: str,
+    new_bench: DataFrame,
+    text_col: str = "text",
+    ingest_key: "str | None" = None,
+) -> None:
+    """Admit a new benchmark into the store: gram it with the STORED
+    geometry and write its distinct grams. O(batch) — existing
+    partitions are never read or rewritten; a gram that already exists
+    under another ingest_key is duplicated across partitions, which the
+    probe's semi-join membership semantics make harmless (compact by
+    re-saving if file count ever matters — benchmark suites are small).
+
+    ``ingest_key`` makes the append EFFECTIVELY-ONCE from an
+    at-least-once caller, the same dynamic-partition-overwrite
+    batch-identity trick as ``minhash_index_append``: a crash-replay
+    with the same key replaces its own earlier attempt. With ``None``
+    the write is a plain append under ``'adhoc'`` and a replay WILL
+    duplicate grams (harmless for membership, wasteful for storage)."""
+    n, key = _load_meta(spark, path)
+    grams = (
+        new_bench.select(F.explode(_gram_exprs(text_col, n, key)).alias("g"))
+        .distinct()
+        .withColumn("ingest_key", F.lit(ingest_key or "adhoc"))
+    )
+    mode = "overwrite" if ingest_key is not None else "append"
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "dynamic")
+    try:
+        grams.write.mode(mode).partitionBy("ingest_key").parquet(
+            path + "/grams"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
+def contaminated_against_index(
+    spark,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document contamination report for a training batch:
+    ``(id_col, n_contaminated_grams, is_contaminated)`` — one row per
+    input doc, zero-gram docs included (so the caller can gate on the
+    count, not just membership).
+
+    Plan: batch side explodes to per-(doc, gram) DISTINCT rows; store
+    side is distinct grams (one narrow column, broadcast candidate);
+    inner join on the gram counts hits; a left join back to the id
+    spine restores the zero rows. Nothing scans the store more than
+    once, and the batch text is grammed exactly once."""
+    n, key = _load_meta(spark, path)
+    doc_grams = docs.select(
+        id_col, F.explode(_gram_exprs(text_col, n, key)).alias("g")
+    ).distinct()
+    store = _read_grams(spark, path).select("g").distinct()
+    hits = (
+        doc_grams.join(store, "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_grams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def decontaminate_against_index(
+    spark,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every batch doc sharing ≥1 gram with the benchmark store —
+    the ACTION half of :func:`contaminated_against_index`, as a
+    left-anti join on the contaminated id set (the batch is scanned
+    once for gramming; survivors keep their full original schema)."""
+    n, key = _load_meta(spark, path)
+    doc_grams = docs.select(
+        id_col, F.explode(_gram_exprs(text_col, n, key)).alias("g")
+    ).distinct()
+    store = _read_grams(spark, path).select("g").distinct()
+    contaminated = doc_grams.join(store, "g", "left_semi").select(
+        id_col
+    ).distinct()
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+def contamination_index_stats(spark, path: str) -> DataFrame:
+    """Operational view of the store: per-ingest_key gram counts plus
+    a ``total_distinct`` row (cross-partition duplicates are the gap
+    between the sum and the distinct total — the compaction signal).
+    One narrow aggregate, same maintenance cadence as
+    ``minhash_index_stats``."""
+    g = _read_grams(spark, path)
+    per_key = g.groupBy("ingest_key").agg(
+        F.count("*").alias("n_grams")
+    )
+    total = g.select("g").distinct().groupBy().agg(
+        F.count("*").alias("n_grams")
+    ).select(F.lit("__total_distinct__").alias("ingest_key"), "n_grams")
+    return per_key.unionByName(total).orderBy("ingest_key")

@@ -6478,3 +6478,81 @@ def q_duplicate_ngram_coverage_fast(
     from sensor_data_pipeline___spark.operators import text as T
 
     return T.duplicate_ngram_coverage(_t(spark, sf_dir, "documents"), n=20)
+
+
+@_register(
+    "decontam_probe_index",
+    # Persisted-decontamination-index probe: benchmark suite = every
+    # 10th document, saved once as a distinct-8-gram store
+    # (operators/decontam.py), then the remaining docs probed against
+    # it O(batch). Unlike the minhash/IVF index twins this lifecycle
+    # is EXACT end-to-end — no hash-seeded geometry — so the oracle
+    # replays the store build itself (bench CTE) rather than an
+    # exact-mode corner of it. One row per batch doc, zero-hit docs
+    # included: the full spine rides the hash check.
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+    ), hits AS (
+      SELECT doc_id, count(*) AS n
+      FROM grams JOIN bench USING (g)
+      WHERE doc_id % 10 <> 0
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+           coalesce(h.n, 0) > 0 AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 10 <> 0
+    """,
+)
+def q_decontam_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated in key='string' mode (gram text is the store key, exactly
+    ANSI-replayable); the 100 TB default is key='xxhash64' (8-byte
+    join keys, no gram-string materialization), which a pinning test
+    holds to identical contamination sets. Same deterministic reused
+    temp path contract as near_dup_probe_exact."""
+    import os
+    import tempfile
+
+    from sensor_data_pipeline___spark.operators import decontam
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_decontam_probe_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    decontam.save_contamination_index(bench, path, n=8, key="string")
+    return decontam.contaminated_against_index(spark, path, batch)
+
+
+@_register("decontam_probe_bench")  # rows-only: xxhash64 keys
+def q_decontam_probe_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-default key mode (multi-arg xxhash64 over the token
+    window, no gram-string materialization) of decontam_probe_index —
+    benched instead of the string-keyed oracle mode; a pinning test
+    (tests/test_decontam.py::test_key_modes_agree...) holds the two
+    modes to identical contamination sets, so the oracle covers this
+    one's semantics. The figure includes the index SAVE, so the bench
+    tracks maintenance + probe as one number."""
+    import os
+    import tempfile
+
+    from sensor_data_pipeline___spark.operators import decontam
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_decontam_bench_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    decontam.save_contamination_index(bench, path, n=8, key="xxhash64")
+    return decontam.contaminated_against_index(spark, path, batch)
