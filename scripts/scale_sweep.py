@@ -92,14 +92,18 @@ def build_scaled(spark: SparkSession, src: str, dst: str, k: int) -> None:
         ).parquet(f"{dst}/{name}.parquet")
 
 
-def run_set(spark: SparkSession, sf_dir: str, reps: int) -> dict[str, float]:
+def run_set(
+    spark: SparkSession, sf_dir: str, reps: int,
+    names: "list[str] | None" = None,
+) -> dict[str, float]:
+    names = names or BENCH_QUERIES
     timings: dict[str, float] = {}
     # warmup: codegen + parquet footer caches
     QUERIES["in_list_filter"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     for _ in range(reps):
-        for name in BENCH_QUERIES:
+        for name in names:
             # construction INSIDE the timer, matching bench.py — some
             # queries (corpus_pipeline_stats) materialize eager
             # checkpoints while building; excluding that hides most of
@@ -120,7 +124,15 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--work", default="/tmp/spark_scale_sweep")
+    ap.add_argument(
+        "--queries", nargs="*", default=None,
+        help="subset of BENCH_QUERIES to sweep (default: all)",
+    )
     args = ap.parse_args()
+    names = args.queries or BENCH_QUERIES
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        ap.error(f"not registered: {unknown}")
 
     spark = get_spark("scale-sweep")
     scaled_dir = os.path.join(args.work, f"x{args.factor}")
@@ -128,11 +140,11 @@ def main() -> None:
         build_scaled(spark, args.src, scaled_dir, args.factor)
         open(os.path.join(scaled_dir, "_DONE"), "w").close()
 
-    t1 = run_set(spark, args.src, args.reps)
-    tk = run_set(spark, scaled_dir, args.reps)
+    t1 = run_set(spark, args.src, args.reps, names)
+    tk = run_set(spark, scaled_dir, args.reps, names)
 
     rows = []
-    for name in BENCH_QUERIES:
+    for name in names:
         exp = math.log(tk[name] / t1[name]) / math.log(args.factor)
         rows.append((name, t1[name], tk[name], round(exp, 2)))
     print(

@@ -44,6 +44,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators._writes import overwrite_mode
 from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
 
 #: path -> (n, key). Gram geometry is immutable for a store's lifetime
@@ -108,9 +109,15 @@ def save_contamination_index(
         .distinct()
         .withColumn("ingest_key", F.lit("base"))
     )
-    grams.write.mode("overwrite").partitionBy("ingest_key").parquet(
-        path + "/grams"
-    )
+    # STATIC overwrite: a fresh save must replace the WHOLE store —
+    # under the session's dynamic default, only the written 'base'
+    # partition would be replaced and any earlier append's
+    # ingest_key=<batch> partitions would silently keep serving
+    # (see operators/_writes.py)
+    with overwrite_mode(bench_docs.sparkSession, "static"):
+        grams.write.mode("overwrite").partitionBy("ingest_key").parquet(
+            path + "/grams"
+        )
     meta = bench_docs.sparkSession.createDataFrame(
         [(n, key)], "n int, key string"
     )
@@ -161,18 +168,12 @@ def contamination_index_append(
         .withColumn("ingest_key", F.lit(ingest_key or "adhoc"))
     )
     mode = "overwrite" if ingest_key is not None else "append"
-    conf = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf, None)
-    spark.conf.set(conf, "dynamic")
-    try:
+    # DYNAMIC, pinned (not inherited): a replay must overwrite only
+    # its own ingest_key partition (see operators/_writes.py)
+    with overwrite_mode(spark, "dynamic"):
         grams.write.mode(mode).partitionBy("ingest_key").parquet(
             path + "/grams"
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(conf)
-        else:
-            spark.conf.set(conf, prev)
 
 
 def contaminated_against_index(

@@ -25,6 +25,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators._writes import overwrite_mode
+
 # ---------------------------------------------------------------------------
 # Exact
 # ---------------------------------------------------------------------------
@@ -261,15 +263,21 @@ def save_minhash_index(
     sig = minhash_signature(
         docs, text_col, id_col, num_hashes, shingle_n
     ).withColumn("ingest_key", F.lit("base"))
-    sig.write.mode("overwrite").partitionBy("ingest_key").parquet(
-        path + "/signatures"
-    )
-    _banded_keys(
-        _read_signatures(docs.sparkSession, path, id_col),
-        id_col, num_hashes, bands, keep=("ingest_key",),
-    ).write.mode("overwrite").partitionBy("band_idx", "ingest_key").parquet(
-        path + "/bands"
-    )
+    # STATIC overwrite: a fresh save must replace the WHOLE store —
+    # under the session's dynamic default only the written 'base'
+    # partitions would be replaced, and any earlier append's
+    # ingest_key=<batch> partitions would silently keep serving their
+    # retired signatures (see operators/_writes.py)
+    with overwrite_mode(docs.sparkSession, "static"):
+        sig.write.mode("overwrite").partitionBy("ingest_key").parquet(
+            path + "/signatures"
+        )
+        _banded_keys(
+            _read_signatures(docs.sparkSession, path, id_col),
+            id_col, num_hashes, bands, keep=("ingest_key",),
+        ).write.mode("overwrite").partitionBy(
+            "band_idx", "ingest_key"
+        ).parquet(path + "/bands")
     meta = docs.sparkSession.createDataFrame(
         [(num_hashes, bands, shingle_n)],
         "num_hashes int, bands int, shingle_n int",
@@ -395,14 +403,9 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame,
         sig = sig.localCheckpoint(eager=True)
     mode = "overwrite" if ingest_key is not None else "append"
     root = _mh_root(path)
-    # pin dynamic partition overwrite for THESE writes (restore after):
-    # under the static default an "overwrite" would wipe every other
-    # batch's partitions, not just this key's own — the same guard as
-    # the bronze offset-replay writer
-    conf = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf, None)
-    spark.conf.set(conf, "dynamic")
-    try:
+    # DYNAMIC, pinned (not inherited): a replay must overwrite only
+    # its own ingest_key partitions (see operators/_writes.py)
+    with overwrite_mode(spark, "dynamic"):
         sig.write.mode(mode).partitionBy("ingest_key").parquet(
             root + "/signatures"
         )
@@ -411,11 +414,6 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame,
         ).write.mode(mode).partitionBy("band_idx", "ingest_key").parquet(
             root + "/bands"
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(conf)
-        else:
-            spark.conf.set(conf, prev)
 
 
 def minhash_index_stats(
@@ -491,17 +489,23 @@ def minhash_index_compact(
     cur = os.path.basename(root)
     n = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
     new_root = os.path.join(path, f"v{n}")
-    sig.coalesce(files_per_band).write.mode("overwrite").partitionBy(
-        "ingest_key"
-    ).parquet(new_root + "/signatures")
-    compacted = spark.read.schema(
-        f"{id_col} long, signature array<bigint>, ingest_key string"
-    ).parquet(new_root + "/signatures")
-    _banded_keys(
-        compacted, id_col, num_hashes, bands, keep=("ingest_key",)
-    ).coalesce(files_per_band).write.mode("overwrite").partitionBy(
-        "band_idx", "ingest_key"
-    ).parquet(new_root + "/bands")
+    # STATIC overwrite: the target vN may be a STALE generation left
+    # behind by a later fresh save (which resets CURRENT to the flat
+    # root without deleting old version dirs) — under the session's
+    # dynamic default its old ingest_key partitions would survive
+    # into the "new" generation (see operators/_writes.py)
+    with overwrite_mode(spark, "static"):
+        sig.coalesce(files_per_band).write.mode("overwrite").partitionBy(
+            "ingest_key"
+        ).parquet(new_root + "/signatures")
+        compacted = spark.read.schema(
+            f"{id_col} long, signature array<bigint>, ingest_key string"
+        ).parquet(new_root + "/signatures")
+        _banded_keys(
+            compacted, id_col, num_hashes, bands, keep=("ingest_key",)
+        ).coalesce(files_per_band).write.mode("overwrite").partitionBy(
+            "band_idx", "ingest_key"
+        ).parquet(new_root + "/bands")
     tmp = os.path.join(path, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(f"v{n}")

@@ -18,6 +18,8 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators._writes import overwrite_mode
+
 
 def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -580,14 +582,20 @@ def save_ivf_index(
     )
     if extra_cols:
         store = store.join(corpus.select(id_col, *extra_cols), id_col)
-    (
-        store.join(assigned, id_col)
-        .withColumn("ingest_key", F.lit("base"))
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell", "ingest_key")
-        .parquet(path + "/vectors")
-    )
+    # STATIC overwrite: a fresh save must replace the WHOLE store —
+    # under the session's dynamic default only the written
+    # (cell, 'base') partitions would be replaced, and any earlier
+    # append's ingest_key=<batch> partitions would silently keep
+    # serving retired vectors (see operators/_writes.py)
+    with overwrite_mode(corpus.sparkSession, "static"):
+        (
+            store.join(assigned, id_col)
+            .withColumn("ingest_key", F.lit("base"))
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell", "ingest_key")
+            .parquet(path + "/vectors")
+        )
 
 
 def _store_root(path: str) -> str:
@@ -694,14 +702,69 @@ def ivf_retrain(
     cents.coalesce(1).write.mode("overwrite").parquet(
         new_root + "/centroids"
     )
-    (
-        store.drop("cell")
-        .join(assigned, id_col)
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell", "ingest_key")
-        .parquet(new_root + "/vectors")
+    # STATIC overwrite: vN may be a stale generation left behind by a
+    # later fresh save (which resets CURRENT without deleting old
+    # version dirs) — dynamic would let its old partitions survive
+    with overwrite_mode(spark, "static"):
+        (
+            store.drop("cell")
+            .join(assigned, id_col)
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell", "ingest_key")
+            .parquet(new_root + "/vectors")
+        )
+    tmp = os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{n}")
+    os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic swap
+    return new_root
+
+
+def ivf_index_compact(
+    spark,
+    path: str,
+    files_per_cell: int = 1,
+) -> str:
+    """Fold an IVF store's accumulated per-batch ``ingest_key``
+    partitions into one compact generation WITHOUT retraining — the
+    cheap maintenance twin of :func:`ivf_retrain`, mirroring
+    ``minhash_index_compact``: every :func:`ivf_index_append` leaves
+    its own ``ingest_key=<key>`` subdir under every touched cell, so a
+    long-running ingest loop accumulates small files whose open/footer
+    overhead dominates probe cost at scale long before bytes do.
+    Retraining also folds, but pays centroid training + full
+    reassignment; compaction is a pure rewrite — cells, centroids,
+    quantization codes, and metadata columns are byte-identical, rows
+    just land in ``ingest_key='base'`` with ``files_per_cell`` files.
+
+    Same versioned-root protocol as retrain (complete new
+    ``path/v<N>/``, atomic ``CURRENT`` swap; crash before the swap
+    leaves the old generation serving), and the same QUIESCE contract
+    as ``minhash_index_compact``: a batch replaying its append after
+    the swap would recreate its ingest_key partition while its rows
+    are already folded into 'base' — run between triggers.
+
+    Returns the new generation's root path."""
+    root = _store_root(path)
+    store = spark.read.parquet(root + "/vectors")
+    cents = spark.read.parquet(root + "/centroids")
+    cur = os.path.basename(root)
+    n = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
+    new_root = os.path.join(path, f"v{n}")
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        new_root + "/centroids"
     )
+    # STATIC overwrite: same stale-vN argument as ivf_retrain
+    with overwrite_mode(spark, "static"):
+        (
+            store.drop("ingest_key")
+            .withColumn("ingest_key", F.lit("base"))
+            .repartition(files_per_cell, "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell", "ingest_key")
+            .parquet(new_root + "/vectors")
+        )
     tmp = os.path.join(path, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(f"v{n}")
@@ -832,18 +895,12 @@ def ivf_index_append(
         .repartition("cell")
     )
     mode = "overwrite" if ingest_key is not None else "append"
-    conf = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf, None)
-    spark.conf.set(conf, "dynamic")
-    try:
+    # DYNAMIC, pinned (not inherited): a replay must overwrite only
+    # its own ingest_key partitions (see operators/_writes.py)
+    with overwrite_mode(spark, "dynamic"):
         out.write.mode(mode).partitionBy("cell", "ingest_key").parquet(
             root + "/vectors"
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(conf)
-        else:
-            spark.conf.set(conf, prev)
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:

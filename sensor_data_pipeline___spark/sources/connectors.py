@@ -262,17 +262,13 @@ class OffsetReplaySource:
         # pin dynamic overwrite for THIS write (restore after) — under
         # the static default an "overwrite" would wipe every previous
         # batch's partition, not just this batch's own
-        conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(conf, None)
-        self.spark.conf.set(conf, "dynamic")
-        try:
+        from sensor_data_pipeline___spark.operators._writes import (
+            overwrite_mode,
+        )
+
+        with overwrite_mode(self.spark, "dynamic"):
             rows.write.mode("overwrite").partitionBy("ingest_key").parquet(
                 bronze_path
             )
-        finally:
-            if prev is None:
-                self.spark.conf.unset(conf)
-            else:
-                self.spark.conf.set(conf, prev)
         self.commit(ends)
         return n

@@ -159,3 +159,33 @@ def test_stats_track_partitions_and_distinct_total(spark, tmp_path):
     # identical benchmark appended twice: per-partition counts double
     # the distinct total — the compaction signal the docstring names
     assert rows["base"] == rows["dup"] == rows["__total_distinct__"]
+
+
+def test_fresh_save_after_append_retires_appended_grams(spark, tmp_path):
+    """Round-8 fix pin: a fresh save must STATIC-overwrite the whole
+    store — under the session's dynamic partition-overwrite default,
+    only the written 'base' partition would be replaced and an earlier
+    append's ingest_key partition would silently keep serving its
+    grams."""
+    a = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(2, "k l m n o p q r s t")], "doc_id long, text string"
+    )
+    c = spark.createDataFrame(
+        [(3, "u v w x y z aa bb cc dd")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "ix")
+    decontam.save_contamination_index(a, path, n=8, key="string")
+    decontam.contamination_index_append(spark, path, b, ingest_key="b1")
+    decontam.save_contamination_index(c, path, n=8, key="string")
+
+    rep = {
+        r.doc_id: r.is_contaminated
+        for r in decontam.contaminated_against_index(
+            spark, path, a.unionByName(b).unionByName(c)
+        ).collect()
+    }
+    # only the fresh corpus's grams are served
+    assert rep == {1: False, 2: False, 3: True}

@@ -374,3 +374,35 @@ def test_minhash_fresh_save_over_compacted_store_not_stale(spark, tmp_path):
     hits = dedup.near_dup_against_index(spark, path, probe).collect()
     found = {(r.new_id, r.corpus_id) for r in hits if r.est_jaccard == 1.0}
     assert found == {(i + 1_000, i) for i in range(20)}
+
+
+def test_minhash_fresh_save_after_append_retires_appended_docs(
+    spark, tmp_path
+):
+    """Round-8 fix pin: a fresh save must STATIC-overwrite the whole
+    store — under the session's dynamic partition-overwrite default
+    only the written 'base' partitions would be replaced, and an
+    earlier append's ingest_key partitions would keep serving their
+    retired signatures (probes would still match the old corpus)."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+
+    mk = lambda pre, base: spark.createDataFrame(
+        [(base + i, " ".join(f"{pre}{i}w{j}" for j in range(24)))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(mk("x", 0), path)
+    dedup.minhash_index_append(spark, path, mk("y", 10), ingest_key="b1")
+    dedup.save_minhash_index(mk("z", 20), path)  # fresh store
+
+    stale = dedup.near_dup_against_index(
+        spark, path, mk("y", 10).withColumn("doc_id", F.col("doc_id") + 1000)
+    )
+    assert stale.count() == 0  # appended docs fully retired
+    fresh = dedup.near_dup_against_index(
+        spark, path, mk("z", 20).withColumn("doc_id", F.col("doc_id") + 1000)
+    )
+    assert fresh.count() == 5  # the new corpus is served

@@ -794,3 +794,89 @@ def test_ivf_fresh_save_over_retrained_store_not_shadowed(spark, tmp_path):
     got = sim.ivf_topk_indexed(spark, p, q, k=3, nprobe=4)
     ids = {r.vec_id for r in got.collect()}
     assert ids and all(i >= 200 for i in ids)  # serves corpus B, not A
+
+
+def test_ivf_fresh_save_after_append_retires_appended_vectors(
+    spark, tmp_path
+):
+    """Round-8 fix pin: a fresh save_ivf_index must STATIC-overwrite
+    the whole vectors store — under the session's dynamic
+    partition-overwrite default only the written (cell, 'base')
+    partitions would be replaced, and an earlier append's ingest_key
+    partitions would keep serving retired vectors in every search."""
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    a = emb.filter(F.col("vec_id") < 100)
+    b = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+    c = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+
+    p = str(tmp_path / "ivf")
+    sim.save_ivf_index(a, p, ncells=4, iters=1)
+    sim.ivf_index_append(spark, p, b, ingest_key="b1")
+    sim.save_ivf_index(c, p, ncells=4, iters=1)  # fresh store
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sim.ivf_topk_indexed(spark, p, q, k=3, nprobe=4)
+    ids = {r.vec_id for r in got.collect()}
+    assert ids and all(200 <= i < 300 for i in ids)
+
+
+def test_ivf_index_compact_folds_batches_and_search_is_unchanged(
+    spark, tmp_path
+):
+    """ivf_index_compact: per-batch ingest_key partitions fold into one
+    'base' generation under a new version root; search results are
+    row-identical pre/post (same centroids, same assignments, same
+    codes) and the data-file count drops."""
+    import glob
+    import os
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    p = str(tmp_path / "ivf")
+    sim.save_ivf_index(
+        emb.filter(F.col("vec_id") < 150), p, ncells=4, iters=1
+    )
+    for i, lo in enumerate((150, 250, 350)):
+        sim.ivf_index_append(
+            spark, p,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)),
+            ingest_key=f"b{i}",
+        )
+    q = emb.filter(F.col("vec_id") < 8)
+    before = sorted(
+        map(tuple, sim.ivf_topk_indexed(spark, p, q, k=5, nprobe=4).collect())
+    )
+    files = lambda root: glob.glob(
+        os.path.join(root, "vectors", "**", "*.parquet"), recursive=True
+    )
+    n_before = len(files(sim._store_root(p)))
+
+    new_root = sim.ivf_index_compact(spark, p)
+    assert open(os.path.join(p, "CURRENT")).read().strip() == os.path.basename(
+        new_root
+    )
+    after = sorted(
+        map(tuple, sim.ivf_topk_indexed(spark, p, q, k=5, nprobe=4).collect())
+    )
+    assert after == before
+    assert len(files(new_root)) < n_before
+    # folded: exactly one ingest_key partition per populated cell
+    keys = {
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(new_root, "vectors", "*", "*"))
+        if os.path.isdir(d)
+    }
+    assert keys == {"ingest_key=base"}
+
+    # appends keep working against the compacted generation
+    sim.ivf_index_append(
+        spark, p, emb.filter(F.col("vec_id") >= 450), ingest_key="b9"
+    )
+    assert sim.ivf_topk_indexed(spark, p, q, k=5, nprobe=4).count() == len(
+        before
+    )
