@@ -27,10 +27,20 @@ index equals a from-scratch ``save_minhash_index`` build over exactly
 the admitted corpus (signatures and band keys, compared
 distributively via exceptAll).
 
+``--mode hygiene`` (round 8) composes the FULL streaming hygiene
+stack: the neardup harness plus a persisted decontamination store
+(50 benchmark docs in a token space disjoint from the corpus's) wired
+in via ``decontam_index_path``. Contamination plants (ids with
+``id % 20 == 3`` — disjoint from the near-dup plants' residue 7)
+carry one verbatim benchmark 8-gram spliced mid-document. After the
+soak it additionally ASSERTS the exact invariant: ZERO contaminated
+docs reached the clean store (decontamination has no recall knob —
+any leak is a bug, unlike the LSH miss budget).
+
 Usage::
 
     python scripts/corpus_soak_check.py [--docs-per-file 10000] \
-        [--n-files 80] [--mode exact|neardup]
+        [--n-files 80] [--mode exact|neardup|hygiene]
 """
 
 from __future__ import annotations
@@ -47,7 +57,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs-per-file", type=int, default=10_000)
     ap.add_argument("--n-files", type=int, default=80)
-    ap.add_argument("--mode", choices=("exact", "neardup"), default="exact")
+    ap.add_argument(
+        "--mode", choices=("exact", "neardup", "hygiene"), default="exact"
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -66,7 +78,7 @@ def main() -> None:
         drop = os.path.join(td, "drop")
         total = args.docs_per_file * args.n_files
         dpf = args.docs_per_file
-        if args.mode == "neardup":
+        if args.mode in ("neardup", "hygiene"):
             # distinct-vocabulary docs (near-dup detection needs real
             # shingle structure, unlike the exact mode's shared-token
             # text): 30 tokens hash-derived from a BASE id. Planted
@@ -95,6 +107,31 @@ def main() -> None:
                 )
             )
             text = F.concat_ws(" ", F.concat(toks, F.array(tail)))
+            if args.mode == "hygiene":
+                # contamination plants (disjoint from near-dup plants:
+                # residues 3 vs 7 mod 20): splice benchmark doc
+                # (id % 50)'s full 8-token text into positions 6-13 —
+                # exactly one benchmark 8-gram, in a token space
+                # ("b...") disjoint from the corpus's ("w..."), so
+                # decontam (exact) must drop ALL of them and the
+                # splice can't create accidental near-dups
+                contam = F.col("id") % 20 == 3
+                bwin = F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda j: F.concat(
+                        F.lit("b"),
+                        F.pmod(F.col("id"), F.lit(50)).cast("string"),
+                        F.lit("_"),
+                        j.cast("string"),
+                    ),
+                )
+                full = F.concat(toks, F.array(tail))
+                spliced = F.concat(
+                    F.slice(full, 1, 5), bwin, F.slice(full, 14, 17)
+                )
+                text = F.when(
+                    contam, F.concat_ws(" ", spliced)
+                ).otherwise(text)
             gen = spark.range(total).select(
                 F.col("id").alias("doc_id"),
                 text.alias("text"),
@@ -131,12 +168,23 @@ def main() -> None:
                 .repartition(args.n_files)
                 .write.json(drop)
             )
-        if args.mode == "neardup":
-            from sensor_data_pipeline___spark.operators import dedup
+        if args.mode in ("neardup", "hygiene"):
+            from sensor_data_pipeline___spark.operators import decontam, dedup
 
             idx = os.path.join(td, "mh_index")
             seed = spark.createDataFrame([], "doc_id long, text string")
             dedup.save_minhash_index(seed, idx)  # cold start
+            dix = None
+            if args.mode == "hygiene":
+                dix = os.path.join(td, "decontam_index")
+                bench_docs = spark.createDataFrame(
+                    [(k, " ".join(f"b{k}_{j}" for j in range(8)))
+                     for k in range(50)],
+                    "doc_id long, text string",
+                )
+                decontam.save_contamination_index(
+                    bench_docs, dix, n=8, key="xxhash64"
+                )
             q = sp.corpus_ingest_stream_neardup(
                 spark,
                 drop,
@@ -144,6 +192,7 @@ def main() -> None:
                 os.path.join(td, "ckpt"),
                 idx,
                 max_files_per_trigger=1,
+                decontam_index_path=dix,
             )
         else:
             q = sp.corpus_ingest_stream(
@@ -172,7 +221,7 @@ def main() -> None:
             spark.read.parquet(os.path.join(td, "out")).count()
         )
         extra = {}
-        if args.mode == "neardup":
+        if args.mode in ("neardup", "hygiene"):
             from sensor_data_pipeline___spark.operators import dedup
 
             store = spark.read.parquet(os.path.join(td, "out")).select(
@@ -191,7 +240,16 @@ def main() -> None:
             # has per-pair miss probability (1 - 0.93^8)^8 ~ 0.14%, so
             # ~5-6 of 4000 plants legitimately slip through; anything
             # beyond 1% signals a probe bug, not LSH variance.
-            n_missed = out_rows - (total - n_planted)
+            n_contam = 0
+            if args.mode == "hygiene":
+                # THE exact invariant: decontam is not probabilistic —
+                # zero contaminated docs may reach the clean store
+                contam_in_store = store.filter(
+                    F.col("doc_id") % 20 == 3
+                ).count()
+                assert contam_in_store == 0, contam_in_store
+                n_contam = total // 20
+            n_missed = out_rows - (total - n_planted - n_contam)
             assert 0 <= n_missed <= max(1, n_planted // 100), (
                 out_rows, total, n_planted, n_missed
             )
@@ -204,12 +262,15 @@ def main() -> None:
                 d2 = fs.exceptAll(inc).count()
                 assert d1 == 0 and d2 == 0, (sub, d1, d2)
             extra = {
-                "mode": "neardup",
+                "mode": args.mode,
                 "n_planted_neardups": n_planted,
                 "n_lsh_recall_misses": n_missed,
                 "store_has_no_neardups": True,
                 "index_equals_scratch_build": True,
             }
+            if args.mode == "hygiene":
+                extra["n_planted_contaminated"] = n_contam
+                extra["contaminated_in_store"] = 0
         print(
             json.dumps(
                 {

@@ -848,6 +848,7 @@ def corpus_neardup_batch_fn(
     index_path: str,
     jaccard_threshold: float = 0.8,
     max_bucket: int = 200,
+    decontam_index_path: "str | None" = None,
 ):
     """The foreachBatch body for :func:`corpus_ingest_stream_neardup`,
     exposed so tests can drive crash-replay directly (the
@@ -878,11 +879,26 @@ def corpus_neardup_batch_fn(
     At 100 TB: per-batch cost is O(batch signing) + one narrow scan of
     the band store (broadcast probe — the store is never shuffled or
     re-signed); state lives on disk, not in the streaming state store.
+
+    ``decontam_index_path`` (optional) composes the persisted
+    benchmark-decontamination store (``operators/decontam.py``) in as
+    step 0: docs sharing ≥1 word n-gram with the benchmark suite are
+    dropped BEFORE the near-dup loop, so they never occupy signatures
+    in the index or rows in the clean store. The filter is
+    deterministic (exact gram membership against a store the loop
+    never writes), so the batch's survivor set is replay-stable and
+    the effectively-once argument above is unchanged. It rides the
+    batch's one lineage-cut materialization — same action count per
+    trigger.
     """
-    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.operators import decontam, dedup
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         key = f"b{batch_id}"
+        if decontam_index_path is not None:
+            batch_df = decontam.decontaminate_against_index(
+                spark, decontam_index_path, batch_df
+            )
         # cut the streaming lineage once: the batch feeds the signing
         # pass, two join branches, and the final write
         batch = batch_df.localCheckpoint(eager=True)
@@ -922,21 +938,19 @@ def corpus_neardup_batch_fn(
             spark, index_path, survivors, ingest_key=key,
             precomputed_sig=surv_sig,
         )
-        conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(conf, None)
-        spark.conf.set(conf, "dynamic")
-        try:
+        # DYNAMIC, pinned: a replay overwrites only its own
+        # ingest_batch partition (see operators/_writes.py)
+        from sensor_data_pipeline___spark.operators._writes import (
+            overwrite_mode,
+        )
+
+        with overwrite_mode(spark, "dynamic"):
             (
                 survivors.withColumn("ingest_batch", F.lit(key))
                 .write.mode("overwrite")
                 .partitionBy("ingest_batch")
                 .parquet(out_dir)
             )
-        finally:
-            if prev is None:
-                spark.conf.unset(conf)
-            else:
-                spark.conf.set(conf, prev)
 
     return process_batch
 
@@ -955,6 +969,7 @@ def corpus_ingest_stream_neardup(
     max_bucket: int = 200,
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
+    decontam_index_path: "str | None" = None,
 ):
     """:func:`corpus_ingest_stream` with the persisted minhash index
     composed in (VERDICT r7 directive #4): the stream's exact dedup
@@ -963,7 +978,12 @@ def corpus_ingest_stream_neardup(
     runs the probe→drop→append near-dup loop against the
     :func:`save_minhash_index` store at ``index_path`` — so the clean
     store at ``out_dir`` contains no cross-batch near-duplicates and
-    the index always mirrors exactly the admitted corpus.
+    the index always mirrors exactly the admitted corpus. With
+    ``decontam_index_path`` set, the persisted benchmark n-gram store
+    (``operators/decontam.py``) is composed in ahead of the near-dup
+    loop — the full streaming hygiene stack: quality gate → exact
+    dedup (state) → benchmark decontamination (index) → near-dup
+    dedup (index) → clean store.
 
     Bootstrap: build the index first (``save_minhash_index`` on the
     seed corpus, or on an EMPTY frame of the right schema for a cold
@@ -980,7 +1000,8 @@ def corpus_ingest_stream_neardup(
     return (
         deduped.writeStream.foreachBatch(
             corpus_neardup_batch_fn(
-                spark, out_dir, index_path, jaccard_threshold, max_bucket
+                spark, out_dir, index_path, jaccard_threshold, max_bucket,
+                decontam_index_path=decontam_index_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -609,6 +609,76 @@ def test_corpus_neardup_batch_replay_is_effectively_once(spark, dirs):
     assert snap(idx + "/bands") == bands1
 
 
+def test_corpus_neardup_stream_with_decontam_index_composed(spark, dirs):
+    """The full streaming hygiene stack with BOTH persisted indexes
+    composed in: quality gate → exact dedup → benchmark
+    decontamination (decontam store) → near-dup loop (minhash store).
+    A doc sharing one 8-gram with the benchmark suite must never reach
+    the clean store OR occupy index signatures, while clean docs flow
+    through unchanged; the batch-fn replay stays effectively-once with
+    the decontam filter in the loop (it reads a store the loop never
+    writes — deterministic, so the survivor set is replay-stable)."""
+    from sensor_data_pipeline___spark.operators import decontam, dedup
+    from sensor_data_pipeline___spark.streaming.pipeline import (
+        corpus_neardup_batch_fn,
+    )
+
+    idx = os.path.join(dirs["wh"], "mh_index")
+    dix = os.path.join(dirs["wh"], "decontam_index")
+    seed = spark.createDataFrame(
+        [(1000 + i, " ".join(_corpus_words(i))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    dedup.save_minhash_index(seed, idx)
+    bench_words = _corpus_words(90)
+    bench = spark.createDataFrame(
+        [(1, " ".join(bench_words))], "doc_id long, text string"
+    )
+    decontam.save_contamination_index(bench, dix, n=8, key="xxhash64")
+
+    # doc 60: clean and fresh. doc 61: fresh vocabulary BUT contains
+    # one verbatim 8-token benchmark window -> contaminated (and NOT a
+    # near-dup of anything, so only the decontam stage can catch it).
+    w10, w11 = _corpus_words(10), _corpus_words(11)
+    contaminated = w11[:26] + bench_words[:8] + w11[26:]
+    _drop_jsonl(dirs, "b1.jsonl", [
+        _mk_doc(60, w10),
+        _mk_doc(61, contaminated),
+    ])
+    q = sp.corpus_ingest_stream_neardup(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], idx,
+        decontam_index_path=dix,
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(dirs["out"]).collect()
+    ) == [60]
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(idx + "/signatures")
+        .filter("doc_id between 60 and 99").collect()
+    ) == [60]
+
+    # replay the same composed loop directly: byte-equal store + index
+    out2 = os.path.join(dirs["wh"], "clean2")
+    batch = spark.createDataFrame(
+        [
+            (70, " ".join(_corpus_words(12)), "en", "s1"),
+            (71, " ".join(contaminated), "en", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    fn = corpus_neardup_batch_fn(
+        spark, out2, idx, decontam_index_path=dix
+    )
+    fn(batch, 9)
+    snap = lambda p: sorted(map(tuple, spark.read.parquet(p).collect()))
+    store1, sig1 = snap(out2), snap(idx + "/signatures")
+    assert sorted(r[0] for r in store1) == [70]
+    fn(batch, 9)  # full replay
+    assert snap(out2) == store1
+    assert snap(idx + "/signatures") == sig1
+
+
 def test_sensor_batch_body_job_count_is_pinned(spark, dirs):
     """VERDICT r7 directive #7: the streaming fast path's per-trigger
     cost is dominated by a fixed scheduling constant per Spark job
