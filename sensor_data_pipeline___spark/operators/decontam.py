@@ -44,6 +44,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators._local import local_df
 from sensor_data_pipeline___spark.operators._writes import overwrite_mode
 from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
 
@@ -118,8 +119,8 @@ def save_contamination_index(
         grams.write.mode("overwrite").partitionBy("ingest_key").parquet(
             path + "/grams"
         )
-    meta = bench_docs.sparkSession.createDataFrame(
-        [(n, key)], "n int, key string"
+    meta = local_df(
+        bench_docs.sparkSession, [(n, key)], "n int, key string"
     )
     meta.coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 

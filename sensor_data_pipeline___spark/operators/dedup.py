@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators._local import local_df
 from sensor_data_pipeline___spark.operators._writes import overwrite_mode
 
 # ---------------------------------------------------------------------------
@@ -278,7 +279,8 @@ def save_minhash_index(
         ).write.mode("overwrite").partitionBy(
             "band_idx", "ingest_key"
         ).parquet(path + "/bands")
-    meta = docs.sparkSession.createDataFrame(
+    meta = local_df(
+        docs.sparkSession,
         [(num_hashes, bands, shingle_n)],
         "num_hashes int, bands int, shingle_n int",
     )

@@ -297,6 +297,9 @@ def write_webdataset_shards(
     # mapInPandas is lazy — materialize the write and return the
     # manifest rows (bounded: one per tar)
     rows = manifest.collect()
-    return df.sparkSession.createDataFrame(
-        rows, "shard long, path string, n_records long, n_bytes long"
+    from sensor_data_pipeline___spark.operators._local import local_df
+
+    return local_df(
+        df.sparkSession, rows,
+        "shard long, path string, n_records long, n_bytes long",
     )

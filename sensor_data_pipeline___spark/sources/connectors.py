@@ -184,8 +184,12 @@ class OffsetReplaySource:
             )
             frames.append(df)
         if not frames:
-            return self.spark.createDataFrame(
-                [], "partition int, offset long, value string"
+            from sensor_data_pipeline___spark.operators._local import (
+                local_df,
+            )
+
+            return local_df(
+                self.spark, [], "partition int, offset long, value string"
             )
         out = frames[0]
         for f in frames[1:]:

@@ -92,7 +92,14 @@ class Warehouse:
                 schema = T.StructType(
                     list(schema.fields) + [T.StructField(part, T.DateType(), True)]
                 )
-            return self.spark.createDataFrame([], schema)
+            # local_df, not createDataFrame: even an EMPTY list-backed
+            # frame plans a Python-RDD scan that pays a worker round
+            # trip per action (operators/_local.py)
+            from sensor_data_pipeline___spark.operators._local import (
+                local_df,
+            )
+
+            return local_df(self.spark, [], schema)
         if cached_schema and table in self._write_schema:
             return self.spark.read.schema(
                 self._write_schema[table]
