@@ -18,6 +18,7 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators._local import local_df
 from sensor_data_pipeline___spark.operators._writes import overwrite_mode
 
 
@@ -630,7 +631,11 @@ def _read_centroids(spark, path: str) -> DataFrame:
         df = spark.read.parquet(root + "/centroids")
         _CENT_CACHE[root] = (df.schema, df.collect())
     schema, rows = _CENT_CACHE[root]
-    return spark.createDataFrame(rows, schema)
+    # local_df, not createDataFrame: the plain path wraps the cached
+    # rows in a Python RDD whose scan pays a Python-worker round trip
+    # on EVERY downstream action — the cache would cost more than the
+    # file read it replaces (operators/_local.py)
+    return local_df(spark, rows, schema)
 
 
 def ivf_retrain(
@@ -781,6 +786,7 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    exclude_ingest_key: "str | None" = None,
 ) -> DataFrame:
     """Approximate cosine top-k against a :func:`save_ivf_index` store.
 
@@ -789,10 +795,18 @@ def ivf_topk_indexed(
     class) and pushed as a PARTITION filter on the vectors store, so
     the scan plans only the probed cells' files; everything else
     matches :func:`ivf_topk` expression-for-expression via the shared
-    search helper."""
+    search helper.
+
+    ``exclude_ingest_key`` drops that key's partitions from the scan —
+    the replay-safety hook for the streaming ingest loop (a replayed
+    batch must probe the store state its first attempt saw, not its
+    own earlier append; same contract as ``near_dup_against_index``)."""
     cents = _read_centroids(spark, path)
     probes = _ivf_probes(queries, cents, nprobe, vec_col, id_col)
-    c = _probed_store_scan(spark, path, probes, vec_col, id_col)
+    c = _probed_store_scan(
+        spark, path, probes, vec_col, id_col,
+        exclude_ingest_key=exclude_ingest_key,
+    )
     return _ivf_cell_search(c, probes, k, id_col, round_digits)
 
 
@@ -803,6 +817,7 @@ def _probed_store_scan(
     vec_col: str,
     id_col: str,
     extra: "tuple[Column, ...]" = (),
+    exclude_ingest_key: "str | None" = None,
 ) -> DataFrame:
     """Partition-pruned scan of a :func:`save_ivf_index` vectors store
     restricted to the probed cells, with transparent dequantization —
@@ -819,6 +834,10 @@ def _probed_store_scan(
     vecs = spark.read.parquet(_store_root(path) + "/vectors").filter(
         F.col("cell").isin(cells)
     )
+    if exclude_ingest_key is not None:
+        # both filters ride the hive partition columns: the excluded
+        # key's files are pruned at planning, like the cell IN-list
+        vecs = vecs.filter(F.col("ingest_key") != exclude_ingest_key)
     if "qvec" in vecs.columns:  # quantized store: dequantize q·scale
         ce = F.transform(
             F.col("qvec"), lambda x: x.cast("double") * F.col("scale")
@@ -868,7 +887,8 @@ def ivf_index_append(
     """
     root = _store_root(path)
     cents = _read_centroids(spark, path)
-    store_cols = spark.read.parquet(root + "/vectors").columns
+    store_schema = spark.read.parquet(root + "/vectors").schema
+    store_cols = store_schema.names
     # schema-drift guard: an append missing the store's metadata
     # columns would write files whose footers lack them — later reads
     # surface or drop the column depending on which footer parquet
@@ -889,6 +909,18 @@ def ivf_index_append(
     )
     if extra_cols:
         batch = batch.join(new_vectors.select(id_col, *extra_cols), id_col)
+    # cast every appended column to the STORE's declared type — an
+    # append whose caller holds e.g. array<double> vectors against an
+    # array<float> store (the JSONL streaming reader's natural types)
+    # would otherwise write type-forked footers, and parquet reads
+    # fail or silently pick a flavor depending on footer sampling
+    types = {f.name: f.dataType for f in store_schema.fields}
+    batch = batch.select(
+        *[
+            F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+            for c in batch.columns
+        ]
+    )
     out = (
         batch.join(assigned, id_col)
         .withColumn("ingest_key", F.lit(ingest_key or "adhoc"))

@@ -1010,6 +1010,149 @@ def corpus_ingest_stream_neardup(
     )
 
 
+def vector_ingest_batch_fn(
+    spark: SparkSession,
+    index_path: str,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: "tuple[str, ...]" = (),
+):
+    """The foreachBatch body for :func:`vector_ingest_stream` — the
+    IVF twin of :func:`corpus_neardup_batch_fn`: per micro-batch, a
+    probe→drop→append loop against the persisted :func:`save_ivf_index`
+    store (for vectors the INDEX IS the clean store — it carries the
+    vectors plus metadata, so there is no separate sink).
+
+    1. probe the store for each batch vector's nearest stored neighbor
+       (top-1 cosine, ``nprobe`` cells, the batch's OWN ingest key
+       excluded — a crash-replay probes exactly the store state its
+       first attempt saw); drop batch vectors with cosine ≥
+       ``threshold`` (SemDeDup-at-ingest, same keep-the-incumbent rule
+       as the minhash loop's cross probe);
+    2. drop batch-INTERNAL near-dups cell-blocked against the STORED
+       centroids (assign → within-cell pairs → keep the smallest id —
+       the ``semantic_dedup`` rule, with the stored geometry so replay
+       is deterministic);
+    3. append the survivors under ``ingest_key=b<id>`` (dynamic
+       partition overwrite → a replay replaces its own earlier
+       attempt).
+
+    Deterministic end-to-end (stored centroids, deterministic
+    tiebreaks, self-key-excluded probe), so the loop is
+    EFFECTIVELY-ONCE from at-least-once foreachBatch. Batch vec_ids
+    must be new ids (the search's self-pair guard is id-based);
+    byte-identical redelivery is the upstream exact-dedup state's job.
+
+    At 100 TB: probe cost is bounded by probe mass (PartitionFilters
+    on the probed cells, excluded key pruned the same way); the
+    internal pair join is blocked by cell; append is O(batch). The
+    recall trade-off of ``nprobe`` < ncells is SemDeDup's published
+    one: cross-cell near-twins are missed by design."""
+    from sensor_data_pipeline___spark.operators import similarity as sim
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"b{batch_id}"
+        batch = batch_df.localCheckpoint(eager=True)
+        if not batch.take(1):
+            return
+        cross = (
+            sim.ivf_topk_indexed(
+                spark, index_path, batch, k=1, nprobe=nprobe,
+                vec_col=vec_col, id_col=id_col,
+                exclude_ingest_key=key,
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("query_id").alias(id_col))
+            .distinct()
+        )
+        cents = sim._read_centroids(spark, index_path)
+        blocked = batch.join(
+            sim.ivf_assign(batch, cents, vec_col=vec_col, id_col=id_col),
+            id_col,
+        )
+        internal = (
+            sim.near_dup_pairs(
+                blocked, "cell", threshold=threshold, vec_col=vec_col,
+                id_col=id_col,
+            )
+            .select(F.col("vec_b").alias(id_col))
+            .distinct()
+        )
+        drop = cross.unionByName(internal).distinct()
+        survivors = batch.join(drop, id_col, "left_anti")
+        sim.ivf_index_append(
+            spark, index_path, survivors, vec_col=vec_col, id_col=id_col,
+            extra_cols=extra_cols, ingest_key=key,
+        )
+
+    return process_batch
+
+
+def vector_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    watermark: str = "1 day",
+    extra_cols: "tuple[str, ...]" = (),
+    trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming embedding ingest with the persisted IVF index as the
+    sink — the vector counterpart of :func:`corpus_ingest_stream_neardup`,
+    completing the lifecycle symmetry: both index families now have a
+    streaming probe→drop→append caller for their effectively-once
+    appends.
+
+    JSONL drop directory (``vec_id bigint, embedding array<double>,
+    label int, fetched_at timestamp``) → validity gate (non-null,
+    finite components) → watermark-bounded exact dedup on the content
+    hash (``xxhash64(embedding)`` — constant-width state, the same
+    bounded-state argument as ``corpus_ingest_stream``) → the
+    :func:`vector_ingest_batch_fn` semantic loop.
+
+    Bootstrap: ``save_ivf_index`` on a seed corpus first — the stored
+    centroids are the batch loop's geometry (a cold start needs at
+    least enough seed vectors to train them)."""
+    reader = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>, label int, "
+        "fetched_at timestamp"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    vecs = reader.json(src_dir)
+    finite = F.forall(
+        "embedding", lambda x: x.isNotNull() & ~F.isnan(x)
+    )
+    gated = vecs.filter(
+        F.col("embedding").isNotNull()
+        & F.col("fetched_at").isNotNull()
+        & (F.size("embedding") > 0)
+        & finite
+    )
+    deduped = (
+        gated.withColumn("content_h", F.xxhash64("embedding"))
+        .withWatermark("fetched_at", watermark)
+        .dropDuplicatesWithinWatermark(["content_h"])
+        .drop("content_h")
+    )
+    return (
+        deduped.writeStream.foreachBatch(
+            vector_ingest_batch_fn(
+                spark, index_path, threshold, nprobe,
+                extra_cols=extra_cols,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def sketch_psi_drift_stream(
     spark: SparkSession,
     drop_dir: str,

@@ -679,7 +679,140 @@ def test_corpus_neardup_stream_with_decontam_index_composed(spark, dirs):
     assert snap(idx + "/signatures") == sig1
 
 
-def test_sensor_batch_body_job_count_is_pinned(spark, dirs):
+def _vec_rows(emb_df, ids, new_base, scale=1.0):
+    """Re-id (and optionally rescale) embedding rows as JSONL dicts.
+    Scaling preserves cosine EXACTLY (scalar multiples), so a scaled
+    copy is a semantic near-dup with a different content hash — it
+    passes the stream's exact dedup and must be caught by the index
+    probe."""
+    from pyspark.sql import functions as F
+
+    rows = emb_df.filter(F.col("vec_id").isin(ids)).collect()
+    return [
+        {
+            "vec_id": new_base + i,
+            "embedding": [float(x) * scale for x in r.embedding],
+            "label": int(r.label),
+            "fetched_at": "2024-01-01T00:00:00Z",
+        }
+        for i, r in enumerate(sorted(rows, key=lambda r: r.vec_id))
+    ]
+
+
+def test_vector_ingest_stream_probe_drop_append(spark, dirs):
+    """The IVF twin of the corpus near-dup ingest: streaming embedding
+    batches probe the persisted store (semantic near-dups to stored
+    vectors dropped), dedup internally cell-blocked (smallest id
+    kept), and append survivors effectively-once. Exactness via
+    nprobe == ncells; scaled copies (cosine exactly 1.0, different
+    bytes) are the plants, so the exact-dedup state can't mask the
+    semantic path."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
+    idx = os.path.join(dirs["wh"], "ivf_index")
+    sim.save_ivf_index(
+        emb.filter(F.col("vec_id") < 100), idx, ncells=4, iters=1
+    )
+
+    # b1: two fresh vectors (copies of 200/201 under new ids), one
+    # scaled copy of SEED vector 5 (cross near-dup -> dropped), one
+    # scaled copy of fresh vector 200 (internal near-dup -> larger id
+    # dropped)
+    b1 = (
+        _vec_rows(emb, [200, 201], 1000)        # 1000, 1001 fresh
+        + _vec_rows(emb, [5], 1100, scale=1.5)  # 1100 cross near-dup
+        + _vec_rows(emb, [200], 1200, scale=2.0)  # 1200 internal dup of 1000
+    )
+    _drop_jsonl(dirs, "v1.jsonl", b1)
+    q = sp.vector_ingest_stream(
+        spark, dirs["drop"], dirs["ckpt"], idx, threshold=0.95, nprobe=4
+    )
+    q.awaitTermination(120)
+    stored = {
+        r.vec_id
+        for r in spark.read.parquet(idx + "/vectors")
+        .filter("vec_id >= 1000").collect()
+    }
+    assert stored == {1000, 1001}
+
+    # b2: a scaled copy of b1-ADMITTED 1001 (cross-BATCH near-dup) +
+    # one fresh vector
+    b2 = _vec_rows(emb, [201], 2000, scale=3.0) + _vec_rows(
+        emb, [300], 2100
+    )
+    _drop_jsonl(dirs, "v2.jsonl", b2)
+    q = sp.vector_ingest_stream(
+        spark, dirs["drop"], dirs["ckpt"], idx, threshold=0.95, nprobe=4
+    )
+    q.awaitTermination(120)
+    store = spark.read.parquet(idx + "/vectors").filter("vec_id >= 1000")
+    assert {r.vec_id for r in store.collect()} == {1000, 1001, 2100}
+
+    # every appended row's cell matches assignment against the STORED
+    # centroids (search semantics over appended rows == rebuilt-index
+    # semantics)
+    cents = sim._read_centroids(spark, idx)
+    want = {
+        (r.vec_id, r.cell)
+        for r in sim.ivf_assign(
+            store.select("vec_id", "embedding"), cents
+        ).collect()
+    }
+    assert {(r.vec_id, r.cell) for r in store.collect()} == want
+
+
+def test_vector_ingest_batch_replay_is_effectively_once(spark, dirs):
+    """Replaying the same micro-batch (same batch_id) after its first
+    attempt fully landed leaves the index byte-equal: the
+    self-ingest-key-excluded probe sees the pre-append store state, so
+    the replay admits the same survivors and overwrites only its own
+    partitions."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+    from sensor_data_pipeline___spark.streaming.pipeline import (
+        vector_ingest_batch_fn,
+    )
+
+    emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
+    idx = os.path.join(dirs["wh"], "ivf_index")
+    sim.save_ivf_index(
+        emb.filter(F.col("vec_id") < 100), idx, ncells=4, iters=1
+    )
+    batch = (
+        emb.filter(F.col("vec_id").isin([200, 7]))
+        .withColumn(
+            "vec_id",
+            F.when(F.col("vec_id") == 200, F.lit(5000)).otherwise(
+                F.lit(5001)
+            ),
+        )
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") == 5001,
+                F.transform("embedding", lambda x: x * F.lit(1.25)),
+            ).otherwise(F.col("embedding")),
+        )
+    )
+    fn = vector_ingest_batch_fn(spark, idx, threshold=0.95, nprobe=4)
+    fn(batch, 7)
+    snap = lambda: sorted(
+        map(
+            tuple,
+            spark.read.parquet(idx + "/vectors")
+            .filter("vec_id >= 5000").collect(),
+        )
+    )
+    s1 = snap()
+    assert [r[0] for r in s1] == [5000]  # 5001 = scaled seed 7, dropped
+    fn(batch, 7)  # full replay
+    assert snap() == s1
     """VERDICT r7 directive #7: the streaming fast path's per-trigger
     cost is dominated by a fixed scheduling constant per Spark job
     (~150 ms on the bench host), so the batch body's job count IS the
