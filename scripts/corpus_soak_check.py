@@ -60,6 +60,14 @@ def main() -> None:
     ap.add_argument(
         "--mode", choices=("exact", "neardup", "hygiene"), default="exact"
     )
+    ap.add_argument(
+        "--maintenance-every",
+        type=int,
+        default=None,
+        help="neardup/hygiene: run minhash_maintenance every N batches "
+        "(compact_after_keys=N, so roughly every tick compacts) — the "
+        "in-loop index-maintenance soak",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -185,6 +193,11 @@ def main() -> None:
                 decontam.save_contamination_index(
                     bench_docs, dix, n=8, key="xxhash64"
                 )
+            mk = (
+                {"compact_after_keys": args.maintenance_every}
+                if args.maintenance_every
+                else None
+            )
             q = sp.corpus_ingest_stream_neardup(
                 spark,
                 drop,
@@ -193,6 +206,8 @@ def main() -> None:
                 idx,
                 max_files_per_trigger=1,
                 decontam_index_path=dix,
+                maintenance_every=args.maintenance_every,
+                maintenance_kwargs=mk,
             )
         else:
             q = sp.corpus_ingest_stream(
@@ -255,8 +270,9 @@ def main() -> None:
             )
             scratch = os.path.join(td, "mh_scratch")
             dedup.save_minhash_index(store, scratch)
+            root = dedup._mh_root(idx)  # CURRENT generation (post-compact)
             for sub in ("/signatures", "/bands"):
-                inc = spark.read.parquet(idx + sub).drop("ingest_key")
+                inc = spark.read.parquet(root + sub).drop("ingest_key")
                 fs = spark.read.parquet(scratch + sub).drop("ingest_key")
                 d1 = inc.exceptAll(fs).count()
                 d2 = fs.exceptAll(inc).count()
@@ -271,6 +287,18 @@ def main() -> None:
             if args.mode == "hygiene":
                 extra["n_planted_contaminated"] = n_contam
                 extra["contaminated_in_store"] = 0
+            if args.maintenance_every:
+                import glob as _glob
+
+                extra["maintenance_every"] = args.maintenance_every
+                extra["final_generation"] = os.path.basename(root)
+                extra["band_files_current_gen"] = len(
+                    _glob.glob(root + "/bands/*/*/*.parquet")
+                )
+                extra["ingest_keys_current_gen"] = (
+                    spark.read.parquet(root + "/signatures")
+                    .select("ingest_key").distinct().count()
+                )
         print(
             json.dumps(
                 {

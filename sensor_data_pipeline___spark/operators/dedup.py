@@ -479,6 +479,12 @@ def minhash_index_compact(
     new generation while its rows are already folded into 'base' —
     duplicate signatures. Run on the maintenance cadence between
     triggers (the same contract as compacting any changelog sink).
+    The streaming ingest loop satisfies this two ways: its
+    ``maintenance_every`` tick runs inside the single writer's batch
+    body (no concurrent append by construction), and its identity gate
+    (``corpus_neardup_batch_fn``) drops already-indexed ids on a
+    crash-replay across the swap — the one interleaving the cadence
+    alone can't exclude.
 
     Returns the new generation's root path."""
     num_hashes, bands, _ = _load_minhash_meta(spark, path)
@@ -513,6 +519,49 @@ def minhash_index_compact(
         f.write(f"v{n}")
     os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic swap
     return new_root
+
+
+def minhash_maintenance(
+    spark,
+    path: str,
+    compact_after_keys: int = 16,
+    files_per_band: int = 1,
+    id_col: str = "doc_id",
+) -> dict:
+    """The maintenance POLICY over a :func:`save_minhash_index` store —
+    the dedup twin of ``similarity.ivf_maintenance``, minus retrain
+    (band geometry is fixed at save time; there are no centroids to
+    drift): if the store has accumulated > ``compact_after_keys``
+    per-append ``ingest_key`` partitions (each band fans every batch
+    key into its own directory of tiny files, so probe cost grows with
+    batch COUNT via footer/open overhead, not with bytes), run
+    :func:`minhash_index_compact`; else do nothing.
+
+    One call per maintenance tick. Safe inside the single writer's
+    ``foreachBatch`` body (``corpus_neardup_batch_fn``'s
+    ``maintenance_every``): that caller's identity gate drops
+    already-indexed ids on a crash-replay, which is exactly the window
+    the compact docstring's quiesce contract warns about.
+
+    The decision input is one bounded aggregate over the signature
+    table's partition-value column (directory names, not data pages).
+
+    Returns ``{"action": "compact"|"none", "n_ingest_keys": int,
+    "new_root": str | None}``.
+    """
+    n_keys = (
+        spark.read.parquet(_mh_root(path) + "/signatures")
+        .select("ingest_key")
+        .distinct()
+        .count()
+    )
+    out = {"action": "none", "n_ingest_keys": n_keys, "new_root": None}
+    if n_keys > compact_after_keys:
+        out["action"] = "compact"
+        out["new_root"] = minhash_index_compact(
+            spark, path, id_col=id_col, files_per_band=files_per_band
+        )
+    return out
 
 
 def sign_for_index(

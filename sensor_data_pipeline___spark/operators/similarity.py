@@ -978,6 +978,83 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+def ivf_maintenance(
+    spark,
+    path: str,
+    retrain_balance: float = 4.0,
+    compact_after_keys: int = 16,
+    files_per_cell: int = 1,
+    iters: int = 1,
+    seed: int = 42,
+    sample_mod: "int | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """The maintenance POLICY over a :func:`save_ivf_index` store —
+    the decision layer the lifecycle pieces were built for:
+    :func:`ivf_index_stats` measures, this chooses, :func:`ivf_retrain`
+    / :func:`ivf_index_compact` act. One call per maintenance tick
+    (e.g. every N micro-batches of a streaming ingest loop):
+
+    1. if the worst cell balance ≥ ``retrain_balance`` (probes against
+       that cell pay ≥ retrain_balance × the uniform cost), RETRAIN —
+       the expensive fix, new centroids + full reassignment;
+    2. else if the store has accumulated > ``compact_after_keys``
+       ingest-key partitions (per-append small files whose footer/open
+       overhead grows linearly with batch count), COMPACT — the cheap
+       rewrite; retrain folds too, so it subsumes a due compaction;
+    3. else do nothing.
+
+    Both actions write a complete new version + atomic ``CURRENT``
+    swap (crash-safe; in-flight readers keep the version they
+    resolved). Compaction's quiesce contract (no concurrent append
+    replay) is satisfied by construction when this runs inside the
+    single writer's ``foreachBatch`` body — and even a crash BETWEEN
+    the maintenance swap and the checkpoint commit stays
+    effectively-once: the streaming caller's identity gate
+    (``vector_ingest_batch_fn``'s id anti-join against the store,
+    pruned to the batch's own cells) drops every already-folded row,
+    so the replay appends nothing (pinned in
+    ``test_vector_ingest_replay_after_compaction_adds_nothing``).
+
+    Decision inputs are bounded driver scalars: the stats aggregate is
+    ncells rows; the key census reads the partition-VALUE column only
+    (directory names, not data pages).
+
+    Returns ``{"action": "retrain"|"compact"|"none", "worst_balance":
+    float, "n_ingest_keys": int, "new_root": str | None}``.
+    """
+    stats = ivf_index_stats(spark, path).agg(
+        F.max("balance").alias("worst")
+    ).collect()
+    worst = float(stats[0]["worst"] or 0.0)
+    root = _store_root(path)
+    n_keys = (
+        spark.read.parquet(root + "/vectors")
+        .select("ingest_key")
+        .distinct()
+        .count()
+    )
+    out = {
+        "action": "none",
+        "worst_balance": worst,
+        "n_ingest_keys": n_keys,
+        "new_root": None,
+    }
+    if worst >= retrain_balance:
+        out["action"] = "retrain"
+        out["new_root"] = ivf_retrain(
+            spark, path, iters=iters, vec_col=vec_col, id_col=id_col,
+            seed=seed, sample_mod=sample_mod,
+        )
+    elif n_keys > compact_after_keys:
+        out["action"] = "compact"
+        out["new_root"] = ivf_index_compact(
+            spark, path, files_per_cell=files_per_cell
+        )
+    return out
+
+
 def quantize_embeddings(
     corpus: DataFrame,
     vec_col: str = "embedding",

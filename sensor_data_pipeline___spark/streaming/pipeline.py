@@ -849,6 +849,8 @@ def corpus_neardup_batch_fn(
     jaccard_threshold: float = 0.8,
     max_bucket: int = 200,
     decontam_index_path: "str | None" = None,
+    maintenance_every: "int | None" = None,
+    maintenance_kwargs: "dict | None" = None,
 ):
     """The foreachBatch body for :func:`corpus_ingest_stream_neardup`,
     exposed so tests can drive crash-replay directly (the
@@ -875,6 +877,30 @@ def corpus_neardup_batch_fn(
     from Structured Streaming's at-least-once foreachBatch: any replay
     recomputes the identical survivor set (deterministic signatures +
     self-key-excluded probe) and overwrites only its own partitions.
+
+    The INDEX append additionally rides an identity gate: survivor ids
+    already present in the band store are dropped before the append
+    (one narrow id-column scan, broadcast-semi-joined with the batch —
+    cheaper than the band probe the batch already pays for; the gate
+    reads BANDS, the append's second write, so a torn append re-runs
+    instead of freezing). Key overwrite alone can't survive a
+    MAINTENANCE compaction landing between the append and the
+    checkpoint commit — the folded rows lose the batch key, and the
+    probe can never re-find them (same-id pairs are excluded from
+    candidates by design) — so without the gate a replay would append
+    the whole batch a second time under a fresh key. The CLEAN-STORE
+    write stays gate-free on purpose: it is computed from the full
+    survivor set every time, so a replay heals the
+    crashed-between-the-two-writes window (index rows landed, clean
+    rows didn't) instead of skipping it.
+
+    ``maintenance_every=N`` runs :func:`dedup.minhash_maintenance`
+    after every Nth batch (``maintenance_kwargs`` forwarded, e.g.
+    ``compact_after_keys``): the single-writer foreachBatch body is
+    the quiesce point the compact docstring asks for, and the identity
+    gate above is what keeps a crash-replay across the swap
+    effectively-once (pinned in
+    ``test_corpus_neardup_replay_after_compaction_adds_nothing``).
 
     At 100 TB: per-batch cost is O(batch signing) + one narrow scan of
     the band store (broadcast probe — the store is never shuffled or
@@ -933,9 +959,26 @@ def corpus_neardup_batch_fn(
         survivors = batch.join(
             drop, "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
-        surv_sig = sig.join(survivors.select("doc_id"), "doc_id")
+        # identity gate, INDEX append only (see docstring): ids this
+        # batch's earlier attempt already appended — under its own key
+        # or folded to 'base' by a maintenance compaction — must not
+        # be re-signed into a second partition. Gate on the BANDS
+        # table, the append's SECOND write: a crash between the
+        # signature write and the band write leaves ids visible in
+        # signatures only, and gating on bands makes that torn replay
+        # re-run the full append (same-key dynamic overwrite replaces
+        # the orphaned signature partition) instead of freezing the
+        # tear. Narrow id-column scan, batch side broadcast.
+        seen = (
+            dedup._read_bands(spark, index_path, "doc_id")
+            .select("doc_id")
+            .join(F.broadcast(survivors.select("doc_id")), "doc_id")
+            .distinct()
+        )
+        fresh = survivors.join(F.broadcast(seen), "doc_id", "left_anti")
+        surv_sig = sig.join(fresh.select("doc_id"), "doc_id")
         dedup.minhash_index_append(
-            spark, index_path, survivors, ingest_key=key,
+            spark, index_path, fresh, ingest_key=key,
             precomputed_sig=surv_sig,
         )
         # DYNAMIC, pinned: a replay overwrites only its own
@@ -950,6 +993,10 @@ def corpus_neardup_batch_fn(
                 .write.mode("overwrite")
                 .partitionBy("ingest_batch")
                 .parquet(out_dir)
+            )
+        if maintenance_every and (batch_id + 1) % maintenance_every == 0:
+            dedup.minhash_maintenance(
+                spark, index_path, **(maintenance_kwargs or {})
             )
 
     return process_batch
@@ -970,6 +1017,8 @@ def corpus_ingest_stream_neardup(
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
     decontam_index_path: "str | None" = None,
+    maintenance_every: "int | None" = None,
+    maintenance_kwargs: "dict | None" = None,
 ):
     """:func:`corpus_ingest_stream` with the persisted minhash index
     composed in (VERDICT r7 directive #4): the stream's exact dedup
@@ -1002,6 +1051,8 @@ def corpus_ingest_stream_neardup(
             corpus_neardup_batch_fn(
                 spark, out_dir, index_path, jaccard_threshold, max_bucket,
                 decontam_index_path=decontam_index_path,
+                maintenance_every=maintenance_every,
+                maintenance_kwargs=maintenance_kwargs,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -1018,6 +1069,8 @@ def vector_ingest_batch_fn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     extra_cols: "tuple[str, ...]" = (),
+    maintenance_every: "int | None" = None,
+    maintenance_kwargs: "dict | None" = None,
 ):
     """The foreachBatch body for :func:`vector_ingest_stream` — the
     IVF twin of :func:`corpus_neardup_batch_fn`: per micro-batch, a
@@ -1049,12 +1102,58 @@ def vector_ingest_batch_fn(
     on the probed cells, excluded key pruned the same way); the
     internal pair join is blocked by cell; append is O(batch). The
     recall trade-off of ``nprobe`` < ncells is SemDeDup's published
-    one: cross-cell near-twins are missed by design."""
+    one: cross-cell near-twins are missed by design.
+
+    Effectively-once is IDENTITY-based, not key-based alone: before
+    the cosine probe, the batch is anti-joined against the ids already
+    in the store (scan pruned to the batch's own assigned cells —
+    PartitionFilters, O(batch cells) not O(corpus)). The key-partition
+    overwrite already makes a plain replay idempotent; the id
+    anti-join is what survives MAINTENANCE in the crash window — a
+    compaction/retrain that folds the first attempt's rows under a new
+    generation's ``base`` key strips them of the batch key, and the
+    cosine probe can never re-find them (same-id pairs are excluded
+    from ranking by design), so without the identity check a replay
+    would re-append the whole batch. It also gives record-level
+    at-least-once safety: a source that re-delivers individual rows
+    (not just whole batches) can't duplicate a ``vec_id``.
+
+    ``maintenance_every=N`` runs :func:`similarity.ivf_maintenance`
+    after every Nth batch's append (``maintenance_kwargs`` forwarded:
+    retrain_balance / compact_after_keys / sample_mod...), closing the
+    loop the policy was built for: the single-writer foreachBatch body
+    IS the quiesce point compaction's contract asks for. Replay-safe
+    per the identity check above (pinned in
+    ``test_vector_ingest_replay_after_compaction_adds_nothing``), and
+    a re-triggered maintenance tick is idempotent (compacting a
+    one-generation store is a no-op decision; a second retrain just
+    writes another equivalent version)."""
     from sensor_data_pipeline___spark.operators import similarity as sim
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         key = f"b{batch_id}"
         batch = batch_df.localCheckpoint(eager=True)
+        if not batch.take(1):
+            return
+        cents = sim._read_centroids(spark, index_path)
+        assigned = sim.ivf_assign(batch, cents, vec_col=vec_col, id_col=id_col)
+        # identity gate (see docstring): ids already persisted — this
+        # batch's own earlier attempt, possibly folded under 'base' by
+        # a maintenance tick — are dropped before the cosine probe.
+        # The store scan is pruned to the batch's own cells (a
+        # replayed row's folded copy sits in its assignment cell: same
+        # centroids => same cell), and only the id column is read.
+        cells = sorted(
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        )
+        seen = (
+            spark.read.parquet(sim._store_root(index_path) + "/vectors")
+            .filter(F.col("cell").isin(cells))
+            .select(id_col)
+        )
+        batch = batch.join(seen, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
         if not batch.take(1):
             return
         cross = (
@@ -1067,7 +1166,6 @@ def vector_ingest_batch_fn(
             .select(F.col("query_id").alias(id_col))
             .distinct()
         )
-        cents = sim._read_centroids(spark, index_path)
         blocked = batch.join(
             sim.ivf_assign(batch, cents, vec_col=vec_col, id_col=id_col),
             id_col,
@@ -1086,6 +1184,11 @@ def vector_ingest_batch_fn(
             spark, index_path, survivors, vec_col=vec_col, id_col=id_col,
             extra_cols=extra_cols, ingest_key=key,
         )
+        if maintenance_every and (batch_id + 1) % maintenance_every == 0:
+            sim.ivf_maintenance(
+                spark, index_path, vec_col=vec_col, id_col=id_col,
+                **(maintenance_kwargs or {}),
+            )
 
     return process_batch
 
@@ -1101,6 +1204,8 @@ def vector_ingest_stream(
     extra_cols: "tuple[str, ...]" = (),
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
+    maintenance_every: "int | None" = None,
+    maintenance_kwargs: "dict | None" = None,
 ):
     """Streaming embedding ingest with the persisted IVF index as the
     sink — the vector counterpart of :func:`corpus_ingest_stream_neardup`,
@@ -1145,6 +1250,8 @@ def vector_ingest_stream(
             vector_ingest_batch_fn(
                 spark, index_path, threshold, nprobe,
                 extra_cols=extra_cols,
+                maintenance_every=maintenance_every,
+                maintenance_kwargs=maintenance_kwargs,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

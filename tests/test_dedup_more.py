@@ -406,3 +406,47 @@ def test_minhash_fresh_save_after_append_retires_appended_docs(
         spark, path, mk("z", 20).withColumn("doc_id", F.col("doc_id") + 1000)
     )
     assert fresh.count() == 5  # the new corpus is served
+
+
+def test_minhash_maintenance_policy_chooses_and_acts(spark, tmp_path):
+    """minhash_maintenance is the decision layer over the compact
+    lifecycle (the dedup twin of ivf_maintenance, minus retrain):
+    fresh store -> none; accumulated append keys past the threshold ->
+    compact, with probe results row-identical across the swap; the
+    post-compact tick is a no-op again."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 200), path)
+
+    out = dedup.minhash_maintenance(spark, path)
+    assert out == {"action": "none", "n_ingest_keys": 1, "new_root": None}
+
+    for i, lo in enumerate((200, 260, 320)):
+        dedup.minhash_index_append(
+            spark, path,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 60)),
+            ingest_key=f"b{i}",
+        )
+    probe = docs.filter(F.col("doc_id") < 380).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    before = sorted(
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in dedup.near_dup_against_index(spark, path, probe).collect()
+    )
+    out = dedup.minhash_maintenance(spark, path, compact_after_keys=2)
+    assert out["action"] == "compact" and out["n_ingest_keys"] == 4
+    assert dedup._mh_root(path) == out["new_root"]
+    after = sorted(
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in dedup.near_dup_against_index(spark, path, probe).collect()
+    )
+    assert after == before
+    assert dedup.minhash_maintenance(
+        spark, path, compact_after_keys=2
+    )["action"] == "none"

@@ -880,3 +880,85 @@ def test_ivf_index_compact_folds_batches_and_search_is_unchanged(
     assert sim.ivf_topk_indexed(spark, p, q, k=5, nprobe=4).count() == len(
         before
     )
+
+
+def test_ivf_maintenance_policy_chooses_and_acts(spark, tmp_path):
+    """ivf_maintenance is the decision layer over the lifecycle ops:
+    healthy store -> none; many append keys, balanced -> compact
+    (search row-identical); drifted balance -> retrain (worst balance
+    improves), and retrain WINS over a simultaneously-due compaction
+    (it folds too, so the expensive fix subsumes the cheap one)."""
+    import os
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", SF)
+    p = str(tmp_path / "ivf")
+    sim.save_ivf_index(
+        emb.filter(F.col("vec_id") < 200), p, ncells=4, iters=1
+    )
+
+    # fresh store: nothing due
+    out = sim.ivf_maintenance(spark, p)
+    assert out["action"] == "none" and out["new_root"] is None
+    assert out["n_ingest_keys"] == 1
+
+    # same-distribution appends under 3 keys: compaction due at
+    # compact_after_keys=2, balance untouched -> compact, and the
+    # compacted generation serves identical search results
+    for i, lo in enumerate((200, 300, 400)):
+        sim.ivf_index_append(
+            spark, p,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)),
+            ingest_key=f"b{i}",
+        )
+    q = emb.filter(F.col("vec_id") < 8)
+    before = sorted(
+        map(tuple, sim.ivf_topk_indexed(spark, p, q, k=5, nprobe=4).collect())
+    )
+    out = sim.ivf_maintenance(
+        spark, p, retrain_balance=1e9, compact_after_keys=2
+    )
+    assert out["action"] == "compact"
+    assert out["n_ingest_keys"] == 4
+    assert open(os.path.join(p, "CURRENT")).read().strip() == os.path.basename(
+        out["new_root"]
+    )
+    after = sorted(
+        map(tuple, sim.ivf_topk_indexed(spark, p, q, k=5, nprobe=4).collect())
+    )
+    assert after == before
+    # post-compaction tick: one key again, nothing due
+    assert sim.ivf_maintenance(
+        spark, p, retrain_balance=1e9, compact_after_keys=2
+    )["action"] == "none"
+
+    # drift the store: off-distribution mass under MANY keys -> both
+    # triggers fire, retrain wins and restores balance
+    drift = (
+        sim.synthetic_mixture_corpus(spark, 2_000, n_labels=4, seed=99)
+        .drop("label")
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+    for i in range(3):
+        sim.ivf_index_append(
+            spark, p,
+            drift.filter(F.pmod("vec_id", F.lit(3)) == i),
+            ingest_key=f"d{i}",
+        )
+    worst_before = max(
+        r["balance"] for r in sim.ivf_index_stats(spark, p).collect()
+    )
+    out = sim.ivf_maintenance(
+        spark, p, retrain_balance=worst_before - 0.1, compact_after_keys=2
+    )
+    assert out["action"] == "retrain"
+    assert out["worst_balance"] == pytest.approx(worst_before)
+    worst_after = max(
+        r["balance"] for r in sim.ivf_index_stats(spark, p).collect()
+    )
+    assert worst_after < worst_before
+    # row conservation across the whole episode
+    stats = sim.ivf_index_stats(spark, p).collect()
+    assert sum(r["n_vectors"] for r in stats) == 200 + 3 * 50 + 2_000

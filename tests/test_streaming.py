@@ -849,3 +849,209 @@ def test_vector_ingest_batch_replay_is_effectively_once(spark, dirs):
         n_jobs = len(sc.statusTracker().getJobIdsForGroup("steady-pin"))
         sc.setJobGroup(None, None)
     assert 0 < n_jobs <= 11, n_jobs
+
+
+def test_vector_ingest_replay_after_compaction_adds_nothing(spark, dirs):
+    """The crash window ivf_maintenance's docstring argues about: batch
+    lands -> compaction folds its ingest_key into 'base' -> crash
+    BEFORE the checkpoint commit -> full replay. Key-partition
+    overwrite can't save this replay (the folded copies no longer
+    carry the batch key) and the cosine probe can't either (same-id
+    pairs are excluded from ranking) — the IDENTITY gate is what
+    holds: the replay's id anti-join against the store finds every
+    batch vec_id already present and appends nothing; the store is
+    unchanged. Effectively-once survives maintenance."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+    from sensor_data_pipeline___spark.streaming.pipeline import (
+        vector_ingest_batch_fn,
+    )
+
+    emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
+    idx = os.path.join(dirs["wh"], "ivf_index")
+    sim.save_ivf_index(
+        emb.filter(F.col("vec_id") < 100), idx, ncells=4, iters=1
+    )
+    batch = emb.filter(F.col("vec_id").isin([200, 201, 202])).withColumn(
+        "vec_id", F.col("vec_id") + 5000
+    )
+    fn = vector_ingest_batch_fn(spark, idx, threshold=0.95, nprobe=4)
+    fn(batch, 3)
+    sim.ivf_index_compact(spark, idx)
+    snap = lambda: sorted(
+        map(
+            tuple,
+            spark.read.parquet(sim._store_root(idx) + "/vectors")
+            .drop("ingest_key").collect(),
+        )
+    )
+    s1 = snap()
+    assert len([t for t in s1 if t[0] >= 5000]) == 3
+    fn(batch, 3)  # full replay against the compacted generation
+    assert snap() == s1
+
+
+def test_vector_ingest_stream_runs_maintenance_on_cadence(spark, dirs):
+    """maintenance_every composes the policy into the streaming loop:
+    with compact_after_keys=1 and a per-file trigger, the second
+    batch's tick compacts the store (CURRENT advances, keys fold to
+    'base') while admitted vectors and search semantics are
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+
+    emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
+    idx = os.path.join(dirs["wh"], "ivf_index")
+    sim.save_ivf_index(
+        emb.filter(F.col("vec_id") < 100), idx, ncells=4, iters=1
+    )
+    _drop_jsonl(dirs, "v1.jsonl", _vec_rows(emb, [200, 201], 1000))
+    _drop_jsonl(dirs, "v2.jsonl", _vec_rows(emb, [300, 301], 2000))
+    q = sp.vector_ingest_stream(
+        spark, dirs["drop"], dirs["ckpt"], idx, threshold=0.95, nprobe=4,
+        max_files_per_trigger=1,
+        maintenance_every=2,
+        maintenance_kwargs={"retrain_balance": 1e9, "compact_after_keys": 1},
+    )
+    q.awaitTermination(180)
+    root = sim._store_root(idx)
+    assert os.path.basename(root).startswith("v")  # CURRENT advanced
+    import glob as _glob
+
+    keys = {
+        os.path.basename(d)
+        for d in _glob.glob(os.path.join(root, "vectors", "*", "*"))
+        if os.path.isdir(d)
+    }
+    assert keys == {"ingest_key=base"}
+    stored = {
+        r.vec_id
+        for r in spark.read.parquet(root + "/vectors")
+        .filter("vec_id >= 1000").collect()
+    }
+    assert stored == {1000, 1001, 2000, 2001}
+
+
+def test_corpus_neardup_replay_after_compaction_adds_nothing(spark, dirs):
+    """The minhash twin of the IVF compaction-replay pin: batch lands
+    -> minhash_index_compact folds its ingest_key into a new
+    generation's 'base' -> crash BEFORE the checkpoint commit -> full
+    replay. Key overwrite can't save it (the folded signatures lost
+    the batch key) and the probe can't either (same-id candidate pairs
+    are excluded) — the identity gate's band-store anti-join is what
+    drops the already-indexed ids, so the replay appends nothing to
+    the index, while the clean-store write (gate-free by design)
+    idempotently rewrites its own partition."""
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.streaming.pipeline import (
+        corpus_neardup_batch_fn,
+    )
+
+    idx = os.path.join(dirs["wh"], "mh_index")
+    out = os.path.join(dirs["wh"], "clean")
+    seed = spark.createDataFrame(
+        [(1000 + i, " ".join(_corpus_words(i))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    dedup.save_minhash_index(seed, idx)
+    batch = spark.createDataFrame(
+        [
+            (50, " ".join(_corpus_words(5)), "en", "s1"),
+            (51, " ".join(_corpus_words(3)[:-1] + ["tweak"]), "en", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    fn = corpus_neardup_batch_fn(spark, out, idx)
+    fn(batch, 7)
+    dedup.minhash_index_compact(spark, idx)
+    root = dedup._mh_root(idx)
+    snap = lambda p: sorted(map(tuple, spark.read.parquet(p).collect()))
+    store1, sig1, bands1 = (
+        snap(out), snap(root + "/signatures"), snap(root + "/bands")
+    )
+    assert {r[-1] for r in sig1} == {"base"}  # keys folded
+    fn(batch, 7)  # full replay across the generation swap
+    assert snap(out) == store1
+    assert snap(root + "/signatures") == sig1
+    assert snap(root + "/bands") == bands1
+
+
+def test_corpus_neardup_replay_heals_torn_index_append(spark, dirs):
+    """The torn-append window the identity gate must NOT freeze: the
+    append's first write (signatures) committed, the second (bands)
+    did not. Because the gate reads the BANDS table, the replay sees
+    the batch as un-indexed, re-runs the full append (same-key dynamic
+    overwrite replaces the orphaned signature partition), and the
+    index ends consistent — identical to a never-crashed run."""
+    import glob
+    import shutil
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.streaming.pipeline import (
+        corpus_neardup_batch_fn,
+    )
+
+    idx = os.path.join(dirs["wh"], "mh_index")
+    out = os.path.join(dirs["wh"], "clean")
+    seed = spark.createDataFrame(
+        [(1000 + i, " ".join(_corpus_words(i))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    dedup.save_minhash_index(seed, idx)
+    batch = spark.createDataFrame(
+        [(50, " ".join(_corpus_words(5)), "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    fn = corpus_neardup_batch_fn(spark, out, idx)
+    fn(batch, 7)
+    snap = lambda p: sorted(map(tuple, spark.read.parquet(p).collect()))
+    sig1, bands1 = snap(idx + "/signatures"), snap(idx + "/bands")
+    # tear: drop the batch's band partitions, keep its signatures
+    torn = glob.glob(os.path.join(idx, "bands", "*", "ingest_key=b7"))
+    assert torn  # the batch's key is present under every band_idx
+    for d in torn:
+        shutil.rmtree(d)
+    assert snap(idx + "/bands") != bands1
+    fn(batch, 7)  # replay heals the tear
+    assert snap(idx + "/signatures") == sig1
+    assert snap(idx + "/bands") == bands1
+
+
+def test_corpus_stream_runs_maintenance_on_cadence(spark, dirs):
+    """maintenance_every composes minhash_maintenance into the corpus
+    ingest stream: with compact_after_keys=1 and a per-file trigger,
+    the second batch's tick compacts the index (CURRENT advances, keys
+    fold to 'base') while the clean store and admitted set are
+    unchanged."""
+    from sensor_data_pipeline___spark.operators import dedup
+
+    idx = os.path.join(dirs["wh"], "mh_index")
+    seed = spark.createDataFrame(
+        [(1000 + i, " ".join(_corpus_words(i))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    dedup.save_minhash_index(seed, idx)
+    _drop_jsonl(dirs, "b1.jsonl", [_mk_doc(30, _corpus_words(7))])
+    _drop_jsonl(dirs, "b2.jsonl", [_mk_doc(31, _corpus_words(8))])
+    q = sp.corpus_ingest_stream_neardup(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], idx,
+        max_files_per_trigger=1,
+        maintenance_every=2,
+        maintenance_kwargs={"compact_after_keys": 1},
+    )
+    q.awaitTermination(180)
+    root = dedup._mh_root(idx)
+    assert os.path.basename(root).startswith("v")  # CURRENT advanced
+    sig = spark.read.parquet(root + "/signatures")
+    assert {r.ingest_key for r in sig.select("ingest_key").distinct().collect()} == {"base"}
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(dirs["out"]).collect()
+    ) == [30, 31]
+    # the compacted index mirrors the admitted corpus exactly
+    assert sorted(r.doc_id for r in sig.collect()) == [
+        30, 31, 1000, 1001, 1002, 1003,
+    ]
