@@ -110,12 +110,16 @@ _PRIORITY = (
     "hll_distinct_rollup",
     "m4_downsample",
     "mad_outliers",
-    "multimodal_binary_meta",
-    "pack_sequences",
     # --- never-gated: the r8 invariant-oracle graduations (directive
     # #8) — registered this round, gated this round ---
     "lsh_bucket_invariants",
     "minhash_band_invariants",
+    # --- never-gated: the r8 DSIR importance-resampling family —
+    # registered this round, gated this round (displacing the last two
+    # of the r5-stalest cohort, multimodal_binary_meta/pack_sequences,
+    # to the replica harness) ---
+    "dsir_log_weights",
+    "dsir_resample_top100",
 )
 
 

@@ -1,0 +1,202 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Selecting pretraining data that "looks like" a curated target corpus is
+one of the highest-leverage operations in an LLM data pipeline. This
+module implements the DSIR recipe (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling", public arXiv 2302.03169)
+Spark-first:
+
+1. featurize every document into HASHED N-GRAM buckets (unigrams +
+   bigrams, md5 → one of ``n_buckets`` buckets) — the bag-of-hashed-
+   ngrams generative model of the paper;
+2. fit target and raw bucket distributions with add-``smoothing``
+   estimates;
+3. score each raw document with its log importance weight
+   ``Σ_g log p_target(b_g) − log p_raw(b_g)``;
+4. resample: top-k by ``log_weight + Gumbel noise`` — Gumbel-top-k IS
+   sampling-without-replacement proportional to the importance weights
+   (the paper's resampling step), and the noise here is derived from a
+   salted md5 of the doc id, so selection is DETERMINISTIC and
+   cross-engine reproducible (the same graduation trick as
+   ``sampling.hash_stratified_sample``: the hash-derived variant
+   carries the oracle, a seeded-RNG variant would be rows-only).
+
+Why this shape survives 100 TB:
+
+- the ONLY state shared across documents is the two bucket-count
+  tables, each at most ``n_buckets`` rows REGARDLESS of corpus size
+  (hashing caps the vocabulary) — always broadcastable, so scoring is
+  two map-side broadcast joins plus one partial-aggregated
+  ``groupBy(doc_id)``;
+- no UDFs anywhere — tokenize/bigram/hash/log are all built-in
+  expressions inside whole-stage codegen;
+- the final selection is ``orderBy(key).limit(k)`` (TakeOrdered — a
+  per-partition top-k then a k-row driver merge), never a global sort.
+
+All hashing is md5 (not xxhash64) so bucket membership itself is
+bit-identical in DuckDB and hash-verifiable by the driver gate — the
+documented trade of ``operators/sampling.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Hashed feature space. 10k buckets ≈ the paper's hashed n-gram dim;
+#: both count tables are capped at this many rows, which is what keeps
+#: the score join broadcastable at any corpus size.
+N_BUCKETS = 10_000
+
+_U32 = 4_294_967_296.0  # 2^32: md5's first 8 hex chars as a uniform
+
+
+def _bucket(col: Column, salt: str, n_buckets: int) -> Column:
+    """First 32 bits of md5(salt|value), mod ``n_buckets`` — the same
+    cross-engine bucket construction as ``sampling.hash_bucket``."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), col))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """(id, bucket) — one row per gram OCCURRENCE: the document's
+    unigrams plus adjacent bigrams, hashed into ``n_buckets``.
+
+    One scan, one explode: the bigram array is built by zipping the
+    token array with its own tail (the ``top_bigrams`` shape — no
+    per-index slicing), concatenated onto the unigrams, and exploded
+    once. Null tail pads (the zip's last element) are filtered inside
+    the array before the explode."""
+    t = F.split(F.col(text_col), " ")
+    tail = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(
+            t, tail,
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.concat(t, bigrams)).alias("_g")
+    ).select(
+        id_col, _bucket(F.col("_g"), salt, n_buckets).alias("bucket")
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    smoothing: float = 1.0,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """(id, log_weight, n_grams) for every raw document.
+
+    ``log_weight = Σ_g [ln(ct_b + s) − ln(cr_b + s)]
+                   + n_grams · ln((Tr + s·B)/(Tt + s·B))``
+
+    where ``ct/cr`` are the target/raw counts of the gram's bucket,
+    ``Tt/Tr`` the total gram counts, ``B = n_buckets``, ``s`` the
+    smoothing — algebraically the add-s estimate
+    ``Σ ln p̂_target(b) − ln p̂_raw(b)`` with the normalizers factored
+    into one constant, so only OBSERVED buckets ever need joining (an
+    absent bucket's count enters as coalesce(0), not as a row).
+
+    Plan shape: both count tables are ≤ ``n_buckets`` rows and
+    broadcast; the totals are broadcast 1-row aggregates; the per-doc
+    sum is one partially-aggregated groupBy. The raw corpus is scanned
+    twice (once for its distribution, once for scoring) — at 100 TB
+    cache nothing, scan twice.
+    """
+    rf = hashed_ngram_buckets(raw, text_col, id_col, n_buckets, salt)
+    tf = hashed_ngram_buckets(target, text_col, id_col, n_buckets, salt)
+    tcnt = tf.groupBy("bucket").agg(F.count("*").alias("_ct"))
+    rcnt = rf.groupBy("bucket").agg(F.count("*").alias("_cr"))
+    totals = tcnt.agg(F.sum("_ct").alias("_tt")).crossJoin(
+        rcnt.agg(F.sum("_cr").alias("_tr"))
+    )
+    sb = smoothing * n_buckets
+    per_doc = (
+        rf.join(F.broadcast(tcnt), "bucket", "left")
+        .join(F.broadcast(rcnt), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + smoothing)
+                    / (F.coalesce(F.col("_cr"), F.lit(0)) + smoothing)
+                )
+            ).alias("_sum"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        (
+            F.col("_sum")
+            + F.col("n_grams")
+            * F.log((F.col("_tr") + sb) / (F.col("_tt") + sb))
+        ).alias("log_weight"),
+        "n_grams",
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    smoothing: float = 1.0,
+    salt: str = "dsir-v1",
+    noise_salt: str = "dsir-gumbel-v1",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: the ``k`` raw documents
+    with the largest ``log_weight + Gumbel(0,1)`` — a without-
+    replacement sample proportional to the importance weights (the
+    Gumbel-max trick), which is DSIR's resampling step.
+
+    The Gumbel draw is ``−ln(−ln(u))`` with
+    ``u = (md5_32(noise_salt|id) + 0.5) / 2^32`` — deterministic,
+    content-stable, cross-engine. Changing ``noise_salt`` redraws the
+    sample; growing the corpus never changes an existing doc's noise.
+
+    Returns (id, select_key, log_weight, n_grams) — ``select_key``
+    ordered descending is the selection order, so a LIMIT-k consumer
+    downstream reproduces the exact sample.
+    """
+    w = dsir_log_weights(
+        raw, target, text_col, id_col, n_buckets, smoothing, salt
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(noise_salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_U32)
+    key = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        w.withColumn("select_key", key)
+        .orderBy(F.col("select_key").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "select_key", "log_weight", "n_grams")
+    )

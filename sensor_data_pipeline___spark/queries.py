@@ -6556,3 +6556,106 @@ def q_decontam_probe_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decontam.save_contamination_index(bench, path, n=8, key="xxhash64")
     return decontam.contaminated_against_index(spark, path, batch)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py) — hashed-ngram
+# importance weights against a curated target, then deterministic
+# Gumbel-top-k selection. Both halves hash-verified: the weight is
+# pure arithmetic over md5 buckets, and the Gumbel noise is md5-derived
+# (the hash_stratified_counts graduation pattern — the hash-derived
+# variant carries the oracle).
+# ---------------------------------------------------------------------------
+
+_DSIR_WEIGHTS_CTE = """
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), g0 AS (
+      SELECT doc_id, lang,
+             unnest(t || [t[i] || ' ' || t[i+1]
+                          for i in generate_series(1, len(t)-1)]) AS g
+      FROM tok
+    ), feats AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('dsir-v1' || '|' || g), 1, 8))
+                  AS BIGINT) % 10000 AS b
+      FROM g0
+    ), tcnt AS (
+      SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b
+    ), rcnt AS (
+      SELECT b, count(*) AS cr FROM feats GROUP BY b
+    ), tot AS (
+      SELECT (SELECT count(*) FROM feats WHERE lang = 'en') AS tt,
+             (SELECT count(*) FROM feats) AS tr
+    ), weights AS (
+      SELECT f.doc_id,
+             sum(ln((coalesce(ct, 0) + 1.0) / (cr + 1.0)))
+               + count(*) * (SELECT ln((tr + 10000.0) / (tt + 10000.0))
+                             FROM tot) AS lw,
+             count(*) AS n_grams
+      FROM feats f
+      LEFT JOIN tcnt ON f.b = tcnt.b
+      LEFT JOIN rcnt ON f.b = rcnt.b
+      GROUP BY f.doc_id
+    )
+    """
+
+
+@_register(
+    "dsir_log_weights",
+    # Per-document hashed-ngram importance weight vs the English
+    # subset as target — step 1-3 of DSIR. Every raw gram's bucket is
+    # joined against both count tables; absent target buckets enter as
+    # the smoothing floor (coalesce 0), exactly the add-1 estimate the
+    # Spark side factors into observed-bucket sums + one constant.
+    _DSIR_WEIGHTS_CTE
+    + """
+    SELECT doc_id, round(lw, 6) AS log_weight,
+           CAST(n_grams AS BIGINT) AS n_grams
+    FROM weights
+    """,
+)
+def q_dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir.dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en")
+    ).select(
+        "doc_id",
+        F.round("log_weight", 6).alias("log_weight"),
+        "n_grams",
+    )
+
+
+@_register(
+    "dsir_resample_top100",
+    # Step 4 of DSIR: Gumbel-top-k selection over the same weights —
+    # the noise is md5-derived from the doc id, so the SELECTED SET and
+    # its keys are cross-engine deterministic. Keys mix a continuous
+    # hash-uniform with the weight, so 1e-6-rounding ties can't occur
+    # and LIMIT 100 is stable.
+    _DSIR_WEIGHTS_CTE
+    + """
+    SELECT doc_id,
+           round(lw - ln(-ln(
+             (CAST(('0x' || substr(md5('dsir-gumbel-v1' || '|'
+                                   || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0
+           )), 6) AS select_key
+    FROM weights
+    ORDER BY lw - ln(-ln(
+             (CAST(('0x' || substr(md5('dsir-gumbel-v1' || '|'
+                                   || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0
+           )) DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_dsir_resample_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir.dsir_resample(
+        docs, docs.filter(F.col("lang") == "en"), k=100
+    ).select("doc_id", F.round("select_key", 6).alias("select_key"))
