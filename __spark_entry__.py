@@ -108,18 +108,23 @@ _PRIORITY = (
     "gapfill_forward_fill",
     "gapfill_linear_interp",
     "hll_distinct_rollup",
-    "m4_downsample",
-    "mad_outliers",
+    # --- never-gated: the r8 iterative-graph family (fixed-depth
+    # PageRank with an unrolled-CTE oracle) — registered this round,
+    # gated this round (displacing m4_downsample, r5-gated, to the
+    # replica harness) ---
+    "nation_trade_pagerank",
     # --- never-gated: the r8 invariant-oracle graduations (directive
     # #8) — registered this round, gated this round ---
     "lsh_bucket_invariants",
     "minhash_band_invariants",
     # --- never-gated: the r8 DSIR importance-resampling family —
-    # registered this round, gated this round (displacing the last two
-    # of the r5-stalest cohort, multimodal_binary_meta/pack_sequences,
-    # to the replica harness) ---
+    # registered this round, gated this round (displacing the last
+    # three of the r5-stalest cohort, mad_outliers /
+    # multimodal_binary_meta / pack_sequences, to the replica
+    # harness) ---
     "dsir_log_weights",
     "dsir_resample_top100",
+    "dsir_probe_index",
 )
 
 

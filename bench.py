@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     # xxhash64 keys, the 100 TB default, unlike the string-keyed gate
     # twin)
     "decontam_probe_bench",
+    # round-8, fourth wave: DSIR target selection against a persisted
+    # scorer (fit-once store write + per-batch broadcast-join scoring
+    # — hashed-ngram featurize, count join, partial-agg sum; the
+    # fit + probe lifecycle rides one number like decontam's)
+    "dsir_probe_index",
 ]
 
 

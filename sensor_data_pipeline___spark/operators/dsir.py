@@ -40,6 +40,8 @@ documented trade of ``operators/sampling.py``.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -199,4 +201,121 @@ def dsir_resample(
         .orderBy(F.col("select_key").desc(), F.col(id_col))
         .limit(k)
         .select(id_col, "select_key", "log_weight", "n_grams")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted DSIR target store: fit once, score every ingest batch.
+# ---------------------------------------------------------------------------
+
+#: path -> (n_buckets, salt, tt, tr) — immutable per save, so cached
+#: driver-side like the minhash geometry / decontam meta caches.
+_META_CACHE: dict = {}
+
+
+def save_dsir_index(
+    target: DataFrame,
+    raw_sample: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    salt: str = "dsir-v1",
+) -> None:
+    """Fit the DSIR scorer ONCE and persist it: the target and
+    raw-reference hashed-ngram bucket counts (sparse — observed buckets
+    only, ≤ ``n_buckets`` rows each) plus the geometry and totals in a
+    one-row meta table. The streaming ingest loop then scores every
+    micro-batch against the store (:func:`dsir_weights_against_index`)
+    without ever touching the fitting corpora again — the same
+    fit-once/probe-forever posture as ``save_minhash_index`` and
+    ``save_contamination_index``.
+
+    ``raw_sample`` estimates the denominator distribution; at 100 TB
+    fit it on a hash-sampled slice of the raw corpus (the estimate
+    needs gram coverage, not the full corpus)."""
+    _META_CACHE.pop(path, None)
+    from sensor_data_pipeline___spark.operators._local import local_df
+
+    tf = hashed_ngram_buckets(target, text_col, id_col, n_buckets, salt)
+    rf = hashed_ngram_buckets(raw_sample, text_col, id_col, n_buckets, salt)
+    counts = (
+        tf.groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+        .join(
+            rf.groupBy("bucket").agg(F.count("*").alias("cr")),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    counts.coalesce(1).write.mode("overwrite").parquet(path + "/counts")
+    totals = (
+        counts.agg(
+            F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+        ).first()
+    )
+    meta = local_df(
+        target.sparkSession,
+        [(n_buckets, salt, int(totals["tt"]), int(totals["tr"]))],
+        "n_buckets int, salt string, tt long, tr long",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _load_dsir_meta(spark, path: str) -> tuple:
+    if path not in _META_CACHE:
+        r = spark.read.parquet(path + "/meta").first()
+        _META_CACHE[path] = (
+            int(r["n_buckets"]), str(r["salt"]), int(r["tt"]), int(r["tr"])
+        )
+    return _META_CACHE[path]
+
+
+def dsir_weights_against_index(
+    spark,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(id, log_weight, n_grams) for a batch, scored against a
+    :func:`save_dsir_index` store — identical arithmetic to
+    :func:`dsir_log_weights` with the distributions read from disk
+    (pinned equal by tests when the store was fit on the same corpora).
+
+    Per batch: featurize (one scan of the batch), broadcast-join the
+    ≤ ``n_buckets``-row counts table, one partial-aggregated groupBy.
+    The store is scanned once, never shuffled; the totals are cached
+    driver scalars. Smoothing is a PROBE-time knob (the store holds raw
+    counts), so re-tuning it never refits."""
+    n_buckets, salt, tt, tr = _load_dsir_meta(spark, path)
+    sb = smoothing * n_buckets
+    const = float(math.log((tr + sb) / (tt + sb)))
+    feats = hashed_ngram_buckets(docs, text_col, id_col, n_buckets, salt)
+    counts = spark.read.parquet(path + "/counts")
+    return (
+        feats.join(F.broadcast(counts), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + smoothing)
+                    / (F.coalesce(F.col("cr"), F.lit(0)) + smoothing)
+                )
+            ).alias("_sum"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            (F.col("_sum") + F.col("n_grams") * F.lit(const)).alias(
+                "log_weight"
+            ),
+            "n_grams",
+        )
     )

@@ -1,0 +1,161 @@
+"""Iterative graph analytics on DataFrames: weighted PageRank.
+
+The one algorithm class the rest of the registry's oracle strategy
+can't reach by construction is ITERATION — and iterative graph passes
+over edges materialized from warehouse joins (entity importance,
+influence propagation over interaction graphs) are standard
+large-scale data-pipeline workloads. This module implements power-
+iteration PageRank Spark-first:
+
+- the edge list is any (src, dst, weight) DataFrame — typically the
+  output of an analytical join (e.g. the TPC-H Q7 nation-trade flow);
+- each iteration is ONE shuffle: contributions ``r(u)·w(u,v)/W(u)``
+  grouped by destination (partial-aggregated), a left join back onto
+  the node universe for sources nobody links to, and the dangling mass
+  as a broadcast 1-row aggregate (the repo's documented
+  bounded-crossJoin class);
+- the rank frame is ``localCheckpoint``-ed each iteration — the
+  standard Spark iterative-algorithm posture: without the cut, the
+  logical plan doubles per iteration and the optimizer re-plans the
+  whole unrolled history every pass;
+- a FIXED iteration count (not convergence-tested) keeps the result
+  closed-form deterministic, which is what lets a non-recursive
+  engine replay it exactly: the DuckDB oracle for the query surface
+  unrolls the same five steps as chained CTEs. Iterative ≠
+  unverifiable — fixed-depth iteration is just a deep expression.
+
+At scale: ranks are one row per NODE (orders of magnitude below the
+edge list); edges shuffle once per iteration on dst; nothing driver-
+side grows with the graph except the node count (one scalar).
+
+Public-knowledge provenance: standard PageRank power iteration
+(Brin & Page 1998) with uniform teleport and uniform dangling-mass
+redistribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations over the weighted
+    edge list. Ranks sum to 1 (teleport + proportional spread +
+    uniform dangling redistribution).
+
+    ``r₀(u) = 1/N``;
+    ``r_{k+1}(v) = (1−d)/N + d·(Σ_{u→v} r_k(u)·w(u,v)/W(u) + D_k/N)``
+    where ``W(u)`` is u's total out-weight and ``D_k`` the rank mass
+    sitting on dangling (no-out-edge) nodes.
+    """
+    # materialize the edge list ONCE: it is re-joined every iteration,
+    # and edges are typically the output of an expensive analytical
+    # join (recomputing that lineage x iters would dominate the run) —
+    # the standard persist-your-edges posture of iterative graph jobs
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # one driver scalar: the node count
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            e.join(outw, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("tw")).alias("_c"))
+        )
+        dangling = (
+            ranks.join(
+                outw.select(F.col("src").alias("node")), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_d") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # cut the per-iteration lineage
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iters: int = 5,
+    damping: float = 0.85,
+    round_digits: int = 6,
+) -> str:
+    """The ANSI-SQL twin of :func:`pagerank` for a fixed iteration
+    count: the power iteration UNROLLED as chained CTEs (r1..rN), each
+    step the same arithmetic as the Spark loop. ``edges_cte`` must be
+    a SELECT yielding (src, dst, w). Used to register oracle-backed
+    iterative-graph queries — fixed-depth iteration is exactly
+    replayable without recursion."""
+    d = repr(float(damping))
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cur = f"r{i}"
+        steps.append(
+            f"""{cur} AS (
+      SELECT n.node,
+             (1.0 - {d}) / (SELECT nn FROM cnt)
+             + {d} * (
+                 coalesce(c.c, 0)
+                 + (SELECT coalesce(sum(r), 0) FROM {prev}
+                    WHERE node NOT IN (SELECT src FROM outw))
+                   / (SELECT nn FROM cnt)
+               ) AS r
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum({prev}.r * e.w / ow.tw) AS c
+        FROM edges e
+        JOIN {prev} ON {prev}.node = e.src
+        JOIN outw ow ON ow.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+        )
+        prev = cur
+    return f"""
+    WITH edges AS ({edges_cte}
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), cnt AS (
+      SELECT count(*)::DOUBLE AS nn FROM nodes
+    ), outw AS (
+      SELECT src, sum(w) AS tw FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, 1.0 / (SELECT nn FROM cnt) AS r FROM nodes
+    ), {', '.join(steps)}
+    SELECT node, round(r, {round_digits}) AS rank
+    FROM {prev}
+    """

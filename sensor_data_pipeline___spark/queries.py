@@ -6659,3 +6659,138 @@ def q_dsir_resample_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_resample(
         docs, docs.filter(F.col("lang") == "en"), k=100
     ).select("doc_id", F.round("select_key", 6).alias("select_key"))
+
+
+@_register(
+    "dsir_probe_index",
+    # The PERSISTED DSIR scorer (operators/dsir.py:save_dsir_index /
+    # dsir_weights_against_index): fit on held-out halves (target =
+    # even English docs, raw reference = all even docs), probe the odd
+    # half against the store. Scoring against stored counts is exact
+    # (no approximation to twin away), so the DuckDB oracle just
+    # recomputes the same fit from the even split — store write,
+    # meta/totals round-trip, broadcast count join, and probe-side
+    # smoothing arithmetic are all on the hash-verified path. Same
+    # deterministic reused temp path contract as near_dup_probe_exact.
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), g0 AS (
+      SELECT doc_id, lang,
+             unnest(t || [t[i] || ' ' || t[i+1]
+                          for i in generate_series(1, len(t)-1)]) AS g
+      FROM tok
+    ), feats AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('dsir-v1' || '|' || g), 1, 8))
+                  AS BIGINT) % 10000 AS b
+      FROM g0
+    ), tcnt AS (
+      SELECT b, count(*) AS ct FROM feats
+      WHERE doc_id % 2 = 0 AND lang = 'en' GROUP BY b
+    ), rcnt AS (
+      SELECT b, count(*) AS cr FROM feats WHERE doc_id % 2 = 0 GROUP BY b
+    ), tot AS (
+      SELECT (SELECT count(*) FROM feats WHERE doc_id % 2 = 0
+                                           AND lang = 'en') AS tt,
+             (SELECT count(*) FROM feats WHERE doc_id % 2 = 0) AS tr
+    )
+    SELECT f.doc_id,
+           round(sum(ln((coalesce(ct, 0) + 1.0) / (coalesce(cr, 0) + 1.0)))
+                 + count(*) * (SELECT ln((tr + 10000.0) / (tt + 10000.0))
+                               FROM tot), 6) AS log_weight,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM feats f
+    LEFT JOIN tcnt ON f.b = tcnt.b
+    LEFT JOIN rcnt ON f.b = rcnt.b
+    WHERE f.doc_id % 2 = 1
+    GROUP BY f.doc_id
+    """,
+)
+def q_dsir_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from sensor_data_pipeline___spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    fit = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dsir_probe_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    dsir.save_dsir_index(fit.filter(F.col("lang") == "en"), fit, path)
+    return dsir.dsir_weights_against_index(spark, path, probe).select(
+        "doc_id",
+        F.round("log_weight", 6).alias("log_weight"),
+        "n_grams",
+    )
+
+
+_TRADE_EDGES_CTE = """
+      SELECT sn.n_name AS src, cn.n_name AS dst, count(*)::DOUBLE AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY sn.n_name, cn.n_name
+"""
+
+
+def _pagerank_oracle() -> str:
+    from sensor_data_pipeline___spark.operators.graph import (
+        pagerank_oracle_sql,
+    )
+
+    return pagerank_oracle_sql(_TRADE_EDGES_CTE, iters=5, damping=0.85)
+
+
+@_register(
+    "nation_trade_pagerank",
+    # Iterative graph analytics, ORACLE-BACKED (operators/graph.py):
+    # 5 power iterations of weighted PageRank over the supplier→
+    # customer nation trade-flow graph (edge weight = shipped lineitem
+    # count — integer, exactly equal cross-engine). Fixed-depth
+    # iteration is just a deep deterministic expression, so the DuckDB
+    # twin unrolls the identical five steps as chained CTEs
+    # (pagerank_oracle_sql) — closing the "iterative algorithms are
+    # rows-only by nature" gap. Spark side: one shuffle per iteration
+    # (contrib groupBy dst), dangling mass as a broadcast 1-row
+    # aggregate, ranks localCheckpoint-ed per iteration to cut the
+    # exponential lineage growth iterative DataFrame loops otherwise
+    # suffer.
+    _pagerank_oracle(),
+)
+def q_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("dst"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("src"),
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    return pagerank(edges, iters=5, damping=0.85).select(
+        "node", F.round("rank", 6).alias("rank")
+    )

@@ -851,6 +851,8 @@ def corpus_neardup_batch_fn(
     decontam_index_path: "str | None" = None,
     maintenance_every: "int | None" = None,
     maintenance_kwargs: "dict | None" = None,
+    dsir_index_path: "str | None" = None,
+    dsir_min_avg_weight: float = 0.0,
 ):
     """The foreachBatch body for :func:`corpus_ingest_stream_neardup`,
     exposed so tests can drive crash-replay directly (the
@@ -916,6 +918,17 @@ def corpus_neardup_batch_fn(
     the effectively-once argument above is unchanged. It rides the
     batch's one lineage-cut materialization — same action count per
     trigger.
+
+    ``dsir_index_path`` (optional) composes the persisted DSIR target
+    store (``operators/dsir.py:save_dsir_index``) in as step 0.5:
+    docs whose per-gram average importance weight
+    (``log_weight / n_grams``) falls below ``dsir_min_avg_weight`` are
+    dropped before the near-dup loop — the "select data that looks
+    like the target" gate of the DSIR recipe, fit once offline, scored
+    per batch as one broadcast join + one partial aggregate. Like
+    decontamination, the score is deterministic against a store the
+    loop never writes, so replay-stability and effectively-once are
+    unchanged.
     """
     from sensor_data_pipeline___spark.operators import decontam, dedup
 
@@ -925,6 +938,17 @@ def corpus_neardup_batch_fn(
             batch_df = decontam.decontaminate_against_index(
                 spark, decontam_index_path, batch_df
             )
+        if dsir_index_path is not None:
+            from sensor_data_pipeline___spark.operators import dsir
+
+            scored = dsir.dsir_weights_against_index(
+                spark, dsir_index_path, batch_df
+            )
+            keep = scored.filter(
+                F.col("log_weight") / F.col("n_grams")
+                >= dsir_min_avg_weight
+            ).select("doc_id")
+            batch_df = batch_df.join(F.broadcast(keep), "doc_id")
         # cut the streaming lineage once: the batch feeds the signing
         # pass, two join branches, and the final write
         batch = batch_df.localCheckpoint(eager=True)
@@ -1019,6 +1043,8 @@ def corpus_ingest_stream_neardup(
     decontam_index_path: "str | None" = None,
     maintenance_every: "int | None" = None,
     maintenance_kwargs: "dict | None" = None,
+    dsir_index_path: "str | None" = None,
+    dsir_min_avg_weight: float = 0.0,
 ):
     """:func:`corpus_ingest_stream` with the persisted minhash index
     composed in (VERDICT r7 directive #4): the stream's exact dedup
@@ -1031,8 +1057,9 @@ def corpus_ingest_stream_neardup(
     ``decontam_index_path`` set, the persisted benchmark n-gram store
     (``operators/decontam.py``) is composed in ahead of the near-dup
     loop — the full streaming hygiene stack: quality gate → exact
-    dedup (state) → benchmark decontamination (index) → near-dup
-    dedup (index) → clean store.
+    dedup (state) → benchmark decontamination (index) → DSIR target
+    selection (index, with ``dsir_index_path``) → near-dup dedup
+    (index) → clean store.
 
     Bootstrap: build the index first (``save_minhash_index`` on the
     seed corpus, or on an EMPTY frame of the right schema for a cold
@@ -1053,6 +1080,8 @@ def corpus_ingest_stream_neardup(
                 decontam_index_path=decontam_index_path,
                 maintenance_every=maintenance_every,
                 maintenance_kwargs=maintenance_kwargs,
+                dsir_index_path=dsir_index_path,
+                dsir_min_avg_weight=dsir_min_avg_weight,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

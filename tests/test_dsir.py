@@ -128,3 +128,108 @@ def test_dsir_plan_broadcasts_distributions_no_global_sort(spark):
     assert explain.broadcast_join_count(sel) >= 3, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_persisted_index_probe_equals_inmemory(spark, tmp_path):
+    """dsir_weights_against_index on a store fit from (target, raw)
+    returns exactly dsir_log_weights(raw, target) for any probe batch
+    drawn from the same universe — store round-trip, meta totals, and
+    probe arithmetic are lossless. Probe-side smoothing re-tunes
+    without refitting."""
+    docs = readers.table(spark, "documents", SF)
+    target = docs.filter(F.col("lang") == "en")
+    path = str(tmp_path / "dsir")
+    dsir.save_dsir_index(target, docs, path)
+
+    got = {
+        r.doc_id: (r.log_weight, r.n_grams)
+        for r in dsir.dsir_weights_against_index(spark, path, docs).collect()
+    }
+    want = {
+        r.doc_id: (r.log_weight, r.n_grams)
+        for r in dsir.dsir_log_weights(docs, target).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][1] == want[did][1]
+        assert abs(got[did][0] - want[did][0]) < 1e-9
+
+    # smoothing is a probe-time knob: s=5 shrinks |weights| toward the
+    # uniform prior without touching the store
+    s5 = {
+        r.doc_id: r.log_weight
+        for r in dsir.dsir_weights_against_index(
+            spark, path, docs, smoothing=5.0
+        ).collect()
+    }
+    assert any(abs(s5[d] - got[d][0]) > 1e-6 for d in s5)
+
+
+def test_streaming_dsir_gate_filters_offtarget_docs(spark, tmp_path):
+    """The DSIR gate composed into the corpus ingest batch body: with a
+    store fit on English docs as target, off-target (zh) batch docs
+    score below the threshold and never reach the index or the clean
+    store, while on-target docs flow through. Replay stays
+    effectively-once with the gate in the loop (deterministic score
+    against a store the loop never writes)."""
+    import os
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.streaming.pipeline import (
+        corpus_neardup_batch_fn,
+    )
+
+    docs = readers.table(spark, "documents", SF)
+    dsir_path = str(tmp_path / "dsir")
+    dsir.save_dsir_index(docs.filter(F.col("lang") == "en"), docs, dsir_path)
+
+    # per-gram average weight separates en from zh on this corpus:
+    # pick a threshold strictly between the two class means
+    w = dsir.dsir_weights_against_index(spark, dsir_path, docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r.lang: r.m
+        for r in w.groupBy("lang")
+        .agg(F.avg(F.col("log_weight") / F.col("n_grams")).alias("m"))
+        .collect()
+    }
+    thr = (means["en"] + means["zh"]) / 2.0
+
+    idx = str(tmp_path / "mh")
+    out = str(tmp_path / "clean")
+    dedup.save_minhash_index(
+        spark.createDataFrame([], "doc_id long, text string"), idx
+    )
+    en_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("lang") == "en").select("doc_id").collect()
+    }
+    zh_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("lang") == "zh").select("doc_id").collect()
+    }
+    batch = docs.filter(F.col("lang").isin(["en", "zh"])).select(
+        "doc_id", "text", "lang", "source"
+    )
+    fn = corpus_neardup_batch_fn(
+        spark, out, idx, dsir_index_path=dsir_path, dsir_min_avg_weight=thr
+    )
+    fn(batch, 0)
+    stored = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert stored  # on-target docs flowed through
+    leaked_zh = stored & zh_ids
+    dropped_en = en_ids - stored
+    # the gate separates the classes (means are well apart; allow the
+    # distribution tails to cross the midpoint for a few docs)
+    assert len(leaked_zh) <= len(zh_ids) // 10, sorted(leaked_zh)[:5]
+    assert len(dropped_en) <= len(en_ids) // 5, sorted(dropped_en)[:5]
+    # index mirrors the admitted set
+    sig_ids = {
+        r.doc_id for r in spark.read.parquet(idx + "/signatures").collect()
+    }
+    assert sig_ids == stored
+    # replay: same survivors, nothing duplicated
+    snap = sorted(map(tuple, spark.read.parquet(out).collect()))
+    fn(batch, 0)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == snap

@@ -813,6 +813,9 @@ def test_vector_ingest_batch_replay_is_effectively_once(spark, dirs):
     assert [r[0] for r in s1] == [5000]  # 5001 = scaled seed 7, dropped
     fn(batch, 7)  # full replay
     assert snap() == s1
+
+
+def test_sensor_steady_state_batch_job_count_pinned(spark, dirs):
     """VERDICT r7 directive #7: the streaming fast path's per-trigger
     cost is dominated by a fixed scheduling constant per Spark job
     (~150 ms on the bench host), so the batch body's job count IS the
