@@ -107,7 +107,9 @@ _PRIORITY = (
     "fuzzy_name_pairs",
     "gapfill_forward_fill",
     "gapfill_linear_interp",
-    "hll_distinct_rollup",
+    # --- never-gated: r8 tokenizer-vocab induction (displacing
+    # hll_distinct_rollup, r6-gated, to the replica harness) ---
+    "bpe_merge_candidates",
     # --- never-gated: the r8 iterative-graph family (fixed-depth
     # PageRank with an unrolled-CTE oracle) — registered this round,
     # gated this round (displacing m4_downsample, r5-gated, to the

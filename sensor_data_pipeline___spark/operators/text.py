@@ -608,3 +608,50 @@ def trim_duplicate_ngrams(
         )
         .filter(F.length(text_col) > 0)
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: "int | None" = None,
+) -> DataFrame:
+    """(pair, n) — corpus frequency of every adjacent CHARACTER pair
+    inside words: the candidate ranking of byte-pair-encoding's first
+    merge step (Sennrich et al. 2016), which at pretraining scale is a
+    corpus-wide counting job, not a tokenizer-library detail — vocab
+    induction over 100 TB is exactly the kind of pass this engine
+    exists for.
+
+    Shape: tokenize → aggregate the word VOCABULARY first (one shuffle
+    on word; the explode that follows runs over distinct words, not
+    word occurrences — the corpus can repeat a word a billion times,
+    the pair explode still costs vocabulary size) → explode each
+    word's 2-char substring windows → sum word frequencies per pair
+    (one shuffle on pair — a keyspace bounded by alphabet², tiny).
+    Pairs are 1-based substring windows, not split-on-empty, because
+    substring semantics are identical in every engine (the oracle
+    trade documented in operators/sampling.py).
+
+    ``top_k`` adds the (n desc, pair asc) TakeOrdered head — the
+    actual merge-candidate list; None returns the full table (the
+    input to an iterated BPE driver).
+    """
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    out = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    if top_k is not None:
+        out = out.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(
+            top_k
+        )
+    return out

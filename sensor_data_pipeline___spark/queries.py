@@ -6794,3 +6794,33 @@ def q_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=5, damping=0.85).select(
         "node", F.round("rank", 6).alias("rank")
     )
+
+
+@_register(
+    "bpe_merge_candidates",
+    # Tokenizer-vocabulary induction (operators/text.py:
+    # bpe_pair_counts): corpus frequency of adjacent character pairs
+    # inside words — BPE's first merge ranking, computed
+    # vocabulary-first so the pair explode costs distinct words, not
+    # word occurrences. Pairs are 1-based substring windows (identical
+    # semantics in every engine); top 50 with the (n desc, pair asc)
+    # tiebreak.
+    """
+    WITH words AS (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ), pairs AS (
+      SELECT substring(w, i, 2) AS pair, freq
+      FROM words, unnest(generate_series(1, len(w)-1)) AS g(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 50
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text
+
+    return text.bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=50)

@@ -208,3 +208,21 @@ def test_duplicate_ngram_key_modes_agree(spark):
     tm = sorted(map(tuple, T.trim_duplicate_ngrams(docs, key="md5")
                     .collect()))
     assert tf == tm
+
+
+def test_bpe_pair_counts_weights_by_word_frequency(spark):
+    """Pair counts are word-frequency-weighted over the VOCABULARY:
+    'aaa' appearing 3x contributes 3 to 'aa' per window (2 windows),
+    single-char and repeated words fold correctly, and the top_k head
+    breaks count ties by pair ascending."""
+    from sensor_data_pipeline___spark.operators import text
+
+    docs = spark.createDataFrame(
+        [("aaa aaa aaa bc x",), ("bc bc zz",)], "text string"
+    )
+    got = {r.pair: r.n for r in text.bpe_pair_counts(docs).collect()}
+    # 'aaa' freq 3 -> windows aa,aa => aa: 6 ; 'bc' freq 3 -> bc: 3 ;
+    # 'zz' freq 1 -> zz: 1 ; 'x' dropped (len < 2)
+    assert got == {"aa": 6, "bc": 3, "zz": 1}
+    top = [r.pair for r in text.bpe_pair_counts(docs, top_k=2).collect()]
+    assert top == ["aa", "bc"]
