@@ -27,7 +27,17 @@ index equals a from-scratch ``save_minhash_index`` build over exactly
 the admitted corpus (signatures and band keys, compared
 distributively via exceptAll).
 
-``--mode hygiene`` (round 8) composes the FULL streaming hygiene
+``--mode full`` (round 8, capstone) composes the ENTIRE streaming
+hygiene stack — quality gate → exact dedup (state) → benchmark
+decontamination (index) → DSIR target selection (index) → near-dup
+dedup (index), with optional in-loop index maintenance — and plants a
+violation for EVERY stage: near-dups (residue 7, probabilistic recall
+budget), contaminated docs (residue 3, exact zero tolerance), and
+off-target documents in a disjoint vocabulary (residue 11, exact zero
+tolerance — the DSIR scorer is fit on held-out corpora of the two
+vocabularies and the threshold is the midpoint of the class means).
+
+``--mode hygiene`` (round 8) composes the decontam half of that
 stack: the neardup harness plus a persisted decontamination store
 (50 benchmark docs in a token space disjoint from the corpus's) wired
 in via ``decontam_index_path``. Contamination plants (ids with
@@ -58,7 +68,7 @@ def main() -> None:
     ap.add_argument("--docs-per-file", type=int, default=10_000)
     ap.add_argument("--n-files", type=int, default=80)
     ap.add_argument(
-        "--mode", choices=("exact", "neardup", "hygiene"), default="exact"
+        "--mode", choices=("exact", "neardup", "hygiene", "full"), default="exact"
     )
     ap.add_argument(
         "--maintenance-every",
@@ -86,7 +96,7 @@ def main() -> None:
         drop = os.path.join(td, "drop")
         total = args.docs_per_file * args.n_files
         dpf = args.docs_per_file
-        if args.mode in ("neardup", "hygiene"):
+        if args.mode in ("neardup", "hygiene", "full"):
             # distinct-vocabulary docs (near-dup detection needs real
             # shingle structure, unlike the exact mode's shared-token
             # text): 30 tokens hash-derived from a BASE id. Planted
@@ -115,7 +125,7 @@ def main() -> None:
                 )
             )
             text = F.concat_ws(" ", F.concat(toks, F.array(tail)))
-            if args.mode == "hygiene":
+            if args.mode in ("hygiene", "full"):
                 # contamination plants (disjoint from near-dup plants:
                 # residues 3 vs 7 mod 20): splice benchmark doc
                 # (id % 50)'s full 8-token text into positions 6-13 —
@@ -139,6 +149,26 @@ def main() -> None:
                 )
                 text = F.when(
                     contam, F.concat_ws(" ", spliced)
+                ).otherwise(text)
+            if args.mode == "full":
+                # DSIR off-target plants (residue 11 — disjoint from
+                # near-dup 7 and contamination 3): whole documents in
+                # a "q..." vocabulary disjoint from the corpus's "w..."
+                # — the target-selection gate must drop ALL of them
+                # before they reach decontam, the index, or the store
+                offt = F.col("id") % 20 == 11
+                qtoks = F.transform(
+                    F.sequence(F.lit(0), F.lit(29)),
+                    lambda i: F.concat(
+                        F.lit("q"),
+                        F.pmod(
+                            F.xxhash64(F.col("id"), i, F.lit(777)),
+                            F.lit(50_000),
+                        ).cast("string"),
+                    ),
+                )
+                text = F.when(
+                    offt, F.concat_ws(" ", qtoks)
                 ).otherwise(text)
             gen = spark.range(total).select(
                 F.col("id").alias("doc_id"),
@@ -176,14 +206,14 @@ def main() -> None:
                 .repartition(args.n_files)
                 .write.json(drop)
             )
-        if args.mode in ("neardup", "hygiene"):
+        if args.mode in ("neardup", "hygiene", "full"):
             from sensor_data_pipeline___spark.operators import decontam, dedup
 
             idx = os.path.join(td, "mh_index")
             seed = spark.createDataFrame([], "doc_id long, text string")
             dedup.save_minhash_index(seed, idx)  # cold start
             dix = None
-            if args.mode == "hygiene":
+            if args.mode in ("hygiene", "full"):
                 dix = os.path.join(td, "decontam_index")
                 bench_docs = spark.createDataFrame(
                     [(k, " ".join(f"b{k}_{j}" for j in range(8)))
@@ -198,6 +228,51 @@ def main() -> None:
                 if args.maintenance_every
                 else None
             )
+            dsx, thr = None, 0.0
+            if args.mode == "full":
+                # fit the DSIR scorer on held-out corpora from the
+                # SAME two vocabularies (w = target+raw, q = raw
+                # only), in a bucket space large enough that the two
+                # 50k-token vocabularies don't alias (the default 10k
+                # buckets would mix them ~5:5 per bucket); threshold =
+                # midpoint of the two classes' per-gram score means,
+                # all deterministic
+                from sensor_data_pipeline___spark.operators import dsir
+
+                def _fit(lo, n, prefix, salt):
+                    t = F.transform(
+                        F.sequence(F.lit(0), F.lit(29)),
+                        lambda i: F.concat(
+                            F.lit(prefix),
+                            F.pmod(
+                                F.xxhash64(F.col("id"), i, F.lit(salt)),
+                                F.lit(50_000),
+                            ).cast("string"),
+                        ),
+                    )
+                    return spark.range(lo, lo + n).select(
+                        F.col("id").alias("doc_id"),
+                        F.concat_ws(" ", t).alias("text"),
+                    )
+
+                wfit = _fit(1_000_000_000, 20_000, "w", 0)
+                qfit = _fit(2_000_000_000, 20_000, "q", 777)
+                dsx = os.path.join(td, "dsir_index")
+                dsir.save_dsir_index(
+                    wfit, wfit.unionByName(qfit), dsx, n_buckets=200_000
+                )
+                avg_w = (
+                    dsir.dsir_weights_against_index(spark, dsx, wfit)
+                    .agg(F.avg(F.col("log_weight") / F.col("n_grams")))
+                    .first()[0]
+                )
+                avg_q = (
+                    dsir.dsir_weights_against_index(spark, dsx, qfit)
+                    .agg(F.avg(F.col("log_weight") / F.col("n_grams")))
+                    .first()[0]
+                )
+                assert avg_w > avg_q, (avg_w, avg_q)
+                thr = (avg_w + avg_q) / 2.0
             q = sp.corpus_ingest_stream_neardup(
                 spark,
                 drop,
@@ -208,6 +283,8 @@ def main() -> None:
                 decontam_index_path=dix,
                 maintenance_every=args.maintenance_every,
                 maintenance_kwargs=mk,
+                dsir_index_path=dsx,
+                dsir_min_avg_weight=thr,
             )
         else:
             q = sp.corpus_ingest_stream(
@@ -236,7 +313,7 @@ def main() -> None:
             spark.read.parquet(os.path.join(td, "out")).count()
         )
         extra = {}
-        if args.mode in ("neardup", "hygiene"):
+        if args.mode in ("neardup", "hygiene", "full"):
             from sensor_data_pipeline___spark.operators import dedup
 
             store = spark.read.parquet(os.path.join(td, "out")).select(
@@ -255,8 +332,8 @@ def main() -> None:
             # has per-pair miss probability (1 - 0.93^8)^8 ~ 0.14%, so
             # ~5-6 of 4000 plants legitimately slip through; anything
             # beyond 1% signals a probe bug, not LSH variance.
-            n_contam = 0
-            if args.mode == "hygiene":
+            n_contam = n_offt = 0
+            if args.mode in ("hygiene", "full"):
                 # THE exact invariant: decontam is not probabilistic —
                 # zero contaminated docs may reach the clean store
                 contam_in_store = store.filter(
@@ -264,7 +341,17 @@ def main() -> None:
                 ).count()
                 assert contam_in_store == 0, contam_in_store
                 n_contam = total // 20
-            n_missed = out_rows - (total - n_planted - n_contam)
+            if args.mode == "full":
+                # equally exact: the DSIR gate is a deterministic
+                # score against a fixed store — zero off-target docs
+                # may reach the clean store (or, via index == scratch
+                # below, the signature index)
+                offt_in_store = store.filter(
+                    F.col("doc_id") % 20 == 11
+                ).count()
+                assert offt_in_store == 0, offt_in_store
+                n_offt = total // 20
+            n_missed = out_rows - (total - n_planted - n_contam - n_offt)
             assert 0 <= n_missed <= max(1, n_planted // 100), (
                 out_rows, total, n_planted, n_missed
             )
@@ -284,9 +371,13 @@ def main() -> None:
                 "store_has_no_neardups": True,
                 "index_equals_scratch_build": True,
             }
-            if args.mode == "hygiene":
+            if args.mode in ("hygiene", "full"):
                 extra["n_planted_contaminated"] = n_contam
                 extra["contaminated_in_store"] = 0
+            if args.mode == "full":
+                extra["n_planted_offtarget"] = n_offt
+                extra["offtarget_in_store"] = 0
+                extra["dsir_threshold"] = round(thr, 4)
             if args.maintenance_every:
                 import glob as _glob
 
