@@ -549,8 +549,11 @@ def minhash_maintenance(
     Returns ``{"action": "compact"|"none", "n_ingest_keys": int,
     "new_root": str | None}``.
     """
+    # schema-explicit read: a cold-start (empty-seed) store has no
+    # part files yet, and inference would throw where the shared
+    # reader returns an empty frame
     n_keys = (
-        spark.read.parquet(_mh_root(path) + "/signatures")
+        _read_signatures(spark, path, id_col)
         .select("ingest_key")
         .distinct()
         .count()

@@ -254,10 +254,14 @@ def save_dsir_index(
         )
     )
     counts.coalesce(1).write.mode("overwrite").parquet(path + "/counts")
+    # totals from the file just written — re-aggregating `counts`
+    # would replay the whole two-corpus featurize lineage a second
+    # time (the fit corpora are the expensive side; the counts file
+    # is <= n_buckets rows)
     totals = (
-        counts.agg(
-            F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
-        ).first()
+        target.sparkSession.read.parquet(path + "/counts")
+        .agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+        .first()
     )
     meta = local_df(
         target.sparkSession,

@@ -999,7 +999,13 @@ def corpus_neardup_batch_fn(
             .join(F.broadcast(survivors.select("doc_id")), "doc_id")
             .distinct()
         )
-        fresh = survivors.join(F.broadcast(seen), "doc_id", "left_anti")
+        # materialized ONCE: the append's two writes (signatures,
+        # bands) would otherwise each replay the whole-store `seen`
+        # scan — and the bands write would be reading the very table
+        # it overwrites
+        fresh = survivors.join(
+            F.broadcast(seen), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
         surv_sig = sig.join(fresh.select("doc_id"), "doc_id")
         dedup.minhash_index_append(
             spark, index_path, fresh, ingest_key=key,
@@ -1133,19 +1139,24 @@ def vector_ingest_batch_fn(
     recall trade-off of ``nprobe`` < ncells is SemDeDup's published
     one: cross-cell near-twins are missed by design.
 
-    Effectively-once is IDENTITY-based, not key-based alone: before
-    the cosine probe, the batch is anti-joined against the ids already
-    in the store (scan pruned to the batch's own assigned cells —
-    PartitionFilters, O(batch cells) not O(corpus)). The key-partition
-    overwrite already makes a plain replay idempotent; the id
-    anti-join is what survives MAINTENANCE in the crash window — a
-    compaction/retrain that folds the first attempt's rows under a new
-    generation's ``base`` key strips them of the batch key, and the
-    cosine probe can never re-find them (same-id pairs are excluded
-    from ranking by design), so without the identity check a replay
-    would re-append the whole batch. It also gives record-level
-    at-least-once safety: a source that re-delivers individual rows
-    (not just whole batches) can't duplicate a ``vec_id``.
+    Effectively-once is IDENTITY-based, not key-based alone: the
+    admit/drop decision runs on the FULL batch every time (so a replay
+    recomputes the identical survivor set), and the APPEND is then
+    anti-joined against the ids already in the store (scan pruned to
+    the batch's own assigned cells — PartitionFilters, O(batch cells)
+    not O(corpus)). The gate must sit AFTER the decision: gating the
+    batch itself would hand a replay a batch minus its already-
+    appended members, flipping batch-internal dedup outcomes and
+    overwriting the first attempt's partition with the opposite
+    survivor. The id anti-join is what survives MAINTENANCE in the
+    crash window — a compaction/retrain that folds the first attempt's
+    rows under a new generation's ``base`` key strips them of the
+    batch key, and the cosine probe can never re-find them (same-id
+    pairs are excluded from ranking by design), so without the
+    identity check a replay would re-append the whole batch. It also
+    gives record-level at-least-once safety: a source that re-delivers
+    individual rows (not just whole batches) can't duplicate a
+    ``vec_id``.
 
     ``maintenance_every=N`` runs :func:`similarity.ivf_maintenance`
     after every Nth batch's append (``maintenance_kwargs`` forwarded:
@@ -1166,25 +1177,14 @@ def vector_ingest_batch_fn(
             return
         cents = sim._read_centroids(spark, index_path)
         assigned = sim.ivf_assign(batch, cents, vec_col=vec_col, id_col=id_col)
-        # identity gate (see docstring): ids already persisted — this
-        # batch's own earlier attempt, possibly folded under 'base' by
-        # a maintenance tick — are dropped before the cosine probe.
-        # The store scan is pruned to the batch's own cells (a
-        # replayed row's folded copy sits in its assignment cell: same
-        # centroids => same cell), and only the id column is read.
-        cells = sorted(
-            r["cell"] for r in assigned.select("cell").distinct().collect()
-        )
-        seen = (
-            spark.read.parquet(sim._store_root(index_path) + "/vectors")
-            .filter(F.col("cell").isin(cells))
-            .select(id_col)
-        )
-        batch = batch.join(seen, id_col, "left_anti").localCheckpoint(
-            eager=True
-        )
-        if not batch.take(1):
-            return
+        # the admit/drop DECISION always runs on the FULL batch, so a
+        # replay recomputes the identical survivor set (deterministic
+        # probe with the batch's own key excluded) — the identity gate
+        # below filters only what gets APPENDED. Gating before the
+        # decision would let a replay see a batch with its already-
+        # appended members missing, flipping internal-dedup outcomes
+        # and overwriting the first attempt's partition with the
+        # opposite survivor (review r8 finding).
         cross = (
             sim.ivf_topk_indexed(
                 spark, index_path, batch, k=1, nprobe=nprobe,
@@ -1195,10 +1195,7 @@ def vector_ingest_batch_fn(
             .select(F.col("query_id").alias(id_col))
             .distinct()
         )
-        blocked = batch.join(
-            sim.ivf_assign(batch, cents, vec_col=vec_col, id_col=id_col),
-            id_col,
-        )
+        blocked = batch.join(assigned, id_col)
         internal = (
             sim.near_dup_pairs(
                 blocked, "cell", threshold=threshold, vec_col=vec_col,
@@ -1209,8 +1206,30 @@ def vector_ingest_batch_fn(
         )
         drop = cross.unionByName(internal).distinct()
         survivors = batch.join(drop, id_col, "left_anti")
+        # identity gate (see docstring): survivor ids already persisted
+        # — this batch's own earlier attempt, under its own key or
+        # folded to 'base' by a maintenance tick — must not be appended
+        # again. The store scan is pruned to the batch's own cells (a
+        # replayed row's folded copy sits in its assignment cell: same
+        # centroids => same cell) and reads the id column only; the
+        # batch side broadcasts. Materialized once so the append's
+        # write doesn't replay the probe lineage (which reads the same
+        # store it is writing).
+        cells = sorted(
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        )
+        seen = (
+            spark.read.parquet(sim._store_root(index_path) + "/vectors")
+            .filter(F.col("cell").isin(cells))
+            .select(id_col)
+            .join(F.broadcast(survivors.select(id_col)), id_col)
+            .distinct()
+        )
+        fresh = survivors.join(
+            F.broadcast(seen), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
         sim.ivf_index_append(
-            spark, index_path, survivors, vec_col=vec_col, id_col=id_col,
+            spark, index_path, fresh, vec_col=vec_col, id_col=id_col,
             extra_cols=extra_cols, ingest_key=key,
         )
         if maintenance_every and (batch_id + 1) % maintenance_every == 0:

@@ -450,3 +450,18 @@ def test_minhash_maintenance_policy_chooses_and_acts(spark, tmp_path):
     assert dedup.minhash_maintenance(
         spark, path, compact_after_keys=2
     )["action"] == "none"
+
+
+def test_minhash_maintenance_on_cold_start_store_is_noop(spark, tmp_path):
+    """Review r8: the maintenance tick must survive the documented
+    streaming cold start — an empty-seed store has NO signature part
+    files, and schema inference would throw where the schema-explicit
+    reader yields an empty frame (0 ingest keys, action none)."""
+    from sensor_data_pipeline___spark.operators import dedup
+
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(
+        spark.createDataFrame([], "doc_id long, text string"), path
+    )
+    out = dedup.minhash_maintenance(spark, path)
+    assert out == {"action": "none", "n_ingest_keys": 0, "new_root": None}

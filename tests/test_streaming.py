@@ -1058,3 +1058,56 @@ def test_corpus_stream_runs_maintenance_on_cadence(spark, dirs):
     assert sorted(r.doc_id for r in sig.collect()) == [
         30, 31, 1000, 1001, 1002, 1003,
     ]
+
+
+def test_vector_ingest_replay_with_internal_neardup_keeps_incumbent(
+    spark, dirs
+):
+    """Review r8 finding: the identity gate must filter the APPEND, not
+    the decision input. Batch = {A, B} where B is a scaled copy of A
+    (batch-internal near-dup, different ids): attempt 1 admits A,
+    drops B, appends A under the batch key — then crashes before the
+    commit. A gate applied to the batch itself would hand the replay
+    {B} alone (A is already stored, and the self-key-excluded probe
+    cannot see it), admit B, and dynamic overwrite would replace the
+    first attempt's partition — deleting A for its own duplicate. The
+    replay must leave the store EXACTLY as attempt 1 wrote it: A
+    present, B absent."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+    from sensor_data_pipeline___spark.streaming.pipeline import (
+        vector_ingest_batch_fn,
+    )
+
+    emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
+    idx = os.path.join(dirs["wh"], "ivf_index")
+    sim.save_ivf_index(
+        emb.filter(F.col("vec_id") < 100), idx, ncells=4, iters=1
+    )
+    a = emb.filter(F.col("vec_id") == 200).withColumn(
+        "vec_id", F.lit(5000)
+    )
+    b = a.select(
+        F.lit(5001).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias(
+            "embedding"
+        ),
+        *[c for c in a.columns if c not in ("vec_id", "embedding")],
+    )
+    batch = a.unionByName(b.select(a.columns))
+    fn = vector_ingest_batch_fn(spark, idx, threshold=0.95, nprobe=4)
+    fn(batch, 7)
+    snap = lambda: sorted(
+        r.vec_id
+        for r in spark.read.parquet(sim._store_root(idx) + "/vectors")
+        .filter("vec_id >= 5000").collect()
+    )
+    assert snap() == [5000]  # A admitted, its duplicate B dropped
+    fn(batch, 7)  # full crash-replay
+    assert snap() == [5000]  # incumbent intact, duplicate still out
+    # and the same holds across a maintenance fold of the batch key
+    sim.ivf_index_compact(spark, idx)
+    fn(batch, 7)
+    assert snap() == [5000]
