@@ -106,7 +106,9 @@ _PRIORITY = (
     "ewma_daily_value",
     "fuzzy_name_pairs",
     "gapfill_forward_fill",
-    "gapfill_linear_interp",
+    # --- never-gated: r8 next-event training-pair export (displacing
+    # gapfill_linear_interp, r5-gated, to the replica harness) ---
+    "next_event_training_pairs",
     # --- never-gated: r8 tokenizer-vocab induction (displacing
     # hll_distinct_rollup, r6-gated, to the replica harness) ---
     "bpe_merge_candidates",

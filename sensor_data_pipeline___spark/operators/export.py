@@ -303,3 +303,42 @@ def write_webdataset_shards(
         df.sparkSession, rows,
         "shard long, path string, n_records long, n_bytes long",
     )
+
+
+def next_event_training_pairs(
+    events: DataFrame,
+    context: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(user_id, event_id, context, label) — supervised next-event
+    prediction examples: for every event with at least ``context``
+    predecessors in its user's chronological history, the
+    space-joined window of the previous ``context`` event types and
+    the event's own type as the label. The sliding-window counterpart
+    of :func:`user_event_sequences` (whole-history export) — the shape
+    a sequence-model trainer actually consumes.
+
+    Ordering is (ts, event_id) — the same deterministic tiebreak as
+    the sequence export, so every example is reproducible cross-engine
+    and the whole example set hash-verifies. Physical shape: one
+    window partitioned BY USER (never a global window); the lag chain
+    is ``context`` extra narrow columns, no self-join, no explode.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    lags = [
+        F.lag(type_col, context - i).over(w) for i in range(context)
+    ]
+    return (
+        events.select(
+            user_col,
+            id_col,
+            F.concat_ws(" ", *lags).alias("context"),
+            F.col(type_col).alias("label"),
+            lags[0].alias("_full"),
+        )
+        .filter(F.col("_full").isNotNull())
+        .drop("_full")
+    )

@@ -6824,3 +6824,36 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators import text
 
     return text.bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+@_register(
+    "next_event_training_pairs",
+    # Supervised next-event prediction examples (operators/export.py:
+    # next_event_training_pairs): sliding context-3 windows over each
+    # user's chronological history, (ts, event_id)-tiebroken like
+    # user_event_sequences so every (context, label) example
+    # hash-verifies whole. One user-partitioned window, three lag
+    # columns, no self-join.
+    """
+    WITH w AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type, 3) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS l3,
+             lag(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+             lag(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS l1
+      FROM events
+    )
+    SELECT user_id, event_id,
+           l3 || ' ' || l2 || ' ' || l1 AS context,
+           event_type AS label
+    FROM w WHERE l3 IS NOT NULL
+    """,
+)
+def q_next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import export
+
+    return export.next_event_training_pairs(
+        _t(spark, sf_dir, "events"), context=3
+    )
