@@ -326,19 +326,30 @@ def next_event_training_pairs(
     and the whole example set hash-verifies. Physical shape: one
     window partitioned BY USER (never a global window); the lag chain
     is ``context`` extra narrow columns, no self-join, no explode.
+
+    An example is emitted only when EVERY lag in the window is
+    non-null — not just the furthest one. A NULL ``type_col`` mid-
+    history would otherwise produce engine-divergent rows
+    (``concat_ws`` silently skips NULLs, so the context string
+    shortens; ANSI ``||`` nulls the whole context), and a
+    shorter-than-``context`` window is a malformed training example
+    either way.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     lags = [
         F.lag(type_col, context - i).over(w) for i in range(context)
     ]
+    all_present = lags[0].isNotNull()
+    for lg in lags[1:]:
+        all_present = all_present & lg.isNotNull()
     return (
         events.select(
             user_col,
             id_col,
             F.concat_ws(" ", *lags).alias("context"),
             F.col(type_col).alias("label"),
-            lags[0].alias("_full"),
+            all_present.alias("_full"),
         )
-        .filter(F.col("_full").isNotNull())
+        .filter(F.col("_full"))
         .drop("_full")
     )

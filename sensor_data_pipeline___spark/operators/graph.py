@@ -72,6 +72,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # one driver scalar: the node count
+    if n == 0:
+        # an empty edge list has no nodes to rank — return the empty
+        # (node, rank) frame instead of a ZeroDivisionError from 1/n
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n

@@ -62,6 +62,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return readers.table(spark, name, sf_dir)
 
 
+def _run_scoped_store_path(spark: SparkSession, name: str, sf_dir: str) -> str:
+    """A persisted-index scratch path that is (a) DETERMINISTIC within
+    one Spark application — repeated verify/replica sweeps overwrite
+    the same store instead of leaking dirs and growing the driver-side
+    geometry caches without bound (review r8) — and (b) ISOLATED per
+    run: it lives under the app's own Spark local scratch dir
+    (``SparkFiles.getRootDirectory()``, created per application and
+    removed at app exit), so concurrent harness runs or multiple users
+    on one host can never overwrite each other's stores mid-probe
+    (review r9)."""
+    import os
+
+    from pyspark import SparkFiles
+
+    return os.path.join(
+        SparkFiles.getRootDirectory(),
+        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
 def _epoch(col) -> "F.Column":
     """Fractional-seconds epoch that is legal on BOTH timestamp flavors.
 
@@ -6012,23 +6032,14 @@ _CROSS_JACCARD_ORACLE = """
     _CROSS_JACCARD_ORACLE,
 )
 def q_near_dup_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from sensor_data_pipeline___spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
-    # deterministic per-sf_dir path, REUSED (overwritten) across
-    # invocations: a fresh mkdtemp per run would leak /tmp dirs and
-    # grow the driver-side geometry cache without bound under the
-    # repeated verify/replica sweeps (review r8). Sequential harness
-    # contract — concurrent same-sf_dir invocations would race.
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_mh_probe_exact_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # deterministic per-(run, sf_dir) path, REUSED (overwritten) across
+    # invocations within the app — see _run_scoped_store_path
+    path = _run_scoped_store_path(spark, "mh_probe_exact", sf_dir)
     dedup.save_minhash_index(
         corpus, path, num_hashes=64, bands=64, shingle_n=3
     )
@@ -6087,20 +6098,14 @@ def q_near_dup_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hard_negative_mining_indexed_exact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import os
-    import tempfile
-
     from sensor_data_pipeline___spark.operators.similarity import (
         hard_negatives_ivf_indexed,
         save_ivf_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    # deterministic reused path — see q_near_dup_probe_exact
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivf_mine_exact_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # deterministic run-scoped reused path — see _run_scoped_store_path
+    path = _run_scoped_store_path(spark, "ivf_mine_exact", sf_dir)
     save_ivf_index(emb, path, ncells=8, iters=1, extra_cols=("label",))
     anchors = emb.filter(F.col("vec_id") < 8)
     return hard_negatives_ivf_indexed(spark, path, anchors, k=5, nprobe=8)
@@ -6517,18 +6522,12 @@ def q_decontam_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keys, no gram-string materialization), which a pinning test
     holds to identical contamination sets. Same deterministic reused
     temp path contract as near_dup_probe_exact."""
-    import os
-    import tempfile
-
     from sensor_data_pipeline___spark.operators import decontam
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     batch = docs.filter(F.col("doc_id") % 10 != 0)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_decontam_probe_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_scoped_store_path(spark, "decontam_probe", sf_dir)
     decontam.save_contamination_index(bench, path, n=8, key="string")
     return decontam.contaminated_against_index(spark, path, batch)
 
@@ -6542,18 +6541,12 @@ def q_decontam_probe_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     modes to identical contamination sets, so the oracle covers this
     one's semantics. The figure includes the index SAVE, so the bench
     tracks maintenance + probe as one number."""
-    import os
-    import tempfile
-
     from sensor_data_pipeline___spark.operators import decontam
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     batch = docs.filter(F.col("doc_id") % 10 != 0)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_decontam_bench_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_scoped_store_path(spark, "decontam_bench", sf_dir)
     decontam.save_contamination_index(bench, path, n=8, key="xxhash64")
     return decontam.contaminated_against_index(spark, path, batch)
 
@@ -6708,18 +6701,12 @@ def q_dsir_resample_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dsir_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from sensor_data_pipeline___spark.operators import dsir
 
     docs = _t(spark, sf_dir, "documents")
     fit = docs.filter(F.col("doc_id") % 2 == 0)
     probe = docs.filter(F.col("doc_id") % 2 == 1)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_dsir_probe_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _run_scoped_store_path(spark, "dsir_probe", sf_dir)
     dsir.save_dsir_index(fit.filter(F.col("lang") == "en"), fit, path)
     return dsir.dsir_weights_against_index(spark, path, probe).select(
         "doc_id",
@@ -6848,7 +6835,8 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id,
            l3 || ' ' || l2 || ' ' || l1 AS context,
            event_type AS label
-    FROM w WHERE l3 IS NOT NULL
+    FROM w
+    WHERE l3 IS NOT NULL AND l2 IS NOT NULL AND l1 IS NOT NULL
     """,
 )
 def q_next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

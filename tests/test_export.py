@@ -219,3 +219,31 @@ def test_webdataset_shards_roundtrip_and_byte_determinism(spark, tmp_path):
             open(f"{d2}/shard-{k:05d}.tar", "rb").read()
         ).hexdigest()
         assert h1 == h2, k
+
+
+def test_next_event_pairs_null_event_type_windows_dropped(spark):
+    """Engine-divergence guard (review r9): a NULL event_type anywhere
+    in the context window drops the example in BOTH twins — Spark's
+    concat_ws would otherwise silently shorten the context string
+    where ANSI || nulls it, splitting the engines on the same rows."""
+    import datetime as dt
+
+    from sensor_data_pipeline___spark.operators.export import (
+        next_event_training_pairs,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", i, typ, t0 + dt.timedelta(minutes=i))
+        for i, typ in enumerate(["a", None, "b", "c", "d", "e"])
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.event_id: (r.context, r.label)
+        for r in next_event_training_pairs(ev, context=3).collect()
+    }
+    # event 3's window is (a, NULL, b) and event 4's is (NULL, b, c):
+    # both dropped; event 5's (b, c, d) is the first complete window
+    assert got == {5: ("b c d", "e")}

@@ -82,3 +82,13 @@ def test_iteration_count_changes_result_and_lineage_is_cut(spark):
     # tree: its plan must not contain the join operators themselves
     plan = graph.pagerank(df, iters=2)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_empty_edge_list_returns_empty_frame(spark):
+    """ZeroDivisionError guard (review r9): an empty edge list has no
+    nodes to rank — the result is an empty (node, rank) frame, not an
+    arithmetic error from the 1/N initialization."""
+    df = spark.createDataFrame([], "src string, dst string, weight double")
+    out = graph.pagerank(df, iters=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
