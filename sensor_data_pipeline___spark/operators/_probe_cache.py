@@ -1,0 +1,139 @@
+"""Generation-keyed in-memory cache of the persisted indexes' BASE
+partitions — the scan-cost fix for the per-batch probe hot path
+(VERDICT r8 directive #1).
+
+The minhash band/signature stores and the decontam gram store are
+probed by EVERY streaming micro-batch, and a probe's store side was a
+full parquet re-scan each time — the measured p50 slope of the 80-batch
+soak (6.1 → 16.3 s as the store grew). Footer min/max skipping cannot
+remove that term for the streaming regime: the probe keys are uniform
+64-bit hashes and a ~16k-key batch hits essentially every file and row
+group of any realistic layout, so stats pruning only engages for
+SELECTIVE probes (few keys — see ``dedup.py``'s manifest path). The
+idiomatic fix for a hot, repeatedly-probed table that is immutable
+between maintenance ticks is to keep it in executor storage memory: at
+100 TB the band table is ~1-2 % of corpus bytes (1-2 TB ⇒ 1-2 GB per
+executor on a 1000-executor cluster), and every subsequent probe
+becomes a memory scan instead of a remote read.
+
+Mechanism — ``localCheckpoint``, NOT ``cache()``, and only the
+``ingest_key=base`` directories:
+
+- ``cache()`` on a file-source frame is path-registered with the
+  CacheManager, and every append's ``refreshByPath(store)`` would
+  re-list and re-build it — per-batch appends would invalidate the
+  cache exactly once per probe (and a base cached from an EMPTY store
+  crashes outright on rebuild: the re-listed files carry a partition
+  column the original zero-dir plan never discovered). An eager
+  ``localCheckpoint`` materializes the base scan ONCE into block-
+  manager storage (MEMORY_AND_DISK) with lineage severed — no path
+  registration, so appends can't touch it — and its blocks are freed
+  by the ContextCleaner when the registry drops the reference, the
+  same lifecycle ``sign_for_index`` already relies on.
+- Base partitions are written exactly once per store generation
+  (``save_*`` / ``*_compact``) and never touched by appends or replay
+  overwrites (those write batch keys or ``'adhoc'``), so the
+  checkpointed copy can never go stale within its generation.
+- Everything else (the per-batch append partitions) is read LIVE on
+  every probe via a partition-pruned ``ingest_key != 'base'`` scan,
+  so new appends and replay rewrites are always visible.
+- The registry entry is keyed by the store's RESOLVED generation
+  root: a compaction's atomic ``CURRENT`` swap rotates the key and
+  drops the old entry; a fresh ``save_*`` (which rewrites base in
+  place) calls :func:`invalidate` — all write paths do.
+
+Cluster caveat (documented trade, same as every ``localCheckpoint``
+in this repo): checkpoint blocks are not lineage-recoverable, so an
+executor loss fails the in-flight probe once; the caller's retry
+should :func:`invalidate` the store to force a rebuild. Local mode —
+the test/bench environment — never hits this.
+
+The registry is a small LRU (default 8 stores) so long test sessions
+touching many temp stores don't pin block-manager storage without
+bound.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_ENTRIES = 8
+
+#: (store_path, table) -> (resolved_root, checkpointed base DataFrame)
+_REG: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+
+def _base_dirs(resolved_root: str, table: str) -> "list[str]":
+    """The generation's immutable ``ingest_key=base`` partition dirs —
+    at either hive depth the index layouts use (``grams/ingest_key=``,
+    ``bands/band_idx=*/ingest_key=``)."""
+    t = os.path.join(resolved_root, table)
+    return sorted(
+        glob.glob(os.path.join(t, "ingest_key=base"))
+        + glob.glob(os.path.join(t, "*", "ingest_key=base"))
+    )
+
+
+def _build_base(spark, resolved_root: str, table: str, schema: str) -> DataFrame:
+    dirs = _base_dirs(resolved_root, table)
+    if not dirs:
+        # empty-seed store: no base partitions were written at all —
+        # a local empty relation, immune to later re-listing
+        return spark.createDataFrame([], schema)
+    df = (
+        spark.read.schema(schema)
+        .option("basePath", os.path.join(resolved_root, table))
+        .parquet(*dirs)
+    )
+    return df.localCheckpoint(eager=True)
+
+
+def store_read(
+    spark,
+    store_path: str,
+    table: str,
+    resolved_root: str,
+    schema: str,
+    cache: bool = True,
+) -> DataFrame:
+    """The probe-side read of ``<resolved_root>/<table>``: the
+    checkpointed ``ingest_key='base'`` partitions unioned with a live
+    partition-pruned read of every other ``ingest_key`` (the appends
+    since the last save/compact). With ``cache=False`` this is exactly
+    the plain full scan the probe paths used before."""
+    full = spark.read.schema(schema).parquet(f"{resolved_root}/{table}")
+    if not cache:
+        return full
+    key = (store_path, table)
+    ent = _REG.get(key)
+    if ent is not None and ent[0] != resolved_root:
+        _REG.pop(key, None)  # superseded generation; GC frees blocks
+        ent = None
+    if ent is None:
+        _REG[key] = (resolved_root, _build_base(spark, resolved_root, table, schema))
+        while len(_REG) > _MAX_ENTRIES:
+            _REG.popitem(last=False)
+    _REG.move_to_end(key)
+    base = _REG[key][1]
+    delta = full.filter(F.col("ingest_key") != "base")
+    return base.unionByName(delta)
+
+
+def invalidate(store_path: str) -> None:
+    """Drop every cached table of a store — called by the fresh
+    ``save_*`` paths, which rewrite ``ingest_key='base'`` under the
+    SAME resolved root so the generation key alone cannot detect the
+    change (block storage is freed by the ContextCleaner once the
+    reference drops)."""
+    for key in [k for k in _REG if k[0] == store_path]:
+        _REG.pop(key, None)
+
+
+def clear() -> None:
+    """Forget everything (test teardown helper)."""
+    _REG.clear()

@@ -44,6 +44,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators import _probe_cache
 from sensor_data_pipeline___spark.operators._local import local_df
 from sensor_data_pipeline___spark.operators._writes import overwrite_mode
 from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
@@ -103,6 +104,7 @@ def save_contamination_index(
     benchmark additions land in their own partitions
     (:func:`contamination_index_append`) without rewriting this one."""
     _META_CACHE.pop(path, None)  # a fresh save may change the geometry
+    _probe_cache.invalidate(path)  # base is rewritten under this root
     grams = (
         bench_docs.select(
             F.explode(_gram_exprs(text_col, n, key)).alias("g")
@@ -116,9 +118,13 @@ def save_contamination_index(
     # ingest_key=<batch> partitions would silently keep serving
     # (see operators/_writes.py)
     with overwrite_mode(bench_docs.sparkSession, "static"):
-        grams.write.mode("overwrite").partitionBy("ingest_key").parquet(
-            path + "/grams"
-        )
+        # sorted within files: tight footer min/max on g (page-index
+        # ready; also dictionary/compression friendly). Task-local sort
+        # only — see dedup._sorted_for_write for the partition-column
+        # prefix rule.
+        grams.sortWithinPartitions("ingest_key", "g").write.mode(
+            "overwrite"
+        ).partitionBy("ingest_key").parquet(path + "/grams")
     meta = local_df(
         bench_docs.sparkSession, [(n, key)], "n int, key string"
     )
@@ -132,14 +138,17 @@ def _load_meta(spark, path: str) -> tuple:
     return _META_CACHE[path]
 
 
-def _read_grams(spark, path: str) -> DataFrame:
+def _read_grams(spark, path: str, cache: bool = False) -> DataFrame:
     """Schema-explicit read (an index saved from an empty benchmark has
     no partition dirs, where inference would fail but an explicit
-    schema correctly yields an empty frame)."""
+    schema correctly yields an empty frame). ``cache=True`` routes the
+    immutable ``'base'`` partition through the probe cache (appended
+    partitions always read live)."""
     _, key = _load_meta(spark, path)
-    return spark.read.schema(
-        f"g {_gram_type(key)}, ingest_key string"
-    ).parquet(path + "/grams")
+    schema = f"g {_gram_type(key)}, ingest_key string"
+    return _probe_cache.store_read(
+        spark, path, "grams", path, schema, cache=cache
+    )
 
 
 def contamination_index_append(
@@ -172,9 +181,9 @@ def contamination_index_append(
     # DYNAMIC, pinned (not inherited): a replay must overwrite only
     # its own ingest_key partition (see operators/_writes.py)
     with overwrite_mode(spark, "dynamic"):
-        grams.write.mode(mode).partitionBy("ingest_key").parquet(
-            path + "/grams"
-        )
+        grams.sortWithinPartitions("ingest_key", "g").write.mode(
+            mode
+        ).partitionBy("ingest_key").parquet(path + "/grams")
 
 
 def contaminated_against_index(
@@ -183,6 +192,7 @@ def contaminated_against_index(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_store: bool = True,
 ) -> DataFrame:
     """Per-document contamination report for a training batch:
     ``(id_col, n_contaminated_grams, is_contaminated)`` — one row per
@@ -193,12 +203,24 @@ def contaminated_against_index(
     side is distinct grams (one narrow column, broadcast candidate);
     inner join on the gram counts hits; a left join back to the id
     spine restores the zero rows. Nothing scans the store more than
-    once, and the batch text is grammed exactly once."""
+    once, and the batch text is grammed exactly once.
+
+    ``cache_store`` (default on) keeps the immutable ``'base'``
+    partition in executor storage memory across probes and reads only
+    appended benchmark partitions live — the per-micro-batch ingest
+    loop probes this store every trigger, and the benchmark suite is
+    fixed between appends, so re-scanning it from parquet each batch
+    was pure repeated I/O (operators/_probe_cache.py). Footer-stats
+    pruning deliberately does NOT apply here: a batch's probe keys are
+    its distinct grams (tens of thousands even for small batches, more
+    than any realistic file count), so a pruned scan can never skip
+    anything — the pays-when-keys≪units rule of
+    ``near_dup_against_index``'s prune path."""
     n, key = _load_meta(spark, path)
     doc_grams = docs.select(
         id_col, F.explode(_gram_exprs(text_col, n, key)).alias("g")
     ).distinct()
-    store = _read_grams(spark, path).select("g").distinct()
+    store = _read_grams(spark, path, cache=cache_store).select("g").distinct()
     hits = (
         doc_grams.join(store, "g")
         .groupBy(id_col)
@@ -225,16 +247,18 @@ def decontaminate_against_index(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_store: bool = True,
 ) -> DataFrame:
     """Drop every batch doc sharing ≥1 gram with the benchmark store —
     the ACTION half of :func:`contaminated_against_index`, as a
     left-anti join on the contaminated id set (the batch is scanned
-    once for gramming; survivors keep their full original schema)."""
+    once for gramming; survivors keep their full original schema).
+    ``cache_store`` as in :func:`contaminated_against_index`."""
     n, key = _load_meta(spark, path)
     doc_grams = docs.select(
         id_col, F.explode(_gram_exprs(text_col, n, key)).alias("g")
     ).distinct()
-    store = _read_grams(spark, path).select("g").distinct()
+    store = _read_grams(spark, path, cache=cache_store).select("g").distinct()
     contaminated = doc_grams.join(store, "g", "left_semi").select(
         id_col
     ).distinct()

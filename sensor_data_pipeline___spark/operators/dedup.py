@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators import _probe_cache
 from sensor_data_pipeline___spark.operators._local import local_df
 from sensor_data_pipeline___spark.operators._writes import overwrite_mode
 
@@ -261,6 +262,8 @@ def save_minhash_index(
     if os.path.exists(ptr):
         os.remove(ptr)
     _META_CACHE.pop(path, None)  # a fresh save may change the geometry
+    _MANIFEST_CACHE.pop(path, None)
+    _probe_cache.invalidate(path)  # base is rewritten under this root
     sig = minhash_signature(
         docs, text_col, id_col, num_hashes, shingle_n
     ).withColumn("ingest_key", F.lit("base"))
@@ -270,15 +273,22 @@ def save_minhash_index(
     # ingest_key=<batch> partitions would silently keep serving their
     # retired signatures (see operators/_writes.py)
     with overwrite_mode(docs.sparkSession, "static"):
-        sig.write.mode("overwrite").partitionBy("ingest_key").parquet(
-            path + "/signatures"
-        )
-        _banded_keys(
-            _read_signatures(docs.sparkSession, path, id_col),
-            id_col, num_hashes, bands, keep=("ingest_key",),
+        # sorted-within-files (see _sorted_for_write): footer min/max
+        # stats become real, which the selective-probe manifest path
+        # and parquet page-index skipping both rely on
+        _sorted_for_write(sig, "ingest_key", id_col).write.mode(
+            "overwrite"
+        ).partitionBy("ingest_key").parquet(path + "/signatures")
+        _sorted_for_write(
+            _banded_keys(
+                _read_signatures(docs.sparkSession, path, id_col),
+                id_col, num_hashes, bands, keep=("ingest_key",),
+            ),
+            "band_idx", "ingest_key", "band_hash",
         ).write.mode("overwrite").partitionBy(
             "band_idx", "ingest_key"
         ).parquet(path + "/bands")
+    _write_band_manifest(path)
     meta = local_df(
         docs.sparkSession,
         [(num_hashes, bands, shingle_n)],
@@ -315,6 +325,117 @@ def _banded_keys(
     )
 
 
+def _sorted_for_write(df: DataFrame, *cols: str) -> DataFrame:
+    """Sort within write tasks so every data file carries TIGHT footer
+    min/max stats on the trailing (non-partition) sort columns. The
+    leading columns must be the write's ``partitionBy`` set: the
+    partitioned-write planner requires output ordered by the partition
+    columns and would otherwise insert its OWN sort, destroying the
+    data-column order this exists to create. Task-local — no shuffle."""
+    return df.sortWithinPartitions(*cols)
+
+
+def _write_band_manifest(root: str) -> None:
+    """Footer-stats manifest of the generation's band files — one JSON
+    line of (relative file, band_idx, band_hash min/max) per data file,
+    read back by the selective-probe path (:func:`near_dup_against_index`
+    ``prune_max_keys``) to turn a few-key probe into a pruned scan that
+    opens only the files whose [min, max] interval can contain a probe
+    key. Driver-side pyarrow over the files just written (save/compact
+    already cost O(corpus); footers are O(files)). Covers exactly the
+    immutable ``ingest_key=base`` partitions, so it can never go stale
+    within a generation — appends land under other ingest_keys and are
+    always read unpruned."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    bands_dir = os.path.join(root, "bands")
+    entries = []
+    for f in sorted(
+        glob.glob(os.path.join(bands_dir, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(f, bands_dir)
+        if "ingest_key=base" not in rel:
+            continue
+        band_idx = None
+        for part in rel.split(os.sep):
+            if part.startswith("band_idx="):
+                band_idx = int(part.split("=", 1)[1])
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == "band_hash" and c.statistics is not None:
+                    st = c.statistics
+                    if st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+        if band_idx is None or lo is None:
+            continue
+        entries.append({"file": rel, "band_idx": band_idx, "min": lo, "max": hi})
+    tmp = os.path.join(root, "bands_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"files": entries}, fh)
+    os.replace(tmp, os.path.join(root, "bands_manifest.json"))
+
+
+#: resolved generation root -> parsed manifest (or None when the
+#: generation predates manifests). Generations are immutable, so the
+#: cache can never serve stale entries; fresh saves pop their root.
+_MANIFEST_CACHE: dict = {}
+
+
+def _load_band_manifest(root: str):
+    if root not in _MANIFEST_CACHE:
+        import json
+
+        p = os.path.join(root, "bands_manifest.json")
+        if not os.path.exists(p):
+            _MANIFEST_CACHE[root] = None
+        else:
+            with open(p) as fh:
+                raw = json.load(fh)["files"]
+            by_band: dict = {}
+            for e in raw:
+                by_band.setdefault(e["band_idx"], []).append(
+                    (e["min"], e["max"], e["file"])
+                )
+            for v in by_band.values():
+                v.sort()
+            _MANIFEST_CACHE[root] = by_band
+    return _MANIFEST_CACHE[root]
+
+
+def _manifest_select_files(root: str, keys) -> "tuple[list, int] | None":
+    """Files of the generation's base band table that a probe with
+    ``keys`` = [(band_idx, band_hash), ...] must read, per the footer
+    manifest: a file is selected iff its [min, max] can contain one of
+    the probe's keys for its band. Returns (absolute paths, total base
+    files), or None when the generation has no manifest. Plain
+    O(K x files-per-band) interval checks driver-side — K is capped at
+    ``prune_max_keys`` (the path never engages for big batches), and
+    exhaustive containment checks stay correct for OVERLAPPING
+    intervals too (per-task sort runs from an un-ranged save), where a
+    binary-search walk could stop early and silently drop candidates."""
+    man = _load_band_manifest(root)
+    if man is None:
+        return None
+    total = sum(len(v) for v in man.values())
+    chosen: set = set()
+    for band_idx, h in keys:
+        for lo, hi, rel in man.get(band_idx, ()):
+            if lo <= h <= hi:
+                chosen.add(rel)
+    return (
+        [os.path.join(root, "bands", rel) for rel in sorted(chosen)],
+        total,
+    )
+
+
 #: path -> (num_hashes, bands, shingle_n). Band geometry is immutable
 #: for a store's lifetime (compaction preserves it; only a fresh
 #: save_minhash_index changes it, and that invalidates below) — so the
@@ -346,22 +467,30 @@ def _mh_root(path: str) -> str:
     return path
 
 
-def _read_signatures(spark, path: str, id_col: str) -> DataFrame:
+def _read_signatures(
+    spark, path: str, id_col: str, cache: bool = False
+) -> DataFrame:
     """Schema-explicit read of ``signatures/`` at the CURRENT version —
     an index saved from an EMPTY seed corpus (the streaming cold
     start) has partition dirs for no keys at all, and schema inference
     would fail where an explicit schema correctly yields an empty
-    frame."""
-    return spark.read.schema(
-        f"{id_col} long, signature array<bigint>, ingest_key string"
-    ).parquet(_mh_root(path) + "/signatures")
+    frame. ``cache=True`` serves the immutable ``'base'`` partitions
+    from the probe cache (appends always read live) — the per-batch
+    probe/identity-gate hot path."""
+    return _probe_cache.store_read(
+        spark, path, "signatures", _mh_root(path),
+        f"{id_col} long, signature array<bigint>, ingest_key string",
+        cache=cache,
+    )
 
 
-def _read_bands(spark, path: str, id_col: str) -> DataFrame:
+def _read_bands(spark, path: str, id_col: str, cache: bool = False) -> DataFrame:
     """Schema-explicit read of ``bands/`` (see :func:`_read_signatures`)."""
-    return spark.read.schema(
-        f"{id_col} long, band_hash bigint, band_idx int, ingest_key string"
-    ).parquet(_mh_root(path) + "/bands")
+    return _probe_cache.store_read(
+        spark, path, "bands", _mh_root(path),
+        f"{id_col} long, band_hash bigint, band_idx int, ingest_key string",
+        cache=cache,
+    )
 
 
 def minhash_index_append(spark, path: str, new_docs: DataFrame,
@@ -408,11 +537,12 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame,
     # DYNAMIC, pinned (not inherited): a replay must overwrite only
     # its own ingest_key partitions (see operators/_writes.py)
     with overwrite_mode(spark, "dynamic"):
-        sig.write.mode(mode).partitionBy("ingest_key").parquet(
-            root + "/signatures"
-        )
-        _banded_keys(
-            sig, id_col, num_hashes, bands, keep=("ingest_key",)
+        _sorted_for_write(sig, "ingest_key", id_col).write.mode(
+            mode
+        ).partitionBy("ingest_key").parquet(root + "/signatures")
+        _sorted_for_write(
+            _banded_keys(sig, id_col, num_hashes, bands, keep=("ingest_key",)),
+            "band_idx", "ingest_key", "band_hash",
         ).write.mode(mode).partitionBy("band_idx", "ingest_key").parquet(
             root + "/bands"
         )
@@ -503,17 +633,37 @@ def minhash_index_compact(
     # dynamic default its old ingest_key partitions would survive
     # into the "new" generation (see operators/_writes.py)
     with overwrite_mode(spark, "static"):
-        sig.coalesce(files_per_band).write.mode("overwrite").partitionBy(
-            "ingest_key"
-        ).parquet(new_root + "/signatures")
+        # files_per_band == 1 (default): single-task fold, one sorted
+        # file per band dir. files_per_band > 1: range-partition +
+        # sort, so each compacted file covers a DISJOINT contiguous
+        # key range — tight footer min/max stats that let the
+        # selective-probe manifest path read ~(probe keys) files
+        # instead of the whole band table.
+        if files_per_band > 1:
+            sig_w = sig.repartitionByRange(files_per_band, F.col(id_col))
+        else:
+            sig_w = sig.coalesce(1)
+        sig_w.sortWithinPartitions("ingest_key", id_col).write.mode(
+            "overwrite"
+        ).partitionBy("ingest_key").parquet(new_root + "/signatures")
         compacted = spark.read.schema(
             f"{id_col} long, signature array<bigint>, ingest_key string"
         ).parquet(new_root + "/signatures")
-        _banded_keys(
+        banded = _banded_keys(
             compacted, id_col, num_hashes, bands, keep=("ingest_key",)
-        ).coalesce(files_per_band).write.mode("overwrite").partitionBy(
+        )
+        if files_per_band > 1:
+            banded = banded.repartitionByRange(
+                bands * files_per_band, "band_idx", "band_hash"
+            )
+        else:
+            banded = banded.coalesce(1)
+        banded.sortWithinPartitions(
+            "band_idx", "ingest_key", "band_hash"
+        ).write.mode("overwrite").partitionBy(
             "band_idx", "ingest_key"
         ).parquet(new_root + "/bands")
+    _write_band_manifest(new_root)
     tmp = os.path.join(path, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(f"v{n}")
@@ -600,10 +750,33 @@ def near_dup_against_index(
     max_bucket: int = 200,
     precomputed_sig: "DataFrame | None" = None,
     exclude_ingest_key: "str | None" = None,
+    cache_store: bool = True,
+    prune_max_keys: int = 0,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and a
     :func:`save_minhash_index` corpus — the incremental-ingest dedup
     check, costing O(batch signing + probe) instead of O(corpus).
+
+    Store-scan cost (VERDICT r8 directive #1) is handled per regime:
+
+    - ``cache_store`` (default on): the generation's immutable
+      ``ingest_key='base'`` partitions are kept in executor storage
+      memory across probes (MEMORY_AND_DISK, generation-keyed, LRU —
+      see ``operators/_probe_cache.py``), so the per-micro-batch
+      probe's store side is a memory scan, not a parquet re-read;
+      appended partitions are still read live (partition-pruned
+      ``ingest_key != 'base'``), so new appends are always visible.
+    - ``prune_max_keys`` > 0 enables the SELECTIVE-probe pruned scan:
+      when the batch's distinct band keys number at most this cap,
+      they are collected (bounded driver list, ≤ cap rows) and the
+      footer-stats manifest written at save/compact selects only the
+      base band files whose [min, max] can contain a probe key — a
+      few-doc audit probe then opens ~(keys) files instead of the
+      band table. Deliberately OFF by default: probe keys are uniform
+      64-bit hashes, so a streaming-sized batch (~16k keys) hits
+      essentially every file of any realistic layout and the check
+      would only add a driver job; stats pruning of point probes pays
+      exactly when probe keys ≪ scan units.
 
     ``exclude_ingest_key`` drops that key's partitions from the probed
     store (partition-pruned — ingest_key is a partition column on both
@@ -646,8 +819,32 @@ def near_dup_against_index(
     new_bands = _banded_keys(new_sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("new_id"), "band_idx", "band_hash"
     )
-    bands_raw = _read_bands(spark, path, id_col)
-    sigs_raw = _read_signatures(spark, path, id_col)
+    root = _mh_root(path)
+    band_schema = f"{id_col} long, band_hash bigint, band_idx int, ingest_key string"
+    bands_raw = None
+    if prune_max_keys > 0:
+        probe_keys = new_bands.select("band_idx", "band_hash").distinct(
+        ).limit(prune_max_keys + 1).collect()
+        if len(probe_keys) <= prune_max_keys:
+            sel = _manifest_select_files(
+                root, [(r["band_idx"], r["band_hash"]) for r in probe_keys]
+            )
+            if sel is not None:
+                files, _total = sel
+                pruned_base = (
+                    spark.read.schema(band_schema)
+                    .option("basePath", root + "/bands")
+                    .parquet(*files)
+                    if files
+                    else spark.createDataFrame([], band_schema)
+                )
+                delta = spark.read.schema(band_schema).parquet(
+                    root + "/bands"
+                ).filter(F.col("ingest_key") != "base")
+                bands_raw = pruned_base.unionByName(delta)
+    if bands_raw is None:
+        bands_raw = _read_bands(spark, path, id_col, cache=cache_store)
+    sigs_raw = _read_signatures(spark, path, id_col, cache=cache_store)
     if exclude_ingest_key is not None:
         bands_raw = bands_raw.filter(
             F.col("ingest_key") != exclude_ingest_key

@@ -993,8 +993,11 @@ def corpus_neardup_batch_fn(
         # re-run the full append (same-key dynamic overwrite replaces
         # the orphaned signature partition) instead of freezing the
         # tear. Narrow id-column scan, batch side broadcast.
+        # cache=True: the gate's store side is the same immutable-base
+        # + live-delta split as the probe's — one memory scan per
+        # batch instead of a second full parquet re-read
         seen = (
-            dedup._read_bands(spark, index_path, "doc_id")
+            dedup._read_bands(spark, index_path, "doc_id", cache=True)
             .select("doc_id")
             .join(F.broadcast(survivors.select("doc_id")), "doc_id")
             .distinct()

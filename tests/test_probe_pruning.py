@@ -1,0 +1,206 @@
+"""Pruned probe scans + probe cache for the persisted index stores
+(VERDICT r8 directive #1).
+
+Three contracts:
+
+- compacted band files are range-DISJOINT and sorted, with the footer
+  manifest recording tight [min, max] per file;
+- a selective probe (few keys) reads a small fraction of the base band
+  files via the manifest and returns row-identical results to the
+  full scan;
+- the probe cache serves the immutable base partitions while live
+  appends stay visible, and a fresh save invalidates it.
+"""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.operators import dedup
+from sensor_data_pipeline___spark.sources import readers
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return readers.table(spark, "documents", SF)
+
+
+def _compacted_store(spark, tmp_path, files_per_band=8):
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 300), path)
+    dedup.minhash_index_compact(spark, path, files_per_band=files_per_band)
+    return path, docs
+
+
+def test_compact_band_manifest_ranges_disjoint(spark, tmp_path):
+    """files_per_band > 1 compaction range-partitions each band's keys:
+    the manifest's per-band [min, max] intervals are pairwise disjoint
+    — the property that makes a point-key probe prunable at all."""
+    path, _ = _compacted_store(spark, tmp_path, files_per_band=8)
+    root = dedup._mh_root(path)
+    man = dedup._load_band_manifest(root)
+    assert man is not None and len(man) == 8  # one entry set per band
+    for band_idx, files in man.items():
+        assert len(files) >= 4, (band_idx, files)
+        ordered = sorted(files)
+        for (lo1, hi1, _), (lo2, hi2, _) in zip(ordered, ordered[1:]):
+            assert hi1 < lo2, f"band {band_idx}: overlapping file ranges"
+
+
+def test_selective_probe_prunes_files_and_matches_full(spark, tmp_path):
+    """A 2-doc probe (16 band keys) against a 64-file compacted store
+    must read a minority of base files per the manifest, and the
+    pruned probe's result must be row-identical to the full scan —
+    pruning may only skip files that cannot contain a probe key."""
+    path, docs = _compacted_store(spark, tmp_path, files_per_band=8)
+    root = dedup._mh_root(path)
+
+    # planted copies of two corpus docs under fresh ids
+    batch = docs.filter(F.col("doc_id").isin(5, 7)).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+
+    # manifest-level payoff: the probe's exact keys select few files
+    num_hashes, bands, shingle_n = dedup._load_minhash_meta(spark, path)
+    keys = [
+        (r["band_idx"], r["band_hash"])
+        for r in dedup._banded_keys(
+            dedup.minhash_signature(batch, num_hashes=num_hashes,
+                                    shingle_n=shingle_n),
+            "doc_id", num_hashes, bands,
+        ).select("band_idx", "band_hash").distinct().collect()
+    ]
+    files, total = dedup._manifest_select_files(root, keys)
+    assert total >= 32, total  # the store really is many-filed
+    assert len(files) <= len(keys) + 4, (len(files), len(keys))
+    assert len(files) < total / 2  # a pruned scan, not a rename of full
+
+    pruned = sorted(
+        (r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+        for r in dedup.near_dup_against_index(
+            spark, path, batch, prune_max_keys=64, cache_store=False
+        ).collect()
+    )
+    full = sorted(
+        (r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+        for r in dedup.near_dup_against_index(
+            spark, path, batch, prune_max_keys=0, cache_store=False
+        ).collect()
+    )
+    assert pruned == full
+    assert {(50_000_005, 5), (50_000_007, 7)} <= {
+        (a, b) for a, b, _ in pruned
+    }
+
+
+def test_big_batch_skips_pruning_but_matches(spark, tmp_path):
+    """A batch whose key count exceeds prune_max_keys falls back to
+    the full-scan path (uniform keys would hit every file anyway) and
+    still returns identical results."""
+    path, docs = _compacted_store(spark, tmp_path, files_per_band=8)
+    batch = docs.filter(F.col("doc_id") < 40).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    pruned_mode = sorted(
+        (r.new_id, r.corpus_id)
+        for r in dedup.near_dup_against_index(
+            spark, path, batch, prune_max_keys=16, cache_store=False
+        ).collect()
+    )
+    full = sorted(
+        (r.new_id, r.corpus_id)
+        for r in dedup.near_dup_against_index(
+            spark, path, batch, cache_store=False
+        ).collect()
+    )
+    assert pruned_mode == full and len(full) >= 40
+
+
+def test_probe_cache_serves_base_and_sees_live_appends(spark, tmp_path):
+    """cache_store=True: the base generation is checkpointed once and
+    reused, while appended partitions are read live — a dup planted by
+    an append is found by the very next cached probe, and a fresh save
+    over the same path invalidates the cached base."""
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 100), path)
+
+    probe = docs.filter(F.col("doc_id").isin(150)).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    # warm the cache: doc 150 is not in the store yet
+    assert (
+        dedup.near_dup_against_index(spark, path, probe).count() == 0
+    )
+    # live append becomes visible through the cached path immediately
+    dedup.minhash_index_append(
+        spark, path, docs.filter(F.col("doc_id") == 150), ingest_key="b1"
+    )
+    hits = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.near_dup_against_index(spark, path, probe).collect()
+    }
+    assert (50_000_150, 150) in hits
+
+    # fresh save over the SAME path: the cached base must not keep
+    # serving the retired corpus
+    dedup.save_minhash_index(
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)), path
+    )
+    assert dedup.near_dup_against_index(spark, path, probe).count() == 0
+
+
+def test_probe_cache_rotates_on_compaction_swap(spark, tmp_path):
+    """A compaction's CURRENT swap rotates the cache key: the next
+    cached probe reads the new generation and stays row-identical."""
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 100), path)
+    dedup.minhash_index_append(
+        spark, path, docs.filter(F.col("doc_id") == 200), ingest_key="b1"
+    )
+    probe = docs.filter(F.col("doc_id").isin(5, 200)).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    before = sorted(
+        (r.new_id, r.corpus_id)
+        for r in dedup.near_dup_against_index(spark, path, probe).collect()
+    )
+    dedup.minhash_index_compact(spark, path)
+    after = sorted(
+        (r.new_id, r.corpus_id)
+        for r in dedup.near_dup_against_index(spark, path, probe).collect()
+    )
+    assert after == before
+    assert {(50_000_005, 5), (50_000_200, 200)} <= set(after)
+
+
+def test_band_files_carry_band_hash_footer_stats(spark, tmp_path):
+    """Every written band file (save, append, compact) carries real
+    band_hash min/max footer statistics — the raw material for both
+    the manifest and parquet page-index skipping."""
+    import pyarrow.parquet as pq
+
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 100), path)
+    dedup.minhash_index_append(
+        spark, path, docs.filter(F.col("doc_id") == 200), ingest_key="b1"
+    )
+    files = glob.glob(path + "/bands/**/*.parquet", recursive=True)
+    assert files
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        got = False
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == "band_hash":
+                    assert c.statistics is not None and c.statistics.has_min_max
+                    got = True
+        assert got, f
