@@ -1036,17 +1036,11 @@ def set_similarity_join(
 # ---------------------------------------------------------------------------
 
 
-def simhash(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """64-bit SimHash fingerprint per document: xxhash64 each distinct
-    token, take the bitwise majority across tokens.
-
-    Columnar formulation: for each bit position the vote is
-    sum(sign(bit)) over tokens — expressed as a transform over a
-    0..63 literal sequence; no UDF, no shuffle (narrow op)."""
-    toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def _simhash_votes(hashes: F.Column, bits: int) -> F.Column:
+    """Bitwise-majority fingerprint over an array of per-token hash
+    longs: for each bit position the vote is sum(sign(bit)) over
+    tokens — a python loop of static expressions (not a higher-order
+    function over bit indices), so it stays in whole-stage codegen."""
 
     def _mask(bit: int) -> int:
         # two's-complement long literal for bit 63
@@ -1060,11 +1054,41 @@ def simhash(
         return vote
 
     fp = F.lit(0).cast("long")
-    for bit in range(64):
+    for bit in range(bits):
         mask = F.lit(_mask(bit)).cast("long")
         vote = F.aggregate(hashes, F.lit(0), _voter(mask))
         fp = fp.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
-    return docs.select(F.col(id_col), fp.alias("simhash64"))
+    return fp
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document: xxhash64 each distinct
+    token, take the bitwise majority across tokens. No UDF, no shuffle
+    (narrow op)."""
+    toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return docs.select(F.col(id_col), _simhash_votes(hashes, 64).alias("simhash64"))
+
+
+def simhash_md5c60(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash in ORACLE-PARITY mode: single-space tokens and a
+    per-token hash of the md5 digest's first 15 hex chars — both ends
+    exactly computable by any ANSI engine (DuckDB:
+    ``('0x' || substring(md5(t),1,15))::BIGINT``), unlike Spark's
+    seeded xxhash64. Same geometry, same voting, same Hamming
+    semantics as :func:`simhash`; the production default stays
+    xxhash64 (one hash pass instead of a 128-bit digest) — a pinning
+    test holds both modes to the same planted near-dup pairs."""
+    toks = F.array_distinct(F.split(F.col(text_col), " ", -1))
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    return docs.select(F.col(id_col), _simhash_votes(hashes, 60).alias("simhash60"))
 
 
 def simhash_near_dup(
@@ -1099,6 +1123,105 @@ def simhash_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs at Hamming <= ``max_hamming`` with EXACT recall —
+    the oracle-gradable twin of :func:`simhash_near_dup` (VERDICT r8
+    directive #5), over the :func:`simhash_md5c60` parity fingerprint.
+
+    Blocking is the multi-index pigeonhole (Norouzi et al., CVPR'12):
+    split the 60 fingerprint bits into ``max_hamming + 1`` disjoint
+    segments — two fingerprints within ``max_hamming`` differing bits
+    CANNOT differ in every segment, so candidates = pairs agreeing
+    exactly on at least one (segment_idx, segment_value) key. Unlike
+    the production prefix block (a recall/cost trade), this misses
+    nothing, which is what makes a brute-force all-pairs DuckDB twin a
+    valid whole-output oracle: blocked output == brute output proves
+    the blocking's exact recall, not just the Hamming arithmetic.
+
+    Physical shape: one shuffle keyed by (segment_idx, segment_value)
+    — ``max_hamming + 1`` rows per doc, never an unblocked self-join;
+    verification is bit_count(xor) on the joined fingerprints.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    bits = 60
+    segs = max_hamming + 1
+    if bits % segs:
+        raise ValueError(f"60 bits must divide into {segs} segments")
+    seg_bits = bits // segs
+    seg_mask = (1 << seg_bits) - 1
+    fp = simhash_md5c60(docs, text_col, id_col)
+    blocked = fp.select(
+        id_col,
+        "simhash60",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash60"), i * seg_bits)
+                    .bitwiseAND(F.lit(seg_mask))
+                    for i in range(segs)
+                ]
+            )
+        ).alias("seg_idx", "seg_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash60").bitwiseXOR(F.col("b.simhash60"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several segments
+    )
+
+
+def simhash_exact_oracle_sql(
+    table: str = "documents", max_hamming: int = 3
+) -> str:
+    """The brute-force ANSI twin of :func:`simhash_near_dup_exact`:
+    recompute the md5c60 fingerprint per document (60 per-bit majority
+    votes, generated expressions) and emit ALL pairs at
+    bit_count(xor) <= ``max_hamming`` — no blocking, so equality with
+    the Spark output proves the segment blocking's exact recall."""
+    vote_terms = " +\n      ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM {table})
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), fp AS (
+      SELECT doc_id, {vote_terms} AS f
+      FROM h GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+    """
 
 
 # ---------------------------------------------------------------------------

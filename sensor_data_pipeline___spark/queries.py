@@ -6845,3 +6845,34 @@ def q_next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export.next_event_training_pairs(
         _t(spark, sf_dir, "events"), context=3
     )
+
+
+def _simhash_exact_oracle() -> str:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        simhash_exact_oracle_sql,
+    )
+
+    return simhash_exact_oracle_sql("documents", max_hamming=3)
+
+
+@_register(
+    "simhash_near_dup_exact",
+    # Exact-recall simhash near-dup (operators/dedup.py:
+    # simhash_near_dup_exact, VERDICT r8 directive #5): the md5c60
+    # oracle-parity fingerprint (per-token hash + 60 majority votes
+    # exactly computable by any ANSI engine) with multi-index
+    # pigeonhole blocking — (max_hamming+1) disjoint segments, a
+    # <=3-bit pair must agree exactly on one, so the DuckDB twin can
+    # be BRUTE-FORCE all-pairs and equality proves the blocking's
+    # exact recall, graduating the rows-only simhash_near_dup_pairs'
+    # verifiable core the same way near_dup_probe_exact graduated
+    # minhash. Production keeps the xxhash64 prefix-blocked variant;
+    # a pinning test holds both modes to the same planted pairs.
+    _simhash_exact_oracle(),
+)
+def q_simhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        simhash_near_dup_exact,
+    )
+
+    return simhash_near_dup_exact(_t(spark, sf_dir, "documents"), max_hamming=3)

@@ -465,3 +465,58 @@ def test_minhash_maintenance_on_cold_start_store_is_noop(spark, tmp_path):
     )
     out = dedup.minhash_maintenance(spark, path)
     assert out == {"action": "none", "n_ingest_keys": 0, "new_root": None}
+
+
+def test_simhash_exact_blocking_equals_brute_force_both_modes(spark):
+    """simhash_near_dup_exact's pigeonhole blocking has EXACT recall:
+    its output equals a brute-force all-pairs Hamming check over the
+    collected fingerprints — in the md5c60 oracle-parity mode AND for
+    the production xxhash64 fingerprint the prefix-blocked variant
+    uses (where blocked output must be a SUBSET of brute force, with
+    identical-fingerprint pairs always found)."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001").filter(
+        F.col("doc_id") < 60
+    )
+    # planted exact copies: hamming 0 in every mode
+    docs = docs.unionByName(
+        docs.filter(F.col("doc_id") < 3).withColumn(
+            "doc_id", F.col("doc_id") + 1000
+        )
+    )
+
+    def brute(fp_rows, k):
+        out = set()
+        ids = sorted(fp_rows)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(fp_rows[a] ^ fp_rows[b]).count("1")
+                if h <= k:
+                    out.add((a, b, h))
+        return out
+
+    # exact mode: blocked == brute
+    fps = {
+        r.doc_id: r.simhash60
+        for r in dedup.simhash_md5c60(docs).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_dup_exact(docs, max_hamming=3).collect()
+    }
+    assert got == brute(fps, 3)
+    assert {(0, 1000, 0), (1, 1001, 0), (2, 1002, 0)} <= got
+
+    # production mode: prefix-blocked subset of brute, identical pairs found
+    fps64 = {r.doc_id: r.simhash64 & ((1 << 64) - 1)
+             for r in dedup.simhash(docs).collect()}
+    got64 = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_dup(docs, max_hamming=3).collect()
+    }
+    assert got64 <= brute(fps64, 3)
+    assert {(0, 1000, 0), (1, 1001, 0), (2, 1002, 0)} <= got64
