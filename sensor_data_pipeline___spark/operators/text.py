@@ -655,3 +655,150 @@ def bpe_pair_counts(
             top_k
         )
     return out
+
+
+def bpe_learn_merges(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(merge_rank, pair, n) — the first ``k`` LEARNED byte-pair
+    merges (Sennrich et al. 2016), closing the loop from
+    :func:`bpe_pair_counts`'s one-shot candidate ranking to an actual
+    iterated vocabulary induction (VERDICT r8 directive #6).
+
+    Each round: count adjacent symbol pairs over the VOCABULARY
+    (weighted by word frequency — the explode costs distinct words,
+    never word occurrences), pick the (n DESC, pair ASC) argmax as one
+    bounded driver scalar, then apply the merge to every word with the
+    standard greedy left-to-right non-overlapping fold ("a a a" with
+    merge (a,a) becomes "aa a"), expressed as an ``F.aggregate`` state
+    machine (prefix, last) — a narrow codegen'd pass, no UDF. The
+    vocabulary is ``localCheckpoint``-ed per round, the same
+    iterative-DataFrame posture as ``graph.pagerank`` (k bounded
+    shuffles over a vocabulary-sized table; lineage cut per round).
+
+    Exactly replayable by CTE unrolling: the same fold is a per-word
+    recursive state machine in ANSI SQL (:func:`bpe_merges_oracle_sql`)
+    — symbols never contain spaces, so the space-joined symbol string
+    is a faithful sequence encoding in both engines.
+    """
+    spark = docs.sparkSession
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "freq"
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: "list[tuple]" = []
+    for rnd in range(1, k + 1):
+        syms = F.split(F.col("s"), " ", -1)
+        # sequence(1, 0) would be DESCENDING in Spark — guard the
+        # single-symbol (fully merged) words to an empty pair list,
+        # matching generate_series's empty result
+        idxs = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pair_col = F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+                ),
+            )
+        )
+        counts = (
+            vocab.select("freq", pair_col.alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = counts.orderBy(
+            F.col("n").desc(), F.col("pair").asc()
+        ).limit(1).collect()
+        if not best:
+            break  # vocabulary fully merged — nothing left to count
+        pair, n = best[0]["pair"], best[0]["n"]
+        left, right = pair.split(" ")
+        merges.append((rnd, pair, int(n)))
+
+        def step(acc, s):
+            hit = (acc["last"] == F.lit(left)) & (s == F.lit(right))
+            return F.struct(
+                F.when(hit, acc["pre"])
+                .otherwise(F.concat(acc["pre"], F.lit(" "), acc["last"]))
+                .alias("pre"),
+                F.when(hit, F.lit(left + right)).otherwise(s).alias("last"),
+            )
+
+        folded = F.aggregate(
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.struct(
+                F.lit("").alias("pre"), F.element_at(syms, 1).alias("last")
+            ),
+            step,
+            lambda a: F.trim(F.concat(a["pre"], F.lit(" "), a["last"])),
+        )
+        vocab = vocab.select(folded.alias("s"), "freq").localCheckpoint(
+            eager=True
+        )
+    from sensor_data_pipeline___spark.operators._local import local_df
+
+    return local_df(spark, merges, "merge_rank int, pair string, n long")
+
+
+def bpe_merges_oracle_sql(table: str = "documents", k: int = 5) -> str:
+    """The ANSI twin of :func:`bpe_learn_merges`: k rounds unrolled as
+    chained CTEs — pair counting over the evolving vocabulary, an
+    (n DESC, pair ASC) argmax per round, and the greedy merge fold as
+    a per-word RECURSIVE state machine carrying (prefix, last) —
+    the same exact-replay pattern as ``graph.pagerank_oracle_sql``."""
+    parts = [
+        f"""vocab0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
+             count(*)::BIGINT AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {table})
+      WHERE len(w) >= 2
+      GROUP BY w
+    )"""
+    ]
+    for r in range(1, k + 1):
+        prev = f"vocab{r - 1}"
+        parts.append(f"""pairs{r} AS MATERIALIZED (
+      SELECT syms[i] || ' ' || syms[i+1] AS pair, sum(freq)::BIGINT AS n
+      FROM (SELECT string_split(s, ' ') AS syms, freq FROM {prev}),
+           unnest(generate_series(1, len(syms)-1)) AS g(i)
+      GROUP BY 1
+    )""")
+        parts.append(
+            f"best{r} AS MATERIALIZED (SELECT pair, n FROM pairs{r} "
+            f"ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(f"""fold{r} AS (
+      SELECT freq, syms, 2 AS i, ''::TEXT AS pre, syms[1] AS last
+      FROM (SELECT string_split(s, ' ') AS syms, freq FROM {prev})
+      UNION ALL
+      SELECT freq, syms, i + 1,
+        CASE WHEN last = (SELECT split_part(pair,' ',1) FROM best{r})
+              AND syms[i] = (SELECT split_part(pair,' ',2) FROM best{r})
+             THEN pre ELSE pre || ' ' || last END,
+        CASE WHEN last = (SELECT split_part(pair,' ',1) FROM best{r})
+              AND syms[i] = (SELECT split_part(pair,' ',2) FROM best{r})
+             THEN last || syms[i] ELSE syms[i] END
+      FROM fold{r} WHERE i <= len(syms)
+    )""")
+        parts.append(
+            f"vocab{r} AS MATERIALIZED (SELECT trim(pre || ' ' || last) AS s, freq "
+            f"FROM fold{r} WHERE i = len(syms) + 1)"
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, pair, n FROM best{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH RECURSIVE\n    "
+        + ",\n    ".join(parts)
+        + f"\n    {unions}"
+    )

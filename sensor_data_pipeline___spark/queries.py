@@ -6876,3 +6876,29 @@ def q_simhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return simhash_near_dup_exact(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _bpe_merges_oracle() -> str:
+    from sensor_data_pipeline___spark.operators.text import (
+        bpe_merges_oracle_sql,
+    )
+
+    return bpe_merges_oracle_sql("documents", k=5)
+
+
+@_register(
+    "bpe_merges_k5",
+    # Iterated BPE vocabulary induction (operators/text.py:
+    # bpe_learn_merges, VERDICT r8 directive #6): five LEARNED merges
+    # — per round, vocabulary-weighted pair counts, (n DESC, pair ASC)
+    # argmax, greedy left-to-right non-overlapping merge fold applied
+    # to every word — closing the loop from bpe_merge_candidates'
+    # one-shot ranking. Oracle = the same rounds unrolled as chained
+    # CTEs with the fold as a per-word recursive state machine, the
+    # pagerank exact-replay pattern.
+    _bpe_merges_oracle(),
+)
+def q_bpe_merges_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.text import bpe_learn_merges
+
+    return bpe_learn_merges(_t(spark, sf_dir, "documents"), k=5)

@@ -226,3 +226,31 @@ def test_bpe_pair_counts_weights_by_word_frequency(spark):
     assert got == {"aa": 6, "bc": 3, "zz": 1}
     top = [r.pair for r in text.bpe_pair_counts(docs, top_k=2).collect()]
     assert top == ["aa", "bc"]
+
+
+def test_bpe_learn_merges_greedy_fold_semantics(spark):
+    """The iterated BPE driver learns the expected merges on a corpus
+    crafted so each round's winner and the greedy left-to-right merge
+    behavior ("a a a a a" -> "aa aa a", runs merge left-aligned and
+    non-overlapping) are hand-checkable."""
+    from sensor_data_pipeline___spark.operators.text import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaa aaaaa abab"), (2, "aaaaa abab abab")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.merge_rank, r.pair, r.n)
+        for r in bpe_learn_merges(docs, k=3).orderBy("merge_rank").collect()
+    ]
+    # round 1: 'a a' appears 4x per 'aaaaa' (freq 3) + 1x per 'abab'?
+    # no — 'abab' has pairs (a,b),(b,a),(a,b): 'a a' count = 4*3 = 12;
+    # 'a b' = 2*3 = 6; 'b a' = 3. round 1 merges (a,a):
+    # 'aaaaa' -> 'aa aa a' (greedy left-aligned), 'abab' unchanged.
+    assert got[0] == (1, "a a", 12)
+    # round 2: 'aa aa' 3, 'aa a' 3, 'a b' 6, 'b a' 3 -> 'a b' wins;
+    # 'abab' -> 'ab ab'
+    assert got[1] == (2, "a b", 6)
+    # round 3: 'aa aa' 3, 'aa a' 3, 'ab ab' 3 -> tiebreak pair ASC:
+    # 'aa a' < 'aa aa' < 'ab ab'
+    assert got[2] == (3, "aa a", 3)
