@@ -170,6 +170,31 @@ def main() -> None:
                 text = F.when(
                     offt, F.concat_ws(" ", qtoks)
                 ).otherwise(text)
+                # CCNet band-violation plants (residue 17, VERDICT r8
+                # directive #7): whole documents of w-prefixed tokens
+                # numbered ABOVE the 50k generator range — never in
+                # the LM fit, so every token scores at the add-one
+                # smoothing ceiling and the doc bands 'tail' with
+                # certainty; with tail admission 0.0 the band gate
+                # must drop ALL of them (exact zero tolerance, like
+                # decontam/DSIR)
+                bandp = F.col("id") % 20 == 17
+                gtoks = F.transform(
+                    F.sequence(F.lit(0), F.lit(29)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        (
+                            F.lit(50_000)
+                            + F.pmod(
+                                F.xxhash64(F.col("id"), i, F.lit(555)),
+                                F.lit(50_000),
+                            )
+                        ).cast("string"),
+                    ),
+                )
+                text = F.when(
+                    bandp, F.concat_ws(" ", gtoks)
+                ).otherwise(text)
             gen = spark.range(total).select(
                 F.col("id").alias("doc_id"),
                 text.alias("text"),
@@ -228,7 +253,7 @@ def main() -> None:
                 if args.maintenance_every
                 else None
             )
-            dsx, thr = None, 0.0
+            dsx, thr, lmx = None, 0.0, None
             if args.mode == "full":
                 # fit the DSIR scorer on held-out corpora from the
                 # SAME two vocabularies (w = target+raw, q = raw
@@ -273,6 +298,35 @@ def main() -> None:
                 )
                 assert avg_w > avg_q, (avg_w, avg_q)
                 thr = (avg_w + avg_q) / 2.0
+                # CCNet band store: fit on a 50/50 mixture of held-out
+                # corpus-like w-docs and ONCE-ONLY rare-token r-docs,
+                # so the tercile cut2 lands inside the r-cluster —
+                # ordinary corpus docs (tokens seen ~12x in the fit)
+                # score strictly below it (head/middle), while the
+                # residue-17 plants' all-unseen tokens score at the
+                # add-one ceiling, strictly above every fit score
+                from sensor_data_pipeline___spark.operators import (
+                    text as _text_ops,
+                )
+
+                wlm = _fit(3_000_000_000, 20_000, "w", 0)
+                rlm = spark.range(4_000_000_000, 4_000_020_000).select(
+                    F.col("id").alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(29)),
+                            lambda i: F.concat(
+                                F.lit("r"),
+                                F.col("id").cast("string"),
+                                F.lit("_"),
+                                i.cast("string"),
+                            ),
+                        ),
+                    ).alias("text"),
+                )
+                lmx = os.path.join(td, "lm_store")
+                _text_ops.save_unigram_lm(wlm.unionByName(rlm), lmx)
             q = sp.corpus_ingest_stream_neardup(
                 spark,
                 drop,
@@ -285,6 +339,12 @@ def main() -> None:
                 maintenance_kwargs=mk,
                 dsir_index_path=dsx,
                 dsir_min_avg_weight=thr,
+                lm_store_path=lmx,
+                lm_band_fractions=(
+                    {"head": 1.0, "middle": 1.0, "tail": 0.0}
+                    if lmx is not None
+                    else None
+                ),
             )
         else:
             q = sp.corpus_ingest_stream(
@@ -341,6 +401,8 @@ def main() -> None:
                 ).count()
                 assert contam_in_store == 0, contam_in_store
                 n_contam = total // 20
+            n_band = 0
+            band_counts = {}
             if args.mode == "full":
                 # equally exact: the DSIR gate is a deterministic
                 # score against a fixed store — zero off-target docs
@@ -351,7 +413,46 @@ def main() -> None:
                 ).count()
                 assert offt_in_store == 0, offt_in_store
                 n_offt = total // 20
-            n_missed = out_rows - (total - n_planted - n_contam - n_offt)
+                # CCNet band invariants (directive #7): (1) zero
+                # residue-17 plants admitted; (2) detector-consistent
+                # per-band admitted mass — re-banding every admitted
+                # doc against the same store finds NO doc in an
+                # inadmissible band (tail fraction is 0.0, so a single
+                # recomputed-'tail' row in the store is a gate bug);
+                # (3) the plants really exercised the band stage:
+                # regenerated plant texts all band 'tail'
+                from sensor_data_pipeline___spark.operators import (
+                    text as _text_ops,
+                )
+
+                band_in_store = store.filter(
+                    F.col("doc_id") % 20 == 17
+                ).count()
+                assert band_in_store == 0, band_in_store
+                n_band = total // 20
+                rebanded = _text_ops.unigram_bands_against_lm(
+                    spark, lmx, store
+                )
+                band_counts = {
+                    r.band: r.n
+                    for r in rebanded.groupBy("band")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                assert band_counts.get("tail", 0) == 0, band_counts
+                plant_bands = {
+                    r.band
+                    for r in _text_ops.unigram_bands_against_lm(
+                        spark, lmx,
+                        gen.filter(F.col("doc_id") % 20 == 17).select(
+                            "doc_id", "text"
+                        ),
+                    ).select("band").distinct().collect()
+                }
+                assert plant_bands == {"tail"}, plant_bands
+            n_missed = out_rows - (
+                total - n_planted - n_contam - n_offt - n_band
+            )
             assert 0 <= n_missed <= max(1, n_planted // 100), (
                 out_rows, total, n_planted, n_missed
             )
@@ -378,6 +479,9 @@ def main() -> None:
                 extra["n_planted_offtarget"] = n_offt
                 extra["offtarget_in_store"] = 0
                 extra["dsir_threshold"] = round(thr, 4)
+                extra["n_planted_band_violations"] = n_band
+                extra["band_violations_in_store"] = 0
+                extra["store_band_counts"] = band_counts
             if args.maintenance_every:
                 import glob as _glob
 

@@ -802,3 +802,127 @@ def bpe_merges_oracle_sql(table: str = "documents", k: int = 5) -> str:
         + ",\n    ".join(parts)
         + f"\n    {unions}"
     )
+
+
+#: path -> (total, vocab, cut1, cut2). LM geometry is immutable for a
+#: store's lifetime (only a fresh save_unigram_lm changes it, which
+#: invalidates here) — the per-batch scoring loop shouldn't pay a
+#: driver job re-reading the one-row meta parquet every trigger.
+_LM_META_CACHE: dict = {}
+
+
+def save_unigram_lm(
+    ref_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a unigram LM fit on a REFERENCE corpus, plus the CCNet
+    band cut points (Wenzek et al. 2020: score documents by LM
+    perplexity, split the reference's score distribution into
+    head/middle/tail terciles, then filter or stratify incoming data
+    by band). The streaming stack scores every micro-batch against
+    THIS store (:func:`unigram_bands_against_lm`) — fit once offline,
+    probe O(batch), the same persisted-index posture as
+    ``save_dsir_index``.
+
+    Layout: ``freq/`` (tok, c) sorted by token (vocabulary-sized — a
+    fraction of corpus bytes at any scale, broadcast candidate at
+    probe time) and ``meta/`` one row (total, vocab, cut1, cut2).
+    Scoring smooths add-one over the stored vocabulary
+    (``-ln((c+1)/(total+vocab))``), so out-of-vocabulary probe tokens
+    score at the rare-token ceiling instead of dividing by zero; the
+    reference's own scores (same smoothing) fix the tercile cuts.
+    Scores are rounded to 6dp BEFORE the cuts and band compares, so
+    cross-engine ln/summation-order noise cannot flip a band."""
+    from sensor_data_pipeline___spark.operators._local import local_df
+
+    spark = ref_docs.sparkSession
+    _LM_META_CACHE.pop(path, None)
+    toks = ref_docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    freq.sortWithinPartitions("tok").write.mode("overwrite").parquet(
+        path + "/freq"
+    )
+    stored = spark.read.parquet(path + "/freq")
+    agg = stored.agg(
+        F.sum("c").alias("t"), F.count("*").cast("double").alias("v")
+    ).first()
+    total, vocab = float(agg["t"]), float(agg["v"])
+    # self-score the reference to fix the band cuts (exact percentile
+    # over 6dp-rounded scores — one bounded aggregate)
+    ref_scores = (
+        toks.join(stored, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(-F.log((F.col("c") + 1.0) / F.lit(total + vocab))), 6
+            ).alias("s")
+        )
+    )
+    cuts = ref_scores.agg(
+        F.percentile("s", F.lit(1.0 / 3.0)).alias("c1"),
+        F.percentile("s", F.lit(2.0 / 3.0)).alias("c2"),
+    ).first()
+    meta = local_df(
+        spark,
+        [(total, vocab, float(cuts["c1"]), float(cuts["c2"]))],
+        "total double, vocab double, cut1 double, cut2 double",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _load_lm_meta(spark, path: str) -> tuple:
+    if path not in _LM_META_CACHE:
+        r = spark.read.parquet(path + "/meta").first()
+        _LM_META_CACHE[path] = (
+            float(r["total"]), float(r["vocab"]),
+            float(r["cut1"]), float(r["cut2"]),
+        )
+    return _LM_META_CACHE[path]
+
+
+def unigram_bands_against_lm(
+    spark,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a batch against a :func:`save_unigram_lm` store and
+    assign CCNet bands: ``(id_col, n_tokens, lm_score, band)`` with
+    band = 'head' (score <= cut1), 'middle' (<= cut2), else 'tail' —
+    low score = stereotypical reference-like text.
+
+    Plan: explode batch tokens → LEFT join the vocabulary-sized freq
+    table (broadcast candidate; OOV tokens coalesce to count 0 and
+    take the add-one ceiling) → one partial-aggregated groupBy(doc).
+    The store is never re-fit or shuffled; determinism is what lets
+    the streaming admission stay effectively-once under replay."""
+    total, vocab, cut1, cut2 = _load_lm_meta(spark, path)
+    freq = spark.read.schema("tok string, c double").parquet(path + "/freq")
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
+    )
+    neg_lp = -F.log(
+        (F.coalesce(F.col("c"), F.lit(0.0)) + 1.0) / F.lit(total + vocab)
+    )
+    scored = (
+        toks.join(freq, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(neg_lp), 6).alias("lm_score"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "lm_score",
+        F.when(F.col("lm_score") <= cut1, "head")
+        .when(F.col("lm_score") <= cut2, "middle")
+        .otherwise("tail")
+        .alias("band"),
+    )

@@ -6902,3 +6902,133 @@ def q_bpe_merges_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators.text import bpe_learn_merges
 
     return bpe_learn_merges(_t(spark, sf_dir, "documents"), k=5)
+
+
+@_register(
+    "unigram_lm_band_assign",
+    # Persisted CCNet quality-band store (operators/text.py:
+    # save_unigram_lm / unigram_bands_against_lm, VERDICT r8 directive
+    # #7): a unigram LM + tercile score cuts fit on the even-id half,
+    # probe = the odd-id half scored with add-one smoothing over the
+    # stored vocabulary (OOV coalesces to the rare ceiling) and banded
+    # head/middle/tail. Scores are 6dp-rounded BEFORE the cuts and
+    # the band compares, so cross-engine ln/summation noise cannot
+    # flip a band; the cut points interpolate identically (exact
+    # percentile over identical rounded inputs).
+    """
+    WITH fitd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    ftoks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM fitd
+    ),
+    freq AS (SELECT tok, count(*)::DOUBLE AS c FROM ftoks GROUP BY tok),
+    const AS (SELECT sum(c) AS t, count(*)::DOUBLE AS v FROM freq),
+    refsc AS (
+      SELECT doc_id, round(avg(-ln((c + 1) / (t + v))), 6) AS s
+      FROM ftoks JOIN freq USING (tok) CROSS JOIN const GROUP BY doc_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(s, 0.3333333333333333) AS c1,
+             quantile_cont(s, 0.6666666666666666) AS c2
+      FROM refsc
+    ),
+    ptoks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    psc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(-ln((coalesce(c, 0) + 1) / (t + v))), 6) AS lm_score
+      FROM ptoks LEFT JOIN freq USING (tok) CROSS JOIN const
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, lm_score,
+           CASE WHEN lm_score <= (SELECT c1 FROM cuts) THEN 'head'
+                WHEN lm_score <= (SELECT c2 FROM cuts) THEN 'middle'
+                ELSE 'tail' END AS band
+    FROM psc
+    """,
+)
+def q_unigram_lm_band_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _run_scoped_store_path(spark, "unigram_lm", sf_dir)
+    T.save_unigram_lm(docs.filter(F.col("doc_id") % 2 == 0), path)
+    return T.unigram_bands_against_lm(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+@_register(
+    "band_stratified_admission",
+    # The ADMISSION half of the CCNet band recipe: deterministic
+    # hash-stratified sampling (operators/sampling.py:
+    # hash_stratified_sample) over the store-assigned bands — head
+    # kept whole, middle at 0.5, tail dropped to 0.1. Membership is a
+    # pure function of (salt, doc_id), so the admitted set is
+    # identical across engines, layouts, and replays — what makes the
+    # streaming stack's band gate effectively-once.
+    """
+    WITH fitd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    ftoks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM fitd
+    ),
+    freq AS (SELECT tok, count(*)::DOUBLE AS c FROM ftoks GROUP BY tok),
+    const AS (SELECT sum(c) AS t, count(*)::DOUBLE AS v FROM freq),
+    refsc AS (
+      SELECT doc_id, round(avg(-ln((c + 1) / (t + v))), 6) AS s
+      FROM ftoks JOIN freq USING (tok) CROSS JOIN const GROUP BY doc_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(s, 0.3333333333333333) AS c1,
+             quantile_cont(s, 0.6666666666666666) AS c2
+      FROM refsc
+    ),
+    ptoks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    psc AS (
+      SELECT doc_id,
+             round(avg(-ln((coalesce(c, 0) + 1) / (t + v))), 6) AS lm_score
+      FROM ptoks LEFT JOIN freq USING (tok) CROSS JOIN const
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+             CASE WHEN lm_score <= (SELECT c1 FROM cuts) THEN 'head'
+                  WHEN lm_score <= (SELECT c2 FROM cuts) THEN 'middle'
+                  ELSE 'tail' END AS band
+      FROM psc
+    )
+    SELECT doc_id, band
+    FROM banded
+    WHERE CAST(('0x' || substr(md5('ccnet-band-v1' || '|' ||
+                               CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000
+          < CASE band WHEN 'head' THEN 10000
+                      WHEN 'middle' THEN 5000
+                      ELSE 1000 END
+    """,
+)
+def q_band_stratified_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+    from sensor_data_pipeline___spark.operators.sampling import (
+        hash_stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _run_scoped_store_path(spark, "unigram_lm", sf_dir)
+    T.save_unigram_lm(docs.filter(F.col("doc_id") % 2 == 0), path)
+    banded = T.unigram_bands_against_lm(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1)
+    ).select("doc_id", "band")
+    return hash_stratified_sample(
+        banded,
+        "band",
+        {"head": 1.0, "middle": 0.5, "tail": 0.1},
+        "doc_id",
+        salt="ccnet-band-v1",
+    )

@@ -853,6 +853,9 @@ def corpus_neardup_batch_fn(
     maintenance_kwargs: "dict | None" = None,
     dsir_index_path: "str | None" = None,
     dsir_min_avg_weight: float = 0.0,
+    lm_store_path: "str | None" = None,
+    lm_band_fractions: "dict | None" = None,
+    lm_salt: str = "ccnet-band-v1",
 ):
     """The foreachBatch body for :func:`corpus_ingest_stream_neardup`,
     exposed so tests can drive crash-replay directly (the
@@ -929,6 +932,17 @@ def corpus_neardup_batch_fn(
     decontamination, the score is deterministic against a store the
     loop never writes, so replay-stability and effectively-once are
     unchanged.
+
+    ``lm_store_path`` + ``lm_band_fractions`` (optional) compose the
+    CCNet quality-band gate (``operators/text.py:save_unigram_lm``) in
+    as step 0.75: each surviving doc is scored against the persisted
+    unigram LM, banded head/middle/tail by the store's tercile cuts,
+    and admitted per band by DETERMINISTIC hash-stratified sampling
+    (``hash_stratified_sample`` — membership a pure function of
+    (salt, doc_id)), e.g. ``{"head": 1.0, "middle": 0.5, "tail": 0.0}``
+    to keep reference-like text whole and drop rare-token gibberish.
+    Both the score and the sample are replay-stable against a store
+    the loop never writes — effectively-once unchanged.
     """
     from sensor_data_pipeline___spark.operators import decontam, dedup
 
@@ -949,6 +963,19 @@ def corpus_neardup_batch_fn(
                 >= dsir_min_avg_weight
             ).select("doc_id")
             batch_df = batch_df.join(F.broadcast(keep), "doc_id")
+        if lm_store_path is not None and lm_band_fractions:
+            from sensor_data_pipeline___spark.operators import text as _text
+            from sensor_data_pipeline___spark.operators.sampling import (
+                hash_stratified_sample,
+            )
+
+            banded = _text.unigram_bands_against_lm(
+                spark, lm_store_path, batch_df
+            ).select("doc_id", "band")
+            admitted = hash_stratified_sample(
+                banded, "band", lm_band_fractions, "doc_id", salt=lm_salt
+            ).select("doc_id")
+            batch_df = batch_df.join(F.broadcast(admitted), "doc_id")
         # cut the streaming lineage once: the batch feeds the signing
         # pass, two join branches, and the final write
         batch = batch_df.localCheckpoint(eager=True)
@@ -1054,6 +1081,9 @@ def corpus_ingest_stream_neardup(
     maintenance_kwargs: "dict | None" = None,
     dsir_index_path: "str | None" = None,
     dsir_min_avg_weight: float = 0.0,
+    lm_store_path: "str | None" = None,
+    lm_band_fractions: "dict | None" = None,
+    lm_salt: str = "ccnet-band-v1",
 ):
     """:func:`corpus_ingest_stream` with the persisted minhash index
     composed in (VERDICT r7 directive #4): the stream's exact dedup
@@ -1067,8 +1097,9 @@ def corpus_ingest_stream_neardup(
     (``operators/decontam.py``) is composed in ahead of the near-dup
     loop — the full streaming hygiene stack: quality gate → exact
     dedup (state) → benchmark decontamination (index) → DSIR target
-    selection (index, with ``dsir_index_path``) → near-dup dedup
-    (index) → clean store.
+    selection (index, with ``dsir_index_path``) → CCNet quality-band
+    stratified admission (LM store, with ``lm_store_path`` +
+    ``lm_band_fractions``) → near-dup dedup (index) → clean store.
 
     Bootstrap: build the index first (``save_minhash_index`` on the
     seed corpus, or on an EMPTY frame of the right schema for a cold
@@ -1091,6 +1122,9 @@ def corpus_ingest_stream_neardup(
                 maintenance_kwargs=maintenance_kwargs,
                 dsir_index_path=dsir_index_path,
                 dsir_min_avg_weight=dsir_min_avg_weight,
+                lm_store_path=lm_store_path,
+                lm_band_fractions=lm_band_fractions,
+                lm_salt=lm_salt,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

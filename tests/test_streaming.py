@@ -1111,3 +1111,84 @@ def test_vector_ingest_replay_with_internal_neardup_keeps_incumbent(
     sim.ivf_index_compact(spark, idx)
     fn(batch, 7)
     assert snap() == [5000]
+
+
+def test_corpus_stream_band_stratified_admission_gate(spark, dirs):
+    """CCNet quality-band admission composed into the streaming stack
+    (VERDICT r8 directive #7): docs are scored against the persisted
+    unigram LM store, banded by its tercile cuts, and admitted per
+    band by deterministic hash sampling. Planted violation class:
+    all-OOV gibberish docs score at the smoothing ceiling -> 'tail'
+    band, and with tail fraction 0.0 they must NEVER reach the clean
+    store or occupy index signatures (exact zero tolerance — the gate
+    is deterministic, not probabilistic), while a reference-like doc
+    (a permutation of a head-band reference doc's tokens — same
+    unigram multiset, same score) flows through. The batch fn stays
+    effectively-once with the band gate composed."""
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.operators import text as T
+    from sensor_data_pipeline___spark.streaming.pipeline import (
+        corpus_neardup_batch_fn,
+    )
+
+    idx = os.path.join(dirs["wh"], "mh_index")
+    lm = os.path.join(dirs["wh"], "lm_store")
+    vocab = [f"tok{j}" for j in range(50)]
+    ref_rows = [
+        (2000 + i, " ".join(vocab[(i * 7 + k * 3) % 50] for k in range(40)))
+        for i in range(30)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    dedup.save_minhash_index(ref.filter("doc_id < 2004"), idx)
+    T.save_unigram_lm(ref, lm)
+
+    # pick a head-band reference doc and permute its tokens: same
+    # unigram multiset => same score => same band, different md5/shingles
+    banded_ref = {
+        r.doc_id: r.band
+        for r in T.unigram_bands_against_lm(spark, lm, ref).collect()
+    }
+    head_id = min(d for d, b in banded_ref.items() if b == "head")
+    head_words = dict(ref_rows)[head_id].split(" ")
+    good_words = head_words[1::2] + head_words[0::2]
+
+    gib = lambda i: [f"zzq{i}w{k}vv" for k in range(40)]  # noqa: E731
+    _drop_jsonl(dirs, "b1.jsonl", [
+        _mk_doc(60, good_words),
+        _mk_doc(61, gib(61)),
+        _mk_doc(62, gib(62)),
+    ])
+    q = sp.corpus_ingest_stream_neardup(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], idx,
+        lm_store_path=lm,
+        lm_band_fractions={"head": 1.0, "middle": 1.0, "tail": 0.0},
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(dirs["out"]).collect()
+    ) == [60]
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(idx + "/signatures")
+        .filter("doc_id between 60 and 99").collect()
+    ) == [60]
+
+    # direct replay with the band gate composed: byte-equal outputs
+    out2 = os.path.join(dirs["wh"], "clean_band2")
+    batch = spark.createDataFrame(
+        [
+            (70, " ".join(good_words[::-1]), "en", "s1"),
+            (71, " ".join(gib(71)), "en", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    fn = corpus_neardup_batch_fn(
+        spark, out2, idx, lm_store_path=lm,
+        lm_band_fractions={"head": 1.0, "middle": 1.0, "tail": 0.0},
+    )
+    fn(batch, 9)
+    snap = lambda p: sorted(map(tuple, spark.read.parquet(p).collect()))  # noqa: E731
+    store1, sig1 = snap(out2), snap(idx + "/signatures")
+    assert sorted(r[0] for r in store1) == [70]
+    fn(batch, 9)  # full replay
+    assert snap(out2) == store1
+    assert snap(idx + "/signatures") == sig1
