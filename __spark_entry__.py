@@ -33,25 +33,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, so ordering is part of the contract. Rows-only (no-oracle)
 # entries ride the local replica harness
 # (tests/test_queries_oracle.py) instead of spending gate slots.
-# Round-8 rotation (standing policy from VERDICT r6 directive #1,
-# refreshed per VERDICT r7 directive #2): the window keeps the
+# Round-9 rotation (standing policy from VERDICT r6 directive #1,
+# refreshed per VERDICT r8 directive #2): the window keeps the
 # 11-entry veteran spine (reference-parity core that never rotates,
 # the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds all TEN never-gated
-# entries per GATE_LEDGER.md — the two persisted-index exact-mode
-# twins (near_dup_probe_exact / hard_negative_mining_indexed_exact,
-# VERDICT r7 directive #1), the reassembled-boilerplate-removal
-# whole-output query (segment_dedup_text, directive #3), the two
-# invariant-oracle graduations (lsh_bucket_invariants /
-# minhash_band_invariants, directive #8), and the six r8-registered
-# LLM-pipeline queries (gopher_filter_counts, unigram_lm_scores,
-# semantic_dedup_exact, duplicate_ngram_coverage,
-# trim_duplicate_ngrams_text, decontam_probe_index — registered this
-# round, gated this round) — and fills the remaining 28 slots with
-# the STALEST previously-gated entries: all 12 last gated in r4
-# (TPC-H q2-q9/q19/q21, set ops, trigram) plus the first 16 (name
-# order) of the r5-last cohort (as-of joins, gap-fill, sketches,
-# profiling). The
+# session_window_batch watch item), adds the FOUR r9-registered
+# never-gated entries (the exact-recall simhash twin per directive
+# #5, the iterated-BPE driver per #6, and the CCNet band store +
+# stratified-admission pair per #7), and fills the remaining 35
+# slots with the STALEST previously-gated cohort exactly as the r8
+# verdict prescribed: all 29 entries last gated in r5 (TPC-H
+# q5/q10/q12/q22, as-of/range/PIT joins, gap-fill, sessionization,
+# sketches-adjacent rollups, sampling, profiling) plus the first 6
+# (name order) of the r6-last cohort (accuracy-contract sketches,
+# text profiling). The
 # ledger invariant ("every oracle-backed entry gated at least once")
 # is auditable in GATE_LEDGER.md, regenerated per round by
 # scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
@@ -71,64 +66,50 @@ _PRIORITY = (
     "corpus_pipeline_stats",
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
-    # --- never-gated (GATE_LEDGER.md): the r7 flagship index ops'
-    # exact-mode twins + the reassembly whole-output oracle ---
-    "near_dup_probe_exact",
-    "hard_negative_mining_indexed_exact",
-    "segment_dedup_text",
-    # --- stalest refresh: last gated r4 ---
-    "q19_discounted_revenue",
-    "q21_sole_supplier_failed_orders",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_order_priority",
-    "q6_revenue_change",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
-    "set_except_all_customers",
-    "set_intersect_all_customers",
-    "trigram_repetition",
-    "gopher_filter_counts",
-    "unigram_lm_scores",
-    "semantic_dedup_exact",
-    "duplicate_ngram_coverage",
-    "trim_duplicate_ngrams_text",
-    "decontam_probe_index",
-    # --- stalest refresh: last gated r5 (first 16 by name) ---
-    "asof_last_purchase",
-    "asof_next_click",
-    "bloom_semi_join_lineitem",
-    "cohort_retention",
-    "connected_components_fuzzy",
-    "deterministic_stratified_sample",
-    "equi_depth_histogram",
-    "ewma_daily_value",
-    "fuzzy_name_pairs",
-    "gapfill_forward_fill",
-    # --- never-gated: r8 next-event training-pair export (displacing
-    # gapfill_linear_interp, r5-gated, to the replica harness) ---
-    "next_event_training_pairs",
-    # --- never-gated: r8 tokenizer-vocab induction (displacing
-    # hll_distinct_rollup, r6-gated, to the replica harness) ---
-    "bpe_merge_candidates",
-    # --- never-gated: the r8 iterative-graph family (fixed-depth
-    # PageRank with an unrolled-CTE oracle) — registered this round,
-    # gated this round (displacing m4_downsample, r5-gated, to the
-    # replica harness) ---
-    "nation_trade_pagerank",
-    # --- never-gated: the r8 invariant-oracle graduations (directive
-    # #8) — registered this round, gated this round ---
-    "lsh_bucket_invariants",
-    "minhash_band_invariants",
-    # --- never-gated: the r8 DSIR importance-resampling family —
-    # registered this round, gated this round (displacing the last
-    # three of the r5-stalest cohort, mad_outliers /
-    # multimodal_binary_meta / pack_sequences, to the replica
-    # harness) ---
-    "dsir_log_weights",
-    "dsir_resample_top100",
-    "dsir_probe_index",
+    # --- never-gated (registered r9, gated r9): the exact-recall
+    # simhash twin, the iterated-BPE driver, and the CCNet band
+    # store + stratified-admission pair ---
+    "simhash_near_dup_exact",
+    "bpe_merges_k5",
+    "unigram_lm_band_assign",
+    "band_stratified_admission",
+    # --- stalest refresh: last gated r5 (all 29 remaining) ---
+    "gapfill_linear_interp",
+    "hll_distinct_rollup",
+    "m4_downsample",
+    "mad_outliers",
+    "multimodal_binary_meta",
+    "pack_sequences",
+    "pit_join_click_version",
+    "pivot_daily_avg",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q22_idle_rich_customers",
+    "q5_region_revenue",
+    "range_join_purchase_clicks",
+    "redaction_stats",
+    "rolling_median_power",
+    "rollup_lineitem",
+    "scd2_purchase_values",
+    "sessionization",
+    "set_similarity_pairs",
+    "similarity_topk",
+    "snapshot_diff_orders",
+    "sql_api_nation_revenue",
+    "tfidf_top_terms",
+    "time_weighted_avg",
+    "train_test_contamination",
+    "unpivot_charges",
+    "variant_props_extract",
+    "weighted_sample_docs",
+    "window_topk_orders",
+    # --- stalest refresh: last gated r6 (first 6 by name) ---
+    "approx_distinct_accuracy",
+    "approx_percentile_accuracy",
+    "char_entropy_quality",
+    "chunk_documents_stats",
+    "cms_heavy_hitters",
+    "collapse_repeat_tokens",
 )
 
 

@@ -327,6 +327,8 @@ def bench_export(spark, sf_dir: str, n_shards: int = 16) -> dict[str, float]:
 
     from sensor_data_pipeline___spark.operators.export import write_shards
 
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n = docs.count()
     td = tempfile.mkdtemp(prefix="bench_shards_")
@@ -337,13 +339,37 @@ def bench_export(spark, sf_dir: str, n_shards: int = 16) -> dict[str, float]:
             write_shards(docs, os.path.join(td, "out"), "doc_id", n_shards)
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
-        return {"export_shard_write_rows_per_s": round(n / best, 1)}
+        # The documents table is 5k rows at sf0.1, so the legacy
+        # number above is FIXED-OVERHEAD-dominated (a plain 5k-row
+        # parquet write takes the same ~0.5-1 s as the full shard
+        # path) and swings ~2x with sub-second scheduler/JIT noise —
+        # the r8 "-35%" watch item adjudicated in SCALING.md (r9). It
+        # stays for round-over-round comparability; the 60x-inflated
+        # variant below is volume-dominated and is the actual write-
+        # throughput guard rail.
+        big = docs.withColumn(
+            "_r", F.explode(F.sequence(F.lit(1), F.lit(60)))
+        ).withColumn(
+            "doc_id", F.col("doc_id") * 100 + F.col("_r")
+        ).drop("_r")
+        nb = n * 60
+        best_big = None
+        for _ in range(2):
+            start = time.perf_counter()
+            write_shards(big, os.path.join(td, "out_big"), "doc_id", n_shards)
+            elapsed = time.perf_counter() - start
+            best_big = elapsed if best_big is None else min(best_big, elapsed)
+        return {
+            "export_shard_write_rows_per_s": round(n / best, 1),
+            "export_shard_write_rows_per_s_300k": round(nb / best_big, 1),
+        }
     finally:
         shutil.rmtree(td, ignore_errors=True)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("bench")
 
     def materialize(df) -> None:
@@ -410,6 +436,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        # host-contention guard rail (VERDICT r8 directive #8): the
+        # driver bench has followed a load spike every round, and
+        # round-over-round judgments kept needing a manual quiet-host
+        # A/B — the 1/5/15-minute load averages at bench start and
+        # after the batch passes make the contention visible in the
+        # artifact itself
+        "load_avg_start": load_at_start,
+        "load_avg_after_batch": [round(x, 2) for x in os.getloadavg()],
     }
     # streaming ingest throughput (VERDICT r4 directive #3) — tracked
     # round-over-round alongside the batch timings; a failure here must

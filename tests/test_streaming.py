@@ -1192,3 +1192,47 @@ def test_corpus_stream_band_stratified_admission_gate(spark, dirs):
     fn(batch, 9)  # full replay
     assert snap(out2) == store1
     assert snap(idx + "/signatures") == sig1
+
+
+def test_vector_ingest_replay_after_retrain_adds_nothing(spark, dirs):
+    """The RETRAIN variant of the compaction-replay pin (review r9):
+    batch lands -> ivf_retrain rebuilds the store under NEW centroids
+    (every vector reassigned, possibly to a different cell) -> crash
+    before the checkpoint commit -> full replay. The replay's
+    identity gate must still find every batch vec_id — the gate is
+    cell-pruned against the REPLAYED batch's assignment under the new
+    centroids, and the folded copies sit wherever the new centroids
+    put them — so nothing is appended and the store is unchanged."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import similarity as sim
+    from sensor_data_pipeline___spark.sources import readers
+    from sensor_data_pipeline___spark.streaming.pipeline import (
+        vector_ingest_batch_fn,
+    )
+
+    emb = readers.table(spark, "embeddings", "/root/testdata/sf0.001")
+    idx = os.path.join(dirs["wh"], "ivf_index")
+    sim.save_ivf_index(
+        emb.filter(F.col("vec_id") < 100), idx, ncells=4, iters=1
+    )
+    batch = emb.filter(F.col("vec_id").isin([200, 201, 202])).withColumn(
+        "vec_id", F.col("vec_id") + 5000
+    )
+    fn = vector_ingest_batch_fn(spark, idx, threshold=0.95, nprobe=4)
+    fn(batch, 3)
+    # retrain with more k-means iterations and a different seed:
+    # centroids move, every stored vector is reassigned (cell count is
+    # preserved by design — the geometry shake is the new assignment)
+    sim.ivf_retrain(spark, idx, iters=3, seed=7)
+    snap = lambda: sorted(  # noqa: E731
+        map(
+            tuple,
+            spark.read.parquet(sim._store_root(idx) + "/vectors")
+            .drop("ingest_key").collect(),
+        )
+    )
+    s1 = snap()
+    assert len([t for t in s1 if t[0] >= 5000]) == 3
+    fn(batch, 3)  # full replay against the retrained generation
+    assert snap() == s1
