@@ -6043,8 +6043,13 @@ def q_near_dup_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.save_minhash_index(
         corpus, path, num_hashes=64, bands=64, shingle_n=3
     )
+    # cache_store=False: this query saves-then-probes ONCE per
+    # invocation, so the probe cache's eager base materialization
+    # would be a pure extra pass (the cache pays off in the per-batch
+    # streaming loop, not in one-shot probes)
     cand = dedup.near_dup_against_index(
-        spark, path, batch, jaccard_threshold=0.0, max_bucket=1_000_000_000
+        spark, path, batch, jaccard_threshold=0.0,
+        max_bucket=1_000_000_000, cache_store=False,
     )
     pairs = cand.select(
         F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
@@ -6529,7 +6534,10 @@ def q_decontam_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 != 0)
     path = _run_scoped_store_path(spark, "decontam_probe", sf_dir)
     decontam.save_contamination_index(bench, path, n=8, key="string")
-    return decontam.contaminated_against_index(spark, path, batch)
+    # cache_store=False: one-shot save-then-probe (see near_dup_probe_exact)
+    return decontam.contaminated_against_index(
+        spark, path, batch, cache_store=False
+    )
 
 
 @_register("decontam_probe_bench")  # rows-only: xxhash64 keys
@@ -6548,7 +6556,10 @@ def q_decontam_probe_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 != 0)
     path = _run_scoped_store_path(spark, "decontam_bench", sf_dir)
     decontam.save_contamination_index(bench, path, n=8, key="xxhash64")
-    return decontam.contaminated_against_index(spark, path, batch)
+    # cache_store=False: one-shot save-then-probe (see near_dup_probe_exact)
+    return decontam.contaminated_against_index(
+        spark, path, batch, cache_store=False
+    )
 
 
 # ---------------------------------------------------------------------------
