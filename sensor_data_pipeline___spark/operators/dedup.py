@@ -1036,40 +1036,53 @@ def set_similarity_join(
 # ---------------------------------------------------------------------------
 
 
-def _simhash_votes(hashes: F.Column, bits: int) -> F.Column:
-    """Bitwise-majority fingerprint over an array of per-token hash
-    longs: for each bit position the vote is sum(sign(bit)) over
-    tokens — a python loop of static expressions (not a higher-order
-    function over bit indices), so it stays in whole-stage codegen."""
+def _bit_mask(bit: int) -> int:
+    # two's-complement long literal for bit 63
+    return (1 << bit) if bit < 63 else -(1 << 63)
 
-    def _mask(bit: int) -> int:
-        # two's-complement long literal for bit 63
-        return (1 << bit) if bit < 63 else -(1 << 63)
 
-    def _voter(mask):
-        # closure (not a default arg — PySpark reads the lambda's arity)
-        def vote(acc, h):
-            return acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
-
-        return vote
-
+def _simhash_fp(
+    docs: DataFrame, hashes: F.Column, id_col: str, bits: int, out: str
+) -> DataFrame:
+    """Bitwise-majority fingerprint over per-token hash longs, shaped
+    like :func:`minhash_signature`: explode the distinct hashes and
+    take ``bits`` conditional-sum aggregates in ONE groupBy pass —
+    map-side partial aggregation, whole-stage codegen, each hash
+    visited once. The tempting narrow formulation (one ``F.aggregate``
+    fold per bit over the hash array) re-traverses the array ``bits``
+    times in interpreted higher-order functions and measured ~10x
+    slower at 5k docs (scale-sweep r9). A token array is never empty
+    (``split`` yields at least one element), so the groupBy loses no
+    documents."""
+    ex = docs.select(F.col(id_col), F.explode(hashes).alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("_h").bitwiseAND(F.lit(_bit_mask(b)).cast("long")) != 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
     fp = F.lit(0).cast("long")
-    for bit in range(bits):
-        mask = F.lit(_mask(bit)).cast("long")
-        vote = F.aggregate(hashes, F.lit(0), _voter(mask))
-        fp = fp.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
-    return fp
+    for b in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"_v{b}") > 0, F.lit(_bit_mask(b)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return ex.groupBy(id_col).agg(*aggs).select(id_col, fp.alias(out))
 
 
 def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document: xxhash64 each distinct
-    token, take the bitwise majority across tokens. No UDF, no shuffle
-    (narrow op)."""
+    token, take the bitwise majority across tokens. One explode +
+    one partially-aggregated groupBy — no UDF (see :func:`_simhash_fp`)."""
     toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return docs.select(F.col(id_col), _simhash_votes(hashes, 64).alias("simhash64"))
+    return _simhash_fp(docs, hashes, id_col, 64, "simhash64")
 
 
 def simhash_md5c60(
@@ -1088,7 +1101,7 @@ def simhash_md5c60(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    return docs.select(F.col(id_col), _simhash_votes(hashes, 60).alias("simhash60"))
+    return _simhash_fp(docs, hashes, id_col, 60, "simhash60")
 
 
 def simhash_near_dup(
