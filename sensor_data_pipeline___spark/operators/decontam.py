@@ -91,6 +91,20 @@ def _gram_type(key: str) -> str:
     return "string" if key == "string" else "bigint"
 
 
+def _cx_root(path: str) -> str:
+    """Resolve the CURRENT version of a contamination store — the same
+    pointer protocol as the minhash index's ``_mh_root``: the flat
+    layout from :func:`save_contamination_index` is the implicit v0;
+    each :func:`contamination_index_compact` writes a complete
+    ``path/v<N>/`` and atomically swaps ``path/CURRENT``. ``meta/``
+    (gram geometry) is version-invariant and stays at the top level."""
+    ptr = os.path.join(path, "CURRENT")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(path, f.read().strip())
+    return path
+
+
 def save_contamination_index(
     bench_docs: DataFrame,
     path: str,
@@ -103,6 +117,13 @@ def save_contamination_index(
     by ``ingest_key`` (``'base'`` for the initial save) so later
     benchmark additions land in their own partitions
     (:func:`contamination_index_append`) without rewriting this one."""
+    # a fresh save IS the new store: retire any stale CURRENT pointer
+    # from an earlier compacted generation FIRST (the minhash store's
+    # fresh-save rule — a stale pointer would keep serving the old
+    # generation's grams)
+    ptr = os.path.join(path, "CURRENT")
+    if os.path.exists(ptr):
+        os.remove(ptr)
     _META_CACHE.pop(path, None)  # a fresh save may change the geometry
     _probe_cache.invalidate(path)  # base is rewritten under this root
     grams = (
@@ -147,7 +168,7 @@ def _read_grams(spark, path: str, cache: bool = False) -> DataFrame:
     _, key = _load_meta(spark, path)
     schema = f"g {_gram_type(key)}, ingest_key string"
     return _probe_cache.store_read(
-        spark, path, "grams", path, schema, cache=cache
+        spark, path, "grams", _cx_root(path), schema, cache=cache
     )
 
 
@@ -183,7 +204,7 @@ def contamination_index_append(
     with overwrite_mode(spark, "dynamic"):
         grams.sortWithinPartitions("ingest_key", "g").write.mode(
             mode
-        ).partitionBy("ingest_key").parquet(path + "/grams")
+        ).partitionBy("ingest_key").parquet(_cx_root(path) + "/grams")
 
 
 def contaminated_against_index(
@@ -263,6 +284,51 @@ def decontaminate_against_index(
         id_col
     ).distinct()
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def contamination_index_compact(spark, path: str, n_files: int = 1) -> str:
+    """Fold the store's accumulated per-append ``ingest_key``
+    partitions into one DISTINCT ``'base'`` generation — the
+    maintenance step the append docstring's "compact by re-saving"
+    hand-waved, now crash-safe (round 9): grams duplicated across
+    benchmark appends collapse to one row, the probe cache's base
+    covers the WHOLE store again, and the versioned-root protocol of
+    ``minhash_index_compact`` (write a complete ``path/v<N>/``, swap
+    ``path/CURRENT`` atomically) means readers never see a half-
+    compacted store and a crash before the swap leaves the old
+    generation serving — unlike an in-place static overwrite, whose
+    delete-then-commit window would leave an EMPTY store on a crash.
+
+    QUIESCE appends during compaction (single-writer maintenance
+    cadence, same contract as the minhash compact): membership
+    semantics make a replayed append after the swap merely redundant
+    (duplicate grams across partitions are harmless for the probe),
+    so the decontam store needs no identity gate.
+
+    Returns the new generation's root path."""
+    root = _cx_root(path)
+    grams = (
+        _read_grams(spark, path)
+        .select("g")
+        .distinct()
+        .withColumn("ingest_key", F.lit("base"))
+    )
+    cur = os.path.basename(root)
+    n = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
+    new_root = os.path.join(path, f"v{n}")
+    # STATIC overwrite: the target vN may be a STALE generation left
+    # behind by a later fresh save (see operators/_writes.py)
+    with overwrite_mode(spark, "static"):
+        grams.coalesce(n_files).sortWithinPartitions(
+            "ingest_key", "g"
+        ).write.mode("overwrite").partitionBy("ingest_key").parquet(
+            new_root + "/grams"
+        )
+    tmp = os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{n}")
+    os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic swap
+    return new_root
 
 
 def contamination_index_stats(spark, path: str) -> DataFrame:

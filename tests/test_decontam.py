@@ -189,3 +189,65 @@ def test_fresh_save_after_append_retires_appended_grams(spark, tmp_path):
     }
     # only the fresh corpus's grams are served
     assert rep == {1: False, 2: False, 3: True}
+
+
+def test_compact_folds_appends_and_probe_is_unchanged(spark, tmp_path):
+    """contamination_index_compact (r9): appended benchmark partitions
+    fold into one DISTINCT base generation under a versioned root with
+    an atomic CURRENT swap — probe results are row-identical before
+    and after, cross-partition duplicate grams collapse, post-compact
+    appends land in the new generation, and a fresh save retires the
+    pointer (the stale-store rule)."""
+    import os
+
+    docs = readers.table(spark, "documents", SF)
+    path = str(tmp_path / "ix")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    decontam.save_contamination_index(bench, path, n=3)
+    # append the SAME benchmark twice: pure cross-partition duplicates
+    decontam.contamination_index_append(spark, path, bench, ingest_key="dup")
+    before = sorted(
+        (r.doc_id, r.n_contaminated_grams)
+        for r in decontam.contaminated_against_index(spark, path, batch)
+        .collect()
+    )
+    counts = {
+        r.ingest_key: r.n_grams
+        for r in decontam.contamination_index_stats(spark, path).collect()
+    }
+    assert counts["base"] == counts["dup"] == counts["__total_distinct__"]
+
+    new_root = decontam.contamination_index_compact(spark, path)
+    assert os.path.basename(new_root) == "v1"
+    after = sorted(
+        (r.doc_id, r.n_contaminated_grams)
+        for r in decontam.contaminated_against_index(spark, path, batch)
+        .collect()
+    )
+    assert after == before
+    counts2 = {
+        r.ingest_key: r.n_grams
+        for r in decontam.contamination_index_stats(spark, path).collect()
+    }
+    assert counts2 == {
+        "base": counts["__total_distinct__"],
+        "__total_distinct__": counts["__total_distinct__"],
+    }
+
+    # post-compact append lands in the new generation and is probed
+    extra = spark.createDataFrame(
+        [(999, "zqx1 zqx2 zqx3")], "doc_id long, text string"
+    )
+    decontam.contamination_index_append(spark, path, extra, ingest_key="b9")
+    probe = spark.createDataFrame(
+        [(1, "pad zqx1 zqx2 zqx3 pad2")], "doc_id long, text string"
+    )
+    rep = decontam.contaminated_against_index(spark, path, probe).collect()
+    assert rep[0].is_contaminated
+
+    # fresh save over the same path retires the compacted generation
+    decontam.save_contamination_index(bench, path, n=3)
+    assert not os.path.exists(os.path.join(path, "CURRENT"))
+    rep2 = decontam.contaminated_against_index(spark, path, probe).collect()
+    assert not rep2[0].is_contaminated  # zqx grams retired with v1
