@@ -124,6 +124,29 @@ def store_read(
     return base.unionByName(delta)
 
 
+def immutable_read(
+    spark, store_path: str, table: str, schema: str, cache: bool = True
+) -> DataFrame:
+    """Cache variant for a table that is IMMUTABLE for the store's
+    whole lifetime (no appends — e.g. the unigram LM's ``freq/``,
+    rewritten only by a fresh ``save_*`` which must call
+    :func:`invalidate`): the entire table is checkpointed once, no
+    live-delta side at all."""
+    if not cache:
+        return spark.read.schema(schema).parquet(f"{store_path}/{table}")
+    key = (store_path, table)
+    ent = _REG.get(key)
+    if ent is None:
+        df = spark.read.schema(schema).parquet(
+            f"{store_path}/{table}"
+        ).localCheckpoint(eager=True)
+        _REG[key] = (store_path, df)
+        while len(_REG) > _MAX_ENTRIES:
+            _REG.popitem(last=False)
+    _REG.move_to_end(key)
+    return _REG[key][1]
+
+
 def invalidate(store_path: str) -> None:
     """Drop every cached table of a store — called by the fresh
     ``save_*`` paths, which rewrite ``ingest_key='base'`` under the

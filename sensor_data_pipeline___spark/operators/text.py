@@ -837,8 +837,11 @@ def save_unigram_lm(
     cross-engine ln/summation-order noise cannot flip a band."""
     from sensor_data_pipeline___spark.operators._local import local_df
 
+    from sensor_data_pipeline___spark.operators import _probe_cache
+
     spark = ref_docs.sparkSession
     _LM_META_CACHE.pop(path, None)
+    _probe_cache.invalidate(path)  # freq is rewritten under this root
     toks = ref_docs.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
     )
@@ -890,6 +893,7 @@ def unigram_bands_against_lm(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_store: bool = True,
 ) -> DataFrame:
     """Score a batch against a :func:`save_unigram_lm` store and
     assign CCNet bands: ``(id_col, n_tokens, lm_score, band)`` with
@@ -900,9 +904,16 @@ def unigram_bands_against_lm(
     table (broadcast candidate; OOV tokens coalesce to count 0 and
     take the add-one ceiling) → one partial-aggregated groupBy(doc).
     The store is never re-fit or shuffled; determinism is what lets
-    the streaming admission stay effectively-once under replay."""
+    the streaming admission stay effectively-once under replay.
+    ``cache_store`` (default on) checkpoints the freq table once per
+    store — it is IMMUTABLE after save (the LM has no append path),
+    so per-batch scoring is a memory scan, not a parquet re-read."""
+    from sensor_data_pipeline___spark.operators import _probe_cache
+
     total, vocab, cut1, cut2 = _load_lm_meta(spark, path)
-    freq = spark.read.schema("tok string, c double").parquet(path + "/freq")
+    freq = _probe_cache.immutable_read(
+        spark, path, "freq", "tok string, c double", cache=cache_store
+    )
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
     )
