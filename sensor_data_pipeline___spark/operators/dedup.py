@@ -263,6 +263,7 @@ def save_minhash_index(
         os.remove(ptr)
     _META_CACHE.pop(path, None)  # a fresh save may change the geometry
     _MANIFEST_CACHE.pop(path, None)
+    _MANIFEST_CACHE.pop((path, "sig"), None)
     _probe_cache.invalidate(path)  # base is rewritten under this root
     sig = minhash_signature(
         docs, text_col, id_col, num_hashes, shingle_n
@@ -289,6 +290,7 @@ def save_minhash_index(
             "band_idx", "ingest_key"
         ).parquet(path + "/bands")
     _write_band_manifest(path)
+    _write_sig_manifest(path, id_col)
     meta = local_df(
         docs.sparkSession,
         [(num_hashes, bands, shingle_n)],
@@ -346,41 +348,91 @@ def _write_band_manifest(root: str) -> None:
     immutable ``ingest_key=base`` partitions, so it can never go stale
     within a generation — appends land under other ingest_keys and are
     always read unpruned."""
-    import glob
     import json
 
-    import pyarrow.parquet as pq
-
-    bands_dir = os.path.join(root, "bands")
     entries = []
-    for f in sorted(
-        glob.glob(os.path.join(bands_dir, "**", "*.parquet"), recursive=True)
+    for rel, stats in _base_file_stats(
+        os.path.join(root, "bands"), "band_hash"
     ):
-        rel = os.path.relpath(f, bands_dir)
-        if "ingest_key=base" not in rel:
-            continue
         band_idx = None
         for part in rel.split(os.sep):
             if part.startswith("band_idx="):
                 band_idx = int(part.split("=", 1)[1])
+        if band_idx is None:
+            continue
+        entries.append(
+            {"file": rel, "band_idx": band_idx, "min": stats[0], "max": stats[1]}
+        )
+    tmp = os.path.join(root, "bands_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"files": entries}, fh)
+    os.replace(tmp, os.path.join(root, "bands_manifest.json"))
+
+
+def _base_file_stats(table_dir: str, col: str):
+    """(relative file, (min, max)) for every ``ingest_key=base`` data
+    file's footer stats on ``col`` — the shared scanner behind both
+    manifests. Driver-side pyarrow, O(files)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in sorted(
+        glob.glob(os.path.join(table_dir, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(f, table_dir)
+        if "ingest_key=base" not in rel:
+            continue
         md = pq.ParquetFile(f).metadata
         lo = hi = None
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 c = g.column(ci)
-                if c.path_in_schema == "band_hash" and c.statistics is not None:
+                if c.path_in_schema == col and c.statistics is not None:
                     st = c.statistics
                     if st.has_min_max:
                         lo = st.min if lo is None else min(lo, st.min)
                         hi = st.max if hi is None else max(hi, st.max)
-        if band_idx is None or lo is None:
-            continue
-        entries.append({"file": rel, "band_idx": band_idx, "min": lo, "max": hi})
-    tmp = os.path.join(root, "bands_manifest.json.tmp")
+        if lo is not None:
+            yield rel, (lo, hi)
+
+
+def _write_sig_manifest(root: str, id_col: str) -> None:
+    """Footer-stats manifest of the generation's SIGNATURE files (id
+    min/max per base file) — the verify-join half of the selective
+    probe: once candidates are known, only the signature files whose
+    id range can contain a candidate corpus id need opening. Same
+    staleness-free contract as the bands manifest (base files only)."""
+    import json
+
+    entries = [
+        {"file": rel, "min": s[0], "max": s[1]}
+        for rel, s in _base_file_stats(
+            os.path.join(root, "signatures"), id_col
+        )
+    ]
+    tmp = os.path.join(root, "signatures_manifest.json.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"files": entries}, fh)
-    os.replace(tmp, os.path.join(root, "bands_manifest.json"))
+        json.dump({"files": entries, "id_col": id_col}, fh)
+    os.replace(tmp, os.path.join(root, "signatures_manifest.json"))
+
+
+def _load_sig_manifest(root: str):
+    key = (root, "sig")
+    if key not in _MANIFEST_CACHE:
+        import json
+
+        p = os.path.join(root, "signatures_manifest.json")
+        if not os.path.exists(p):
+            _MANIFEST_CACHE[key] = None
+        else:
+            with open(p) as fh:
+                raw = json.load(fh)["files"]
+            _MANIFEST_CACHE[key] = [
+                (e["min"], e["max"], e["file"]) for e in raw
+            ]
+    return _MANIFEST_CACHE[key]
 
 
 #: resolved generation root -> parsed manifest (or None when the
@@ -664,6 +716,7 @@ def minhash_index_compact(
             "band_idx", "ingest_key"
         ).parquet(new_root + "/bands")
     _write_band_manifest(new_root)
+    _write_sig_manifest(new_root, id_col)
     tmp = os.path.join(path, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(f"v{n}")
@@ -842,14 +895,11 @@ def near_dup_against_index(
                     root + "/bands"
                 ).filter(F.col("ingest_key") != "base")
                 bands_raw = pruned_base.unionByName(delta)
+    pruning = bands_raw is not None
     if bands_raw is None:
         bands_raw = _read_bands(spark, path, id_col, cache=cache_store)
-    sigs_raw = _read_signatures(spark, path, id_col, cache=cache_store)
     if exclude_ingest_key is not None:
         bands_raw = bands_raw.filter(
-            F.col("ingest_key") != exclude_ingest_key
-        )
-        sigs_raw = sigs_raw.filter(
             F.col("ingest_key") != exclude_ingest_key
         )
     store = bands_raw.select(
@@ -880,6 +930,51 @@ def near_dup_against_index(
         .filter(F.col("new_id") != F.col("corpus_id"))
         .distinct()
     )
+    sig_schema = f"{id_col} long, signature array<bigint>, ingest_key string"
+    sigs_raw = None
+    if pruning:
+        # verify-join half of the selective probe: the candidates are
+        # few by construction (pruned keys x bucket cap), so collect
+        # their corpus ids (bounded; materialize cand ONCE for reuse
+        # downstream) and open only the signature files whose id range
+        # can contain one, per the signatures manifest
+        sman = _load_sig_manifest(root)
+        if sman is not None:
+            cand = cand.localCheckpoint(eager=True)
+            ids = [
+                r[0]
+                for r in cand.select("corpus_id").distinct()
+                .limit(8193).collect()
+            ]
+            if len(ids) <= 8192:
+                chosen = sorted(
+                    {
+                        rel
+                        for lo, hi, rel in sman
+                        for i in ids
+                        if lo <= i <= hi
+                    }
+                )
+                sig_files = [
+                    os.path.join(root, "signatures", rel) for rel in chosen
+                ]
+                pruned_sig = (
+                    spark.read.schema(sig_schema)
+                    .option("basePath", root + "/signatures")
+                    .parquet(*sig_files)
+                    if sig_files
+                    else spark.createDataFrame([], sig_schema)
+                )
+                sig_delta = spark.read.schema(sig_schema).parquet(
+                    root + "/signatures"
+                ).filter(F.col("ingest_key") != "base")
+                sigs_raw = pruned_sig.unionByName(sig_delta)
+    if sigs_raw is None:
+        sigs_raw = _read_signatures(spark, path, id_col, cache=cache_store)
+    if exclude_ingest_key is not None:
+        sigs_raw = sigs_raw.filter(
+            F.col("ingest_key") != exclude_ingest_key
+        )
     sig_store = sigs_raw.select(
         F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_c")
     )

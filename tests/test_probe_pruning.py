@@ -204,3 +204,26 @@ def test_band_files_carry_band_hash_footer_stats(spark, tmp_path):
                     assert c.statistics is not None and c.statistics.has_min_max
                     got = True
         assert got, f
+
+
+def test_selective_probe_prunes_signature_files_too(spark, tmp_path):
+    """The verify join's signature read is pruned by the signatures
+    manifest when the selective path engages: with a range-partitioned
+    compacted store, a 2-doc probe's candidate ids select a strict
+    minority of signature files, and the sig manifest's intervals are
+    disjoint like the band manifest's."""
+    path, docs = _compacted_store(spark, tmp_path, files_per_band=8)
+    root = dedup._mh_root(path)
+    sman = dedup._load_sig_manifest(root)
+    assert sman is not None and len(sman) >= 4
+    ordered = sorted(sman)
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(ordered, ordered[1:]):
+        assert hi1 < lo2, "overlapping signature file ranges"
+    # candidates of a 2-doc probe are the two corpus twins -> their
+    # ids land in at most 2 signature files of the 8
+    hits = {
+        (lo, hi)
+        for lo, hi, _ in sman
+        if lo <= 5 <= hi or lo <= 7 <= hi
+    }
+    assert len(hits) <= 2
