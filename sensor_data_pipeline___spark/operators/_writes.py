@@ -39,3 +39,52 @@ def overwrite_mode(spark, mode: str):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, prev)
+
+
+# ---------------------------------------------------------------------------
+# Versioned-root pointer protocol, shared by every persisted index
+# store (minhash bands/signatures, IVF vectors, contamination grams):
+# the flat layout from a fresh save_* is the implicit v0; every
+# compact/retrain writes a COMPLETE new generation under path/v<N>/
+# and atomically swaps path/CURRENT, so readers resolve the pointer
+# first, in-flight queries keep the version they resolved, a crash
+# before the swap leaves the old generation serving, and old
+# generations stay immutable until maintenance deletes them. Pointer
+# IO is plain files here (local mode); on an object store / HDFS the
+# same one-file swap rides the FS rename primitive.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+
+def resolve_current(path: str) -> str:
+    """The store's CURRENT generation root (``path`` itself pre-swap)."""
+    ptr = _os.path.join(path, "CURRENT")
+    if _os.path.exists(ptr):
+        with open(ptr) as f:
+            return _os.path.join(path, f.read().strip())
+    return path
+
+
+def next_generation(path: str) -> str:
+    """Root dir for the NEXT generation (``path/v<current+1>``) —
+    write the full new layout there, then :func:`swap_current`."""
+    cur = _os.path.basename(resolve_current(path))
+    n = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
+    return _os.path.join(path, f"v{n}")
+
+
+def swap_current(path: str, new_root: str) -> None:
+    """Atomically point ``path/CURRENT`` at a fully-written generation."""
+    tmp = _os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(_os.path.basename(new_root))
+    _os.replace(tmp, _os.path.join(path, "CURRENT"))
+
+
+def retire_current(path: str) -> None:
+    """Drop the pointer — a fresh ``save_*`` makes the flat root the
+    store again (old generation dirs remain on disk, unreferenced)."""
+    ptr = _os.path.join(path, "CURRENT")
+    if _os.path.exists(ptr):
+        _os.remove(ptr)

@@ -46,7 +46,13 @@ from pyspark.sql import functions as F
 
 from sensor_data_pipeline___spark.operators import _probe_cache
 from sensor_data_pipeline___spark.operators._local import local_df
-from sensor_data_pipeline___spark.operators._writes import overwrite_mode
+from sensor_data_pipeline___spark.operators._writes import (
+    next_generation,
+    overwrite_mode,
+    resolve_current,
+    retire_current,
+    swap_current,
+)
 from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
 
 #: path -> (n, key). Gram geometry is immutable for a store's lifetime
@@ -97,12 +103,9 @@ def _cx_root(path: str) -> str:
     layout from :func:`save_contamination_index` is the implicit v0;
     each :func:`contamination_index_compact` writes a complete
     ``path/v<N>/`` and atomically swaps ``path/CURRENT``. ``meta/``
-    (gram geometry) is version-invariant and stays at the top level."""
-    ptr = os.path.join(path, "CURRENT")
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            return os.path.join(path, f.read().strip())
-    return path
+    (gram geometry) is version-invariant and stays at the top level.
+    Thin delegate to the shared protocol in ``operators/_writes.py``."""
+    return resolve_current(path)
 
 
 def save_contamination_index(
@@ -121,9 +124,7 @@ def save_contamination_index(
     # from an earlier compacted generation FIRST (the minhash store's
     # fresh-save rule — a stale pointer would keep serving the old
     # generation's grams)
-    ptr = os.path.join(path, "CURRENT")
-    if os.path.exists(ptr):
-        os.remove(ptr)
+    retire_current(path)
     _META_CACHE.pop(path, None)  # a fresh save may change the geometry
     _probe_cache.invalidate(path)  # base is rewritten under this root
     grams = (
@@ -313,9 +314,7 @@ def contamination_index_compact(spark, path: str, n_files: int = 1) -> str:
         .distinct()
         .withColumn("ingest_key", F.lit("base"))
     )
-    cur = os.path.basename(root)
-    n = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
-    new_root = os.path.join(path, f"v{n}")
+    new_root = next_generation(path)
     # STATIC overwrite: the target vN may be a STALE generation left
     # behind by a later fresh save (see operators/_writes.py)
     with overwrite_mode(spark, "static"):
@@ -324,10 +323,7 @@ def contamination_index_compact(spark, path: str, n_files: int = 1) -> str:
         ).write.mode("overwrite").partitionBy("ingest_key").parquet(
             new_root + "/grams"
         )
-    tmp = os.path.join(path, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(f"v{n}")
-    os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic swap
+    swap_current(path, new_root)  # atomic
     return new_root
 
 

@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from sensor_data_pipeline___spark.operators import _probe_cache
 from sensor_data_pipeline___spark.operators._local import local_df
-from sensor_data_pipeline___spark.operators._writes import overwrite_mode
+from sensor_data_pipeline___spark.operators._writes import (
+    next_generation,
+    overwrite_mode,
+    resolve_current,
+    retire_current,
+    swap_current,
+)
 
 # ---------------------------------------------------------------------------
 # Exact
@@ -258,9 +264,7 @@ def save_minhash_index(
     # resolves the pointer, and a stale one would silently pair the
     # NEW flat signatures with the OLD generation's band keys (every
     # subsequent probe would then find nothing)
-    ptr = os.path.join(path, "CURRENT")
-    if os.path.exists(ptr):
-        os.remove(ptr)
+    retire_current(path)
     _META_CACHE.pop(path, None)  # a fresh save may change the geometry
     _MANIFEST_CACHE.pop(path, None)
     _MANIFEST_CACHE.pop((path, "sig"), None)
@@ -367,6 +371,10 @@ def _write_band_manifest(root: str) -> None:
     with open(tmp, "w") as fh:
         json.dump({"files": entries}, fh)
     os.replace(tmp, os.path.join(root, "bands_manifest.json"))
+    # a REWRITTEN manifest must invalidate its own cache entry: a
+    # fresh-save-then-compact sequence RECREATES a vN root whose old
+    # manifest may still be cached (review r9)
+    _MANIFEST_CACHE.pop(root, None)
 
 
 def _base_file_stats(table_dir: str, col: str):
@@ -416,6 +424,7 @@ def _write_sig_manifest(root: str, id_col: str) -> None:
     with open(tmp, "w") as fh:
         json.dump({"files": entries, "id_col": id_col}, fh)
     os.replace(tmp, os.path.join(root, "signatures_manifest.json"))
+    _MANIFEST_CACHE.pop((root, "sig"), None)  # see _write_band_manifest
 
 
 def _load_sig_manifest(root: str):
@@ -511,12 +520,9 @@ def _mh_root(path: str) -> str:
     from :func:`save_minhash_index` is the implicit v0; each
     :func:`minhash_index_compact` writes a complete ``path/v<N>/`` and
     atomically swaps ``path/CURRENT``. ``meta/`` (band geometry) is
-    version-invariant and stays at the top level."""
-    ptr = os.path.join(path, "CURRENT")
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            return os.path.join(path, f.read().strip())
-    return path
+    version-invariant and stays at the top level. Thin delegate to
+    the shared protocol in ``operators/_writes.py``."""
+    return resolve_current(path)
 
 
 def _read_signatures(
@@ -676,9 +682,7 @@ def minhash_index_compact(
         .drop("ingest_key")
         .withColumn("ingest_key", F.lit("base"))
     )
-    cur = os.path.basename(root)
-    n = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
-    new_root = os.path.join(path, f"v{n}")
+    new_root = next_generation(path)
     # STATIC overwrite: the target vN may be a STALE generation left
     # behind by a later fresh save (which resets CURRENT to the flat
     # root without deleting old version dirs) — under the session's
@@ -717,10 +721,7 @@ def minhash_index_compact(
         ).parquet(new_root + "/bands")
     _write_band_manifest(new_root)
     _write_sig_manifest(new_root, id_col)
-    tmp = os.path.join(path, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(f"v{n}")
-    os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic swap
+    swap_current(path, new_root)  # atomic
     return new_root
 
 
@@ -875,7 +876,10 @@ def near_dup_against_index(
     root = _mh_root(path)
     band_schema = f"{id_col} long, band_hash bigint, band_idx int, ingest_key string"
     bands_raw = None
-    if prune_max_keys > 0:
+    # gate on the manifest FIRST: probing a pre-manifest store would
+    # otherwise pay the probe-keys collect job on every probe only to
+    # fall back to the full scan anyway (review r9)
+    if prune_max_keys > 0 and _load_band_manifest(root) is not None:
         probe_keys = new_bands.select("band_idx", "band_hash").distinct(
         ).limit(prune_max_keys + 1).collect()
         if len(probe_keys) <= prune_max_keys:
@@ -1146,10 +1150,11 @@ def _simhash_fp(
     visited once. The tempting narrow formulation (one ``F.aggregate``
     fold per bit over the hash array) re-traverses the array ``bits``
     times in interpreted higher-order functions and measured ~10x
-    slower at 5k docs (scale-sweep r9). A token array is never empty
-    (``split`` yields at least one element), so the groupBy loses no
-    documents."""
-    ex = docs.select(F.col(id_col), F.explode(hashes).alias("_h"))
+    slower at 5k docs (scale-sweep r9). ``explode_outer`` keeps the
+    one-row-per-document contract for NULL text (a plain explode would
+    silently drop those docs — review r9): the NULL hash row votes -1
+    on every bit, reproducing the old fold's fp = 0."""
+    ex = docs.select(F.col(id_col), F.explode_outer(hashes).alias("_h"))
     aggs = [
         F.sum(
             F.when(

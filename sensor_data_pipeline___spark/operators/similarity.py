@@ -19,7 +19,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sensor_data_pipeline___spark.operators._local import local_df
-from sensor_data_pipeline___spark.operators._writes import overwrite_mode
+from sensor_data_pipeline___spark.operators._writes import (
+    next_generation,
+    overwrite_mode,
+    resolve_current,
+    retire_current,
+    swap_current,
+)
 
 
 def _to_double(col: Column) -> Column:
@@ -564,9 +570,7 @@ def save_ivf_index(
     # would keep resolving (and appends keep landing in) the old
     # versioned root while the new flat store sits unused — the same
     # guard as save_minhash_index
-    ptr = os.path.join(path, "CURRENT")
-    if os.path.exists(ptr):
-        os.remove(ptr)
+    retire_current(path)
     for k in [k for k in _CENT_CACHE if k == path or
               k.startswith(os.path.join(path, "v"))]:
         _CENT_CACHE.pop(k, None)
@@ -609,12 +613,9 @@ def _store_root(path: str) -> str:
     resolved (old versions are immutable until maintenance deletes
     them). Pointer IO is plain files here (local mode); on an object
     store / HDFS the same one-file swap rides the FS rename
-    primitive."""
-    ptr = os.path.join(path, "CURRENT")
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            return os.path.join(path, f.read().strip())
-    return path
+    primitive. Thin delegate to the shared protocol in
+    ``operators/_writes.py``."""
+    return resolve_current(path)
 
 
 #: resolved-root -> collected centroid rows. A versioned root
@@ -701,9 +702,7 @@ def ivf_retrain(
     assigned = ivf_assign(corpus, cents, vec_col=vec_col, id_col=id_col)
 
     # next version number: flat store -> v1; path/vN -> v(N+1)
-    cur = os.path.basename(root)
-    n = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
-    new_root = os.path.join(path, f"v{n}")
+    new_root = next_generation(path)
     cents.coalesce(1).write.mode("overwrite").parquet(
         new_root + "/centroids"
     )
@@ -719,10 +718,7 @@ def ivf_retrain(
             .partitionBy("cell", "ingest_key")
             .parquet(new_root + "/vectors")
         )
-    tmp = os.path.join(path, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(f"v{n}")
-    os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic swap
+    swap_current(path, new_root)  # atomic
     return new_root
 
 
@@ -754,9 +750,7 @@ def ivf_index_compact(
     root = _store_root(path)
     store = spark.read.parquet(root + "/vectors")
     cents = spark.read.parquet(root + "/centroids")
-    cur = os.path.basename(root)
-    n = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
-    new_root = os.path.join(path, f"v{n}")
+    new_root = next_generation(path)
     cents.coalesce(1).write.mode("overwrite").parquet(
         new_root + "/centroids"
     )
@@ -770,10 +764,7 @@ def ivf_index_compact(
             .partitionBy("cell", "ingest_key")
             .parquet(new_root + "/vectors")
         )
-    tmp = os.path.join(path, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(f"v{n}")
-    os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic swap
+    swap_current(path, new_root)  # atomic
     return new_root
 
 

@@ -6963,7 +6963,7 @@ def q_unigram_lm_band_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators import text as T
 
     docs = _t(spark, sf_dir, "documents")
-    path = _run_scoped_store_path(spark, "unigram_lm", sf_dir)
+    path = _run_scoped_store_path(spark, "unigram_lm_assign", sf_dir)
     T.save_unigram_lm(docs.filter(F.col("doc_id") % 2 == 0), path)
     # cache_store=False: one-shot save-then-score (see near_dup_probe_exact)
     return T.unigram_bands_against_lm(
@@ -7032,7 +7032,7 @@ def q_band_stratified_admission(
     )
 
     docs = _t(spark, sf_dir, "documents")
-    path = _run_scoped_store_path(spark, "unigram_lm", sf_dir)
+    path = _run_scoped_store_path(spark, "unigram_lm_admission", sf_dir)
     T.save_unigram_lm(docs.filter(F.col("doc_id") % 2 == 0), path)
     banded = T.unigram_bands_against_lm(
         spark, path, docs.filter(F.col("doc_id") % 2 == 1), cache_store=False

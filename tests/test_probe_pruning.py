@@ -227,3 +227,43 @@ def test_selective_probe_prunes_signature_files_too(spark, tmp_path):
         if lo <= 5 <= hi or lo <= 7 <= hi
     }
     assert len(hits) <= 2
+
+
+def test_recreated_generation_refreshes_manifest_cache(spark, tmp_path):
+    """Review r9: save -> compact (v1, manifest cached by a pruned
+    probe) -> fresh save (retires CURRENT) -> compact again RECREATES
+    v1 with new part-file names. The pruned probe must serve the NEW
+    manifest, not the cached retired one — a stale entry would either
+    crash on deleted paths or silently scan nothing."""
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 100), path)
+    dedup.minhash_index_compact(spark, path, files_per_band=4)
+    probe = docs.filter(F.col("doc_id").isin(5)).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    hits = dedup.near_dup_against_index(
+        spark, path, probe, prune_max_keys=64, cache_store=False
+    )
+    assert (50_000_005, 5) in {(r.new_id, r.corpus_id) for r in hits.collect()}
+
+    # fresh save over a DIFFERENT corpus slice, then compact: v1 is
+    # recreated; the pruned probe must find doc 205's twin via the
+    # NEW manifest
+    dedup.save_minhash_index(
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)), path
+    )
+    dedup.minhash_index_compact(spark, path, files_per_band=4)
+    probe2 = docs.filter(F.col("doc_id").isin(205)).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    hits2 = dedup.near_dup_against_index(
+        spark, path, probe2, prune_max_keys=64, cache_store=False
+    )
+    assert (50_000_205, 205) in {
+        (r.new_id, r.corpus_id) for r in hits2.collect()
+    }
+    # and the retired corpus is really gone through the pruned path
+    assert dedup.near_dup_against_index(
+        spark, path, probe, prune_max_keys=64, cache_store=False
+    ).count() == 0
