@@ -81,6 +81,17 @@ def main() -> None:
         ).count()
         t_probe = time.perf_counter() - t0
 
+        # warm probe: the generation's base partitions are now in the
+        # probe cache (operators/_probe_cache.py), so this is the
+        # steady-state per-batch cost the streaming loop pays — the
+        # cold figure above bills the one-time checkpoint build
+        t0 = time.perf_counter()
+        probe_pairs_warm = dedup.near_dup_against_index(
+            spark, td + "/mh", batch
+        ).count()
+        t_probe_warm = time.perf_counter() - t0
+        assert probe_pairs_warm == probe_pairs
+
         t0 = time.perf_counter()
         batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
         full = dedup.minhash_near_dup(corpus.unionByName(batch))
@@ -96,8 +107,10 @@ def main() -> None:
                 "batch": nb,
                 "index_build_s": round(t_build, 2),
                 "probe_s": round(t_probe, 2),
+                "probe_warm_s": round(t_probe_warm, 2),
                 "full_rerun_s": round(t_full, 2),
                 "speedup_probe": round(t_full / t_probe, 2),
+                "speedup_probe_warm": round(t_full / t_probe_warm, 2),
                 "probe_pairs": probe_pairs,
                 "full_cross_pairs": full_pairs,
             }
