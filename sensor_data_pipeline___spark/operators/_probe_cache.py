@@ -79,12 +79,14 @@ def _base_dirs(resolved_root: str, table: str) -> "list[str]":
     )
 
 
-def _build_base(spark, resolved_root: str, table: str, schema: str) -> DataFrame:
+def _build_base(spark, resolved_root: str, table: str, schema: str):
     dirs = _base_dirs(resolved_root, table)
     if not dirs:
         # empty-seed store: no base partitions were written at all —
-        # a local empty relation, immune to later re-listing
-        return spark.createDataFrame([], schema)
+        # nothing to cache; store_read serves the plain full scan
+        # (skipping the union/filter overhead entirely, which the
+        # cold-start streaming soak pays on every probe otherwise)
+        return None
     df = (
         spark.read.schema(schema)
         .option("basePath", os.path.join(resolved_root, table))
@@ -120,6 +122,14 @@ def store_read(
             _REG.popitem(last=False)
     _REG.move_to_end(key)
     base = _REG[key][1]
+    if base is None:
+        # no base partitions exist in this generation (cold-start
+        # store before its first compaction): every row is delta, and
+        # the plain full scan IS the correct read — no union, no
+        # filter. New base partitions only appear with a new
+        # generation (compact) or a fresh save, both of which rotate
+        # or invalidate this entry.
+        return full
     delta = full.filter(F.col("ingest_key") != "base")
     return base.unionByName(delta)
 

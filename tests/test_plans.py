@@ -282,3 +282,23 @@ def test_round5_additions_plan_shapes(spark):
             name,
             explain.formatted_plan(q),
         )
+
+
+def test_round9_additions_plan_shapes(spark):
+    """The r9 additions keep their docstrings' physical shapes: the
+    exact-recall simhash pairs join is segment-blocked (equi join on
+    (seg_idx, seg_val) — never a cartesian or nested loop over the
+    doc product), and the CCNet band queries are vocabulary-join +
+    partial-aggregated per-doc rollups with no cartesian anywhere
+    (their only cross join is the broadcast one-row LM-constants
+    frame, which Spark plans as a broadcast nested loop over exactly
+    one row, not a product)."""
+    df = QUERIES["simhash_near_dup_exact"](spark, SF)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    for name in ("unigram_lm_band_assign", "band_stratified_admission"):
+        q = QUERIES[name](spark, SF)
+        p = explain.formatted_plan(q)
+        assert "CartesianProduct" not in p, (name, p)
