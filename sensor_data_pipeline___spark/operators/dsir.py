@@ -235,7 +235,10 @@ def save_dsir_index(
     fit it on a hash-sampled slice of the raw corpus (the estimate
     needs gram coverage, not the full corpus)."""
     _META_CACHE.pop(path, None)
+    from sensor_data_pipeline___spark.operators import _probe_cache
     from sensor_data_pipeline___spark.operators._local import local_df
+
+    _probe_cache.invalidate(path)  # counts are rewritten under this root
 
     tf = hashed_ngram_buckets(target, text_col, id_col, n_buckets, salt)
     rf = hashed_ngram_buckets(raw_sample, text_col, id_col, n_buckets, salt)
@@ -296,13 +299,21 @@ def dsir_weights_against_index(
     Per batch: featurize (one scan of the batch), broadcast-join the
     ≤ ``n_buckets``-row counts table, one partial-aggregated groupBy.
     The store is scanned once, never shuffled; the totals are cached
-    driver scalars. Smoothing is a PROBE-time knob (the store holds raw
-    counts), so re-tuning it never refits."""
+    driver scalars, and the counts table — immutable after save, the
+    LM-freq pattern — is checkpointed once per store
+    (``_probe_cache.immutable_read``) so the per-micro-batch scoring
+    loop reads it from executor memory, not parquet. Smoothing is a
+    PROBE-time knob (the store holds raw counts), so re-tuning it
+    never refits."""
+    from sensor_data_pipeline___spark.operators import _probe_cache
+
     n_buckets, salt, tt, tr = _load_dsir_meta(spark, path)
     sb = smoothing * n_buckets
     const = float(math.log((tr + sb) / (tt + sb)))
     feats = hashed_ngram_buckets(docs, text_col, id_col, n_buckets, salt)
-    counts = spark.read.parquet(path + "/counts")
+    counts = _probe_cache.immutable_read(
+        spark, path, "counts", "bucket bigint, ct bigint, cr bigint"
+    )
     return (
         feats.join(F.broadcast(counts), "bucket", "left")
         .groupBy(id_col)
