@@ -74,6 +74,15 @@ BENCH_QUERIES = [
     # duplication coverage (md5-keyed 20-gram census + interval fold)
     "unigram_lm_scores",
     "duplicate_ngram_coverage_fast",
+    # round-9 additions: the exact-recall simhash twin (explode +
+    # 60-vote groupBy fingerprint, segment-blocked pair join), the
+    # iterated BPE driver (k bounded vocabulary-shuffle rounds), and
+    # the CCNet band pair (persisted-LM probe + deterministic
+    # stratified admission)
+    "simhash_near_dup_exact",
+    "bpe_merges_k5",
+    "unigram_lm_band_assign",
+    "band_stratified_admission",
     # round-8, third wave: the persisted-decontamination-index probe
     # (save a benchmark 8-gram store + O(batch) membership probe —
     # the index-maintenance cost and the probe cost ride one number;

@@ -341,3 +341,39 @@ def contamination_index_stats(spark, path: str) -> DataFrame:
         F.count("*").alias("n_grams")
     ).select(F.lit("__total_distinct__").alias("ingest_key"), "n_grams")
     return per_key.unionByName(total).orderBy("ingest_key")
+
+
+def contamination_attribution(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    key: str = "xxhash64",
+) -> DataFrame:
+    """Per-(document, benchmark) contamination attribution:
+    ``(id_col, bench_id_col, n_shared_grams)`` — WHICH benchmark a
+    contaminated doc leaked from and how hard, the operational view
+    behind :func:`contaminated_against_index`'s boolean (a suite-wide
+    store can only say "contaminated"; releasing a corpus requires
+    saying "by GSM8K, 3 grams"). Rows only for actual overlaps — join
+    the zero rows back from the id spine if a report needs them.
+
+    Both sides gram with the store geometry (:func:`_gram_exprs`,
+    per-doc distinct BEFORE the join so the key space is membership);
+    the benchmark side stays benchmark-suite-sized (broadcast
+    candidate) and the shuffle key is the constant-width gram key —
+    the train_test_contamination scale shape with attribution kept."""
+    dg = docs.select(
+        F.col(id_col), F.explode(_gram_exprs(text_col, n, key)).alias("g")
+    ).distinct()
+    bg = bench_docs.select(
+        F.col(bench_id_col),
+        F.explode(_gram_exprs(text_col, n, key)).alias("g"),
+    ).distinct()
+    return (
+        dg.join(bg, "g")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

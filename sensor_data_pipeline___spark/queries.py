@@ -7044,3 +7044,45 @@ def q_band_stratified_admission(
         "doc_id",
         salt="ccnet-band-v1",
     )
+
+
+@_register(
+    "contamination_attribution",
+    # Per-(doc, benchmark) contamination attribution (operators/
+    # decontam.py:contamination_attribution): which benchmark a
+    # contaminated training doc shares 8-grams with and how many —
+    # the operational view behind the store probe's boolean. Even-%10
+    # ids play the benchmark suite (bench_id = doc_id), the rest the
+    # training batch; string-keyed grams, exactly ANSI-replayable.
+    """
+    WITH bt AS (
+      SELECT doc_id AS bench_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id % 10 = 0
+    ), dt AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id % 10 != 0
+    ), bg AS (
+      SELECT DISTINCT bench_id, array_to_string(w[i:i+7], ' ') AS g
+      FROM bt, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ), dg AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      FROM dt, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    )
+    SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM dg JOIN bg USING (g)
+    GROUP BY doc_id, bench_id
+    """,
+)
+def q_contamination_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import decontam
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontam.contamination_attribution(
+        batch, bench, n=8, key="string"
+    )
