@@ -67,12 +67,14 @@ _PRIORITY = (
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
     # --- never-gated (registered r9, gated r9): the exact-recall
-    # simhash twin, the iterated-BPE driver, and the CCNet band
-    # store + stratified-admission pair ---
+    # simhash twin, the iterated-BPE driver, the CCNet band store +
+    # stratified-admission pair, and per-benchmark contamination
+    # attribution ---
     "simhash_near_dup_exact",
     "bpe_merges_k5",
     "unigram_lm_band_assign",
     "band_stratified_admission",
+    "contamination_attribution",
     # --- stalest refresh: last gated r5 (all 29 remaining) ---
     "gapfill_linear_interp",
     "hll_distinct_rollup",
@@ -103,13 +105,14 @@ _PRIORITY = (
     "variant_props_extract",
     "weighted_sample_docs",
     "window_topk_orders",
-    # --- stalest refresh: last gated r6 (first 6 by name) ---
+    # --- stalest refresh: last gated r6 (first 5 by name; the sixth
+    # slot went to contamination_attribution above — never-gated
+    # entries take precedence over stale refresh) ---
     "approx_distinct_accuracy",
     "approx_percentile_accuracy",
     "char_entropy_quality",
     "chunk_documents_stats",
     "cms_heavy_hitters",
-    "collapse_repeat_tokens",
 )
 
 
