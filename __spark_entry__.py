@@ -37,16 +37,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # refreshed per VERDICT r8 directive #2): the window keeps the
 # 11-entry veteran spine (reference-parity core that never rotates,
 # the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the FOUR r9-registered
+# session_window_batch watch item), adds the FIVE r9-registered
 # never-gated entries (the exact-recall simhash twin per directive
-# #5, the iterated-BPE driver per #6, and the CCNet band store +
-# stratified-admission pair per #7), and fills the remaining 35
-# slots with the STALEST previously-gated cohort exactly as the r8
-# verdict prescribed: all 29 entries last gated in r5 (TPC-H
-# q5/q10/q12/q22, as-of/range/PIT joins, gap-fill, sessionization,
-# sketches-adjacent rollups, sampling, profiling) plus the first 6
-# (name order) of the r6-last cohort (accuracy-contract sketches,
-# text profiling). The
+# #5, the iterated-BPE driver per #6, the CCNet band store +
+# stratified-admission pair per #7, and per-benchmark contamination
+# attribution), and fills the remaining 34 slots with the STALEST
+# previously-gated cohort exactly as the r8 verdict prescribed: all
+# 29 entries last gated in r5 (TPC-H q5/q10/q12/q22, as-of/range/PIT
+# joins, gap-fill, sessionization, sketches-adjacent rollups,
+# sampling, profiling) plus the first 5 (name order) of the r6-last
+# cohort (accuracy-contract sketches, text profiling). The
 # ledger invariant ("every oracle-backed entry gated at least once")
 # is auditable in GATE_LEDGER.md, regenerated per round by
 # scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
