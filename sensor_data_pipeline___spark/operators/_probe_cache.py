@@ -50,7 +50,23 @@ the test/bench environment — never hits this.
 
 The registry is a small LRU (default 8 stores) so long test sessions
 touching many temp stores don't pin block-manager storage without
-bound.
+bound. Entries are additionally keyed by the OWNING SparkSession: a
+stop-and-recreate of the session leaves checkpoint blocks behind in a
+dead context, so a lookup from a different session discards the stale
+entry and rebuilds against the live one (review r9). Eviction and
+invalidation drop the Python reference; the ContextCleaner frees the
+checkpoint blocks at GC time — there is no public eager-free API for
+localCheckpoint blocks, and this is the same lifecycle every other
+checkpoint in the repo rides.
+
+Filesystem scope (documented trade, review r9): the base-partition
+DISCOVERY here (:func:`_base_dirs`) and the footer manifests in
+``dedup.py`` use driver-local ``glob``/pyarrow, so these fast paths
+engage on a local/NFS-visible filesystem only. On an object store or
+HDFS the cache and manifest lookups find no directories and every
+probe falls back to the plain full scan — correct, just not
+accelerated; porting the listing to the Hadoop FileSystem API is the
+(mechanical) cluster follow-up and changes no read semantics.
 """
 
 from __future__ import annotations
@@ -64,7 +80,8 @@ from pyspark.sql import functions as F
 
 _MAX_ENTRIES = 8
 
-#: (store_path, table) -> (resolved_root, checkpointed base DataFrame)
+#: (store_path, table) -> (resolved_root, checkpointed base DataFrame,
+#: owning SparkSession)
 _REG: "OrderedDict[tuple, tuple]" = OrderedDict()
 
 
@@ -113,11 +130,19 @@ def store_read(
         return full
     key = (store_path, table)
     ent = _REG.get(key)
-    if ent is not None and ent[0] != resolved_root:
-        _REG.pop(key, None)  # superseded generation; GC frees blocks
+    if ent is not None and (ent[0] != resolved_root or ent[2] is not spark):
+        # superseded generation, or an entry checkpointed under a
+        # stopped/replaced SparkSession (its blocks live in a dead
+        # context — serving them would bind the probe to it); GC
+        # frees blocks either way
+        _REG.pop(key, None)
         ent = None
     if ent is None:
-        _REG[key] = (resolved_root, _build_base(spark, resolved_root, table, schema))
+        _REG[key] = (
+            resolved_root,
+            _build_base(spark, resolved_root, table, schema),
+            spark,
+        )
         while len(_REG) > _MAX_ENTRIES:
             _REG.popitem(last=False)
     _REG.move_to_end(key)
@@ -146,11 +171,14 @@ def immutable_read(
         return spark.read.schema(schema).parquet(f"{store_path}/{table}")
     key = (store_path, table)
     ent = _REG.get(key)
+    if ent is not None and ent[2] is not spark:
+        _REG.pop(key, None)  # cached under a replaced session
+        ent = None
     if ent is None:
         df = spark.read.schema(schema).parquet(
             f"{store_path}/{table}"
         ).localCheckpoint(eager=True)
-        _REG[key] = (store_path, df)
+        _REG[key] = (store_path, df, spark)
         while len(_REG) > _MAX_ENTRIES:
             _REG.popitem(last=False)
     _REG.move_to_end(key)

@@ -380,7 +380,11 @@ def _write_band_manifest(root: str) -> None:
 def _base_file_stats(table_dir: str, col: str):
     """(relative file, (min, max)) for every ``ingest_key=base`` data
     file's footer stats on ``col`` — the shared scanner behind both
-    manifests. Driver-side pyarrow, O(files)."""
+    manifests. Driver-side pyarrow, O(files); like the probe cache's
+    directory listing this engages on driver-visible filesystems only
+    (on HDFS/S3 no files are found, no manifest is written, and probes
+    take the correct-but-unpruned full scan — see
+    ``_probe_cache.py``'s filesystem-scope note)."""
     import glob
 
     import pyarrow.parquet as pq
@@ -1153,7 +1157,13 @@ def _simhash_fp(
     slower at 5k docs (scale-sweep r9). ``explode_outer`` keeps the
     one-row-per-document contract for NULL text (a plain explode would
     silently drop those docs — review r9): the NULL hash row votes -1
-    on every bit, reproducing the old fold's fp = 0."""
+    on every bit, reproducing the old fold's fp = 0.
+
+    Precondition (review r9): ``id_col`` must be UNIQUE — the groupBy
+    collapses duplicate ids into ONE fingerprint with token votes
+    mixed across their rows (the per-row select formulation emitted
+    one fingerprint per row instead). Every caller in this repo feeds
+    the documents surrogate key; dedupe ids first if yours aren't."""
     ex = docs.select(F.col(id_col), F.explode_outer(hashes).alias("_h"))
     aggs = [
         F.sum(
@@ -1179,7 +1189,8 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document: xxhash64 each distinct
     token, take the bitwise majority across tokens. One explode +
-    one partially-aggregated groupBy — no UDF (see :func:`_simhash_fp`)."""
+    one partially-aggregated groupBy — no UDF (see :func:`_simhash_fp`;
+    note its unique-``id_col`` precondition)."""
     toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     return _simhash_fp(docs, hashes, id_col, 64, "simhash64")

@@ -657,6 +657,89 @@ def bpe_pair_counts(
     return out
 
 
+def _merge_fold(syms, left: str, right: str):
+    """Greedy left-to-right non-overlapping application of ONE merge
+    (left, right) to a symbol array, as a codegen'd ``F.aggregate``
+    state machine carrying (prefix, last): "a a a" with merge (a,a)
+    becomes "aa a". Returns the space-joined merged symbol string —
+    symbols never contain spaces, so the join is a faithful sequence
+    encoding (the exact-replay contract with the recursive-CTE
+    oracles)."""
+
+    def step(acc, s):
+        hit = (acc["last"] == F.lit(left)) & (s == F.lit(right))
+        return F.struct(
+            F.when(hit, acc["pre"])
+            .otherwise(F.concat(acc["pre"], F.lit(" "), acc["last"]))
+            .alias("pre"),
+            F.when(hit, F.lit(left + right)).otherwise(s).alias("last"),
+        )
+
+    return F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.struct(
+            F.lit("").alias("pre"), F.element_at(syms, 1).alias("last")
+        ),
+        step,
+        lambda a: F.trim(F.concat(a["pre"], F.lit(" "), a["last"])),
+    )
+
+
+def _learn_merges(
+    docs: DataFrame, k: int, text_col: str
+) -> "list[tuple[int, str, int]]":
+    """The iterated-BPE driver loop shared by :func:`bpe_learn_merges`
+    (returns the table) and :func:`save_bpe_vocab` (persists it):
+    k rounds of vocabulary-weighted pair counting + one bounded argmax
+    collect + the greedy merge fold, ``localCheckpoint`` per round.
+    Returns [(merge_rank, "left right", n), ...]."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "freq"
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: "list[tuple[int, str, int]]" = []
+    for rnd in range(1, k + 1):
+        syms = F.split(F.col("s"), " ", -1)
+        # sequence(1, 0) would be DESCENDING in Spark — guard the
+        # single-symbol (fully merged) words to an empty pair list,
+        # matching generate_series's empty result
+        idxs = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pair_col = F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+                ),
+            )
+        )
+        counts = (
+            vocab.select("freq", pair_col.alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = counts.orderBy(
+            F.col("n").desc(), F.col("pair").asc()
+        ).limit(1).collect()
+        if not best:
+            break  # vocabulary fully merged — nothing left to count
+        pair, n = best[0]["pair"], best[0]["n"]
+        left, right = pair.split(" ")
+        merges.append((rnd, pair, int(n)))
+        vocab = vocab.select(
+            _merge_fold(syms, left, right).alias("s"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 def bpe_learn_merges(
     docs: DataFrame, k: int = 5, text_col: str = "text"
 ) -> DataFrame:
@@ -853,6 +936,17 @@ def save_unigram_lm(
     agg = stored.agg(
         F.sum("c").alias("t"), F.count("*").cast("double").alias("v")
     ).first()
+    if agg["t"] is None:
+        # empty reference fit: no tokens were counted at all — refuse
+        # loudly instead of persisting a store with no distribution
+        # (the empty-seed posture of save_minhash_index /
+        # save_contamination_index is an empty but VALID store; an LM
+        # with no distribution has no valid smoothing constants or
+        # band cuts — review r9)
+        raise ValueError(
+            "save_unigram_lm: reference corpus produced no scores "
+            "(empty or all-unsplittable docs) — cannot fit an LM"
+        )
     total, vocab = float(agg["t"]), float(agg["v"])
     # self-score the reference to fix the band cuts (exact percentile
     # over 6dp-rounded scores — one bounded aggregate)
@@ -869,6 +963,16 @@ def save_unigram_lm(
         F.percentile("s", F.lit(1.0 / 3.0)).alias("c1"),
         F.percentile("s", F.lit(2.0 / 3.0)).alias("c2"),
     ).first()
+    if cuts["c1"] is None or cuts["c2"] is None:
+        # empty reference fit: percentile over zero scores is NULL —
+        # refuse loudly instead of persisting NaN cuts that would band
+        # every future batch 'head' (the empty-seed posture of
+        # save_minhash_index/save_contamination_index is an empty but
+        # VALID store; an LM with no distribution has no valid cuts)
+        raise ValueError(
+            "save_unigram_lm: reference corpus produced no scores "
+            "(empty or all-unsplittable docs) — cannot fit band cuts"
+        )
     meta = local_df(
         spark,
         [(total, vocab, float(cuts["c1"]), float(cuts["c2"]))],

@@ -267,3 +267,44 @@ def test_recreated_generation_refreshes_manifest_cache(spark, tmp_path):
     assert dedup.near_dup_against_index(
         spark, path, probe, prune_max_keys=64, cache_store=False
     ).count() == 0
+
+
+def test_probe_cache_invalidate_rebuilds_identical(spark, tmp_path):
+    """The failure/retry contract (_probe_cache.py cluster caveat,
+    VERDICT r9 directive #5): checkpoint blocks are not
+    lineage-recoverable, so a caller retrying a probe after executor
+    loss must invalidate() the store. Pin the contract's observable
+    half: force-invalidate between probes (simulating the retry hook)
+    and assert the next probe rebuilds a fresh cache entry and returns
+    row-identical results."""
+    from sensor_data_pipeline___spark.operators import _probe_cache
+
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 100), path)
+    dedup.minhash_index_append(
+        spark, path, docs.filter(F.col("doc_id") == 200), ingest_key="b1"
+    )
+    probe = docs.filter(F.col("doc_id").isin(5, 200)).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    before = sorted(
+        (r.new_id, r.corpus_id)
+        for r in dedup.near_dup_against_index(spark, path, probe).collect()
+    )
+    warmed = [k for k in _probe_cache._REG if k[0] == path]
+    assert warmed, "first probe should have warmed the cache"
+    entry_before = _probe_cache._REG[warmed[0]]
+
+    _probe_cache.invalidate(path)  # the retry hook's required call
+    assert not any(k[0] == path for k in _probe_cache._REG)
+
+    after = sorted(
+        (r.new_id, r.corpus_id)
+        for r in dedup.near_dup_against_index(spark, path, probe).collect()
+    )
+    assert after == before
+    assert {(50_000_005, 5), (50_000_200, 200)} <= set(after)
+    rebuilt = [k for k in _probe_cache._REG if k[0] == path]
+    assert rebuilt, "retry probe should rebuild the cache entry"
+    assert _probe_cache._REG[rebuilt[0]][1] is not entry_before[1]

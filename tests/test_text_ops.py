@@ -254,3 +254,15 @@ def test_bpe_learn_merges_greedy_fold_semantics(spark):
     # round 3: 'aa aa' 3, 'aa a' 3, 'ab ab' 3 -> tiebreak pair ASC:
     # 'aa a' < 'aa aa' < 'ab ab'
     assert got[2] == (3, "aa a", 3)
+
+
+def test_save_unigram_lm_empty_fit_raises(spark, tmp_path):
+    """Review r9: an empty reference corpus has no score distribution —
+    percentile returns NULL and save_unigram_lm must refuse with a
+    clear error instead of crashing on float(None) (or worse,
+    persisting NaN cuts that band every future batch 'head')."""
+    from sensor_data_pipeline___spark.operators.text import save_unigram_lm
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no scores"):
+        save_unigram_lm(empty, str(tmp_path / "lm"))
