@@ -764,72 +764,13 @@ def bpe_learn_merges(
     — symbols never contain spaces, so the space-joined symbol string
     is a faithful sequence encoding in both engines.
     """
-    spark = docs.sparkSession
-    words = docs.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).filter(F.length("w") >= 2)
-    vocab = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("freq"))
-        .select(
-            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "freq"
-        )
-        .localCheckpoint(eager=True)
-    )
-    merges: "list[tuple]" = []
-    for rnd in range(1, k + 1):
-        syms = F.split(F.col("s"), " ", -1)
-        # sequence(1, 0) would be DESCENDING in Spark — guard the
-        # single-symbol (fully merged) words to an empty pair list,
-        # matching generate_series's empty result
-        idxs = F.when(
-            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        pair_col = F.explode(
-            F.transform(
-                idxs,
-                lambda i: F.concat_ws(
-                    " ", F.element_at(syms, i), F.element_at(syms, i + 1)
-                ),
-            )
-        )
-        counts = (
-            vocab.select("freq", pair_col.alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("n"))
-        )
-        best = counts.orderBy(
-            F.col("n").desc(), F.col("pair").asc()
-        ).limit(1).collect()
-        if not best:
-            break  # vocabulary fully merged — nothing left to count
-        pair, n = best[0]["pair"], best[0]["n"]
-        left, right = pair.split(" ")
-        merges.append((rnd, pair, int(n)))
-
-        def step(acc, s):
-            hit = (acc["last"] == F.lit(left)) & (s == F.lit(right))
-            return F.struct(
-                F.when(hit, acc["pre"])
-                .otherwise(F.concat(acc["pre"], F.lit(" "), acc["last"]))
-                .alias("pre"),
-                F.when(hit, F.lit(left + right)).otherwise(s).alias("last"),
-            )
-
-        folded = F.aggregate(
-            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-            F.struct(
-                F.lit("").alias("pre"), F.element_at(syms, 1).alias("last")
-            ),
-            step,
-            lambda a: F.trim(F.concat(a["pre"], F.lit(" "), a["last"])),
-        )
-        vocab = vocab.select(folded.alias("s"), "freq").localCheckpoint(
-            eager=True
-        )
     from sensor_data_pipeline___spark.operators._local import local_df
 
-    return local_df(spark, merges, "merge_rank int, pair string, n long")
+    return local_df(
+        docs.sparkSession,
+        _learn_merges(docs, k, text_col),
+        "merge_rank int, pair string, n long",
+    )
 
 
 def bpe_merges_oracle_sql(table: str = "documents", k: int = 5) -> str:
