@@ -773,12 +773,11 @@ def bpe_learn_merges(
     )
 
 
-def bpe_merges_oracle_sql(table: str = "documents", k: int = 5) -> str:
-    """The ANSI twin of :func:`bpe_learn_merges`: k rounds unrolled as
-    chained CTEs — pair counting over the evolving vocabulary, an
-    (n DESC, pair ASC) argmax per round, and the greedy merge fold as
-    a per-word RECURSIVE state machine carrying (prefix, last) —
-    the same exact-replay pattern as ``graph.pagerank_oracle_sql``."""
+def _bpe_learn_parts(table: str, k: int) -> "list[str]":
+    """The learn-phase CTE parts shared by
+    :func:`bpe_merges_oracle_sql` and :func:`bpe_encode_oracle_sql`:
+    vocab0..vocab{k} (the evolving reference vocabulary) and
+    best1..best{k} (the per-round (n DESC, pair ASC) argmax merges)."""
     parts = [
         f"""vocab0 AS MATERIALIZED (
       SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
@@ -817,6 +816,16 @@ def bpe_merges_oracle_sql(table: str = "documents", k: int = 5) -> str:
             f"vocab{r} AS MATERIALIZED (SELECT trim(pre || ' ' || last) AS s, freq "
             f"FROM fold{r} WHERE i = len(syms) + 1)"
         )
+    return parts
+
+
+def bpe_merges_oracle_sql(table: str = "documents", k: int = 5) -> str:
+    """The ANSI twin of :func:`bpe_learn_merges`: k rounds unrolled as
+    chained CTEs — pair counting over the evolving vocabulary, an
+    (n DESC, pair ASC) argmax per round, and the greedy merge fold as
+    a per-word RECURSIVE state machine carrying (prefix, last) —
+    the same exact-replay pattern as ``graph.pagerank_oracle_sql``."""
+    parts = _bpe_learn_parts(table, k)
     unions = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_rank, pair, n FROM best{r}"
         for r in range(1, k + 1)
@@ -825,6 +834,171 @@ def bpe_merges_oracle_sql(table: str = "documents", k: int = 5) -> str:
         "WITH RECURSIVE\n    "
         + ",\n    ".join(parts)
         + f"\n    {unions}"
+    )
+
+
+def _bpe_encode_parts(table: str, k: int) -> "list[str]":
+    """The encode-phase CTE parts of :func:`bpe_encode_oracle_sql`
+    (appended after :func:`_bpe_learn_parts`): the DISTINCT corpus
+    word list char-split (ew0), k chained recursive merge folds
+    carrying the original word (ef1..ef{k} / ew1..ew{k} — the same
+    (prefix, last) state machine as the learn phase's fold{r}, re-run
+    per CORPUS word instead of per reference-vocabulary entry), and
+    the positional reassembly (dw / encd). If learning exhausted
+    before round r (best{r} empty), the scalar subqueries are NULL,
+    the CASE never matches, and the fold is a faithful no-op — the
+    same early-break the Spark side takes."""
+    parts = [
+        f"""ew0 AS MATERIALIZED (
+      SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+      FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+            FROM {table})
+      WHERE len(w) >= 1
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""ef{r} AS (
+      SELECT w, syms, 2 AS i, ''::TEXT AS pre, syms[1] AS last
+      FROM (SELECT w, string_split(s, ' ') AS syms FROM ew{r - 1})
+      UNION ALL
+      SELECT w, syms, i + 1,
+        CASE WHEN last = (SELECT split_part(pair,' ',1) FROM best{r})
+              AND syms[i] = (SELECT split_part(pair,' ',2) FROM best{r})
+             THEN pre ELSE pre || ' ' || last END,
+        CASE WHEN last = (SELECT split_part(pair,' ',1) FROM best{r})
+              AND syms[i] = (SELECT split_part(pair,' ',2) FROM best{r})
+             THEN last || syms[i] ELSE syms[i] END
+      FROM ef{r} WHERE i <= len(syms)
+    )""")
+        parts.append(
+            f"ew{r} AS MATERIALIZED (SELECT w, trim(pre || ' ' || last)"
+            f" AS s FROM ef{r} WHERE i = len(syms) + 1)"
+        )
+    parts.append(f"""dw AS (
+      SELECT doc_id, ws[i] AS w, i
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {table}),
+           unnest(generate_series(1, len(ws))) AS g(i)
+      WHERE len(ws[i]) > 0
+    )""")
+    parts.append(f"""encd AS (
+      SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS encoded
+      FROM dw JOIN ew{k} USING (w)
+      GROUP BY doc_id
+    )""")
+    return parts
+
+
+def bpe_encode_oracle_sql(table: str = "documents", k: int = 5) -> str:
+    """The ANSI twin of fit-then-encode (:func:`save_bpe_vocab` on
+    ``table`` + :func:`encode_against_vocab` over the same table):
+    the k learned merges come from :func:`_bpe_learn_parts`'s chain,
+    then every DISTINCT corpus word is char-split and folded through
+    the k merges in rank order (:func:`_bpe_encode_parts`), and docs
+    are reassembled positionally. The LEFT join keeps zero-word docs
+    as (n_tokens 0, encoded '') — matching the Spark side's map-only
+    projection, which preserves every input row."""
+    parts = _bpe_learn_parts(table, k) + _bpe_encode_parts(table, k)
+    return (
+        "WITH RECURSIVE\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT d.doc_id,
+           CAST(coalesce(len(string_split(e.encoded, ' ')), 0) AS BIGINT)
+             AS n_tokens,
+           coalesce(e.encoded, '') AS encoded
+    FROM {table} d LEFT JOIN encd e USING (doc_id)"""
+    )
+
+
+def save_bpe_vocab(
+    ref_docs: DataFrame,
+    path: str,
+    k: int = 5,
+    text_col: str = "text",
+) -> None:
+    """Fit a BPE vocabulary on a REFERENCE corpus and persist it —
+    the missing encode half of the tokenizer loop (VERDICT r9
+    directive #1): :func:`bpe_learn_merges` learns merges,
+    THIS persists them, :func:`encode_against_vocab` applies them to
+    any corpus. The same fit-once-offline / probe-O(batch) persisted-
+    index posture as :func:`save_unigram_lm`.
+
+    Layout: ``merges/`` one parquet of (merge_rank, left, right, n),
+    rank order = application order (BPE merges are order-sensitive).
+    The table is k rows — driver-bounded by construction, so encode
+    time collects it whole and inlines the merges as codegen'd fold
+    literals rather than joining."""
+    from sensor_data_pipeline___spark.operators._local import local_df
+
+    merges = _learn_merges(ref_docs, k, text_col)
+    rows = [
+        (rank, pair.split(" ")[0], pair.split(" ")[1], n)
+        for rank, pair, n in merges
+    ]
+    local_df(
+        ref_docs.sparkSession,
+        rows,
+        "merge_rank int, left string, right string, n long",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+
+
+def load_bpe_merges(spark, path: str) -> "list[tuple[str, str]]":
+    """The ordered (left, right) merge list of a
+    :func:`save_bpe_vocab` store — k rows, a bounded driver collect
+    (the same scalar class as the watermark pattern,
+    operators/incremental.py:38)."""
+    rows = (
+        spark.read.parquet(path + "/merges")
+        .orderBy("merge_rank")
+        .collect()
+    )
+    return [(r["left"], r["right"]) for r in rows]
+
+
+def encode_against_vocab(
+    spark,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a batch against a :func:`save_bpe_vocab` store:
+    ``(id_col, n_tokens, encoded)`` where ``encoded`` is the
+    space-joined BPE token sequence (symbols never contain spaces, so
+    the join is a faithful sequence encoding — the same exact-replay
+    contract as :func:`_merge_fold`) and ``n_tokens`` counts REAL
+    learned-vocabulary tokens, the number :func:`queries.pack_sequences`
+    wants instead of whitespace word counts.
+
+    Plan: map-only — each word is char-split then folded through the
+    k merges in rank order via k nested :func:`_merge_fold` state
+    machines (codegen'd ``F.aggregate``, no UDF), inside one
+    ``F.transform`` over the word array. NO shuffle, NO join: the
+    merge list is k driver-bounded literals baked into the
+    expression, so at 100 TB this is a narrow pass that scales with
+    input splits — encoding never moves a row. Every input row is
+    preserved (zero-word docs encode to n_tokens 0 / encoded '')."""
+    merges = load_bpe_merges(spark, path)
+
+    def _encode_word(w):
+        s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for left, right in merges:
+            s = _merge_fold(F.split(s, " ", -1), left, right)
+        return s
+
+    words = F.filter(
+        # NULL text encodes like empty text (n_tokens 0, encoded ''),
+        # matching the oracle's LEFT-join fallback row
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1),
+        lambda w: F.length(w) > 0,
+    )
+    toks = F.flatten(
+        F.transform(words, lambda w: F.split(_encode_word(w), " ", -1))
+    )
+    return docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.array_join("_toks", " ").alias("encoded"),
     )
 
 
@@ -864,26 +1038,31 @@ def save_unigram_lm(
     from sensor_data_pipeline___spark.operators import _probe_cache
 
     spark = ref_docs.sparkSession
-    _LM_META_CACHE.pop(path, None)
-    _probe_cache.invalidate(path)  # freq is rewritten under this root
     toks = ref_docs.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
-    freq.sortWithinPartitions("tok").write.mode("overwrite").parquet(
-        path + "/freq"
+    # Materialize the vocabulary ONCE before any store write (the agg,
+    # the self-scoring join, and the final freq/ write all reuse it).
+    # ALL validation runs against this in-memory copy BEFORE the first
+    # mode('overwrite') touches the store: a failed fit on an empty
+    # corpus must never leave a mixed-generation store (empty freq/ +
+    # stale meta/) that later loads without error and silently
+    # mis-bands every batch — review r10.
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("double").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    stored = spark.read.parquet(path + "/freq")
-    agg = stored.agg(
+    agg = freq.agg(
         F.sum("c").alias("t"), F.count("*").cast("double").alias("v")
     ).first()
     if agg["t"] is None:
         # empty reference fit: no tokens were counted at all — refuse
-        # loudly instead of persisting a store with no distribution
-        # (the empty-seed posture of save_minhash_index /
-        # save_contamination_index is an empty but VALID store; an LM
-        # with no distribution has no valid smoothing constants or
-        # band cuts — review r9)
+        # loudly, BEFORE writing anything, instead of persisting a
+        # store with no distribution (the empty-seed posture of
+        # save_minhash_index / save_contamination_index is an empty
+        # but VALID store; an LM with no distribution has no valid
+        # smoothing constants or band cuts — review r9/r10)
         raise ValueError(
             "save_unigram_lm: reference corpus produced no scores "
             "(empty or all-unsplittable docs) — cannot fit an LM"
@@ -892,7 +1071,7 @@ def save_unigram_lm(
     # self-score the reference to fix the band cuts (exact percentile
     # over 6dp-rounded scores — one bounded aggregate)
     ref_scores = (
-        toks.join(stored, "tok")
+        toks.join(freq, "tok")
         .groupBy(id_col)
         .agg(
             F.round(
@@ -905,15 +1084,21 @@ def save_unigram_lm(
         F.percentile("s", F.lit(2.0 / 3.0)).alias("c2"),
     ).first()
     if cuts["c1"] is None or cuts["c2"] is None:
-        # empty reference fit: percentile over zero scores is NULL —
-        # refuse loudly instead of persisting NaN cuts that would band
-        # every future batch 'head' (the empty-seed posture of
-        # save_minhash_index/save_contamination_index is an empty but
-        # VALID store; an LM with no distribution has no valid cuts)
+        # unreachable once the freq guard passed (non-empty freq ⇒
+        # non-empty toks ⇒ the self-score join matches ⇒ percentile
+        # over ≥1 score) — kept as a belt against future refactors;
+        # still fires BEFORE any write
         raise ValueError(
             "save_unigram_lm: reference corpus produced no scores "
             "(empty or all-unsplittable docs) — cannot fit band cuts"
         )
+    # validation passed — only now mutate the store (and the caches
+    # keyed on it)
+    _LM_META_CACHE.pop(path, None)
+    _probe_cache.invalidate(path)  # freq is rewritten under this root
+    freq.sortWithinPartitions("tok").write.mode("overwrite").parquet(
+        path + "/freq"
+    )
     meta = local_df(
         spark,
         [(total, vocab, float(cuts["c1"]), float(cuts["c2"]))],

@@ -3163,6 +3163,15 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    return _pack_chunk_spans(spark, docs, budget=2048)
+
+
+def _pack_chunk_spans(
+    spark: SparkSession, docs: DataFrame, budget: int
+) -> DataFrame:
     # Sharded running sum — the 100 TB formulation (a single
     # unpartitioned window moves every row to one task). doc_id ranges
     # are cut at approx-percentile bounds; each shard computes a local
@@ -3170,12 +3179,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_shards-row scalar collect, same class as the watermark pattern
     # in operators/incremental.py:38) stitch the global offsets. Any
     # order-consistent cut points give the identical global cumsum, so
-    # approx bounds don't affect correctness.
-    budget = 2048
+    # approx bounds don't affect correctness. ``docs`` is
+    # (doc_id, n_tokens) from any tokenization (whitespace in
+    # pack_sequences, the learned BPE vocabulary in
+    # pack_sequences_bpe).
     n_shards = _default_shards(spark)
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
-    )
     # doc_id is a dense surrogate key → min/max uniform cut (one cheap
     # pruned aggregate) instead of the percentile sketch. The lazy
     # localCheckpoint materializes the (id, n_tokens, shard) projection
@@ -6915,6 +6923,94 @@ def q_bpe_merges_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _bpe_encode_oracle() -> str:
+    from sensor_data_pipeline___spark.operators.text import (
+        bpe_encode_oracle_sql,
+    )
+
+    return bpe_encode_oracle_sql("documents", k=5)
+
+
+@_register(
+    "bpe_encode_k5",
+    # The ENCODE half of the BPE loop (operators/text.py:
+    # save_bpe_vocab / encode_against_vocab, VERDICT r9 directive #1):
+    # fit a 5-merge vocabulary on the corpus, persist it
+    # (merges/ parquet, rank order = application order), then tokenize
+    # the same corpus against the store — each word char-split and
+    # folded through the k merges via nested F.aggregate state
+    # machines, a map-only pass with the k merges inlined as driver-
+    # bounded literals (no shuffle, no join, no UDF). Oracle = the
+    # learn CTEs of bpe_merges_k5 + k recursive encode folds over the
+    # DISTINCT word list + positional string_agg reassembly.
+    _bpe_encode_oracle(),
+)
+def q_bpe_encode_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _run_scoped_store_path(spark, "bpe_vocab_k5", sf_dir)
+    T.save_bpe_vocab(docs, path, k=5)
+    return T.encode_against_vocab(spark, path, docs)
+
+
+def _pack_bpe_oracle() -> str:
+    from sensor_data_pipeline___spark.operators.text import (
+        _bpe_encode_parts,
+        _bpe_learn_parts,
+    )
+
+    parts = _bpe_learn_parts("documents", 5) + _bpe_encode_parts(
+        "documents", 5
+    )
+    return (
+        "WITH RECURSIVE\n    "
+        + ",\n    ".join(parts)
+        + """,
+    nt AS (
+      SELECT d.doc_id,
+             CAST(coalesce(len(string_split(e.encoded, ' ')), 0)
+                  AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN encd e USING (doc_id)
+    ), t AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM nt
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS start_chunk,
+           CAST(floor((cum - 1) / 2048) AS BIGINT) AS end_chunk,
+           CAST(floor((cum - 1) / 2048)
+                - floor((cum - n_tokens) / 2048) + 1 AS BIGINT) AS n_chunks
+    FROM t"""
+    )
+
+
+@_register(
+    "pack_sequences_bpe",
+    # pack_sequences fed REAL learned-vocabulary token counts instead
+    # of whitespace word counts (the integration the r10 verdict
+    # called out): fit + persist the BPE store, encode every doc
+    # (map-only), then the same sharded global cumsum → fixed
+    # 2048-token chunk spans. The budget now measures what a trainer
+    # actually consumes. Oracle = the full learn+encode chain feeding
+    # the global-order window that specs the cumsum.
+    _pack_bpe_oracle(),
+)
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _run_scoped_store_path(spark, "bpe_vocab_pack", sf_dir)
+    T.save_bpe_vocab(docs, path, k=5)
+    counts = T.encode_against_vocab(spark, path, docs).select(
+        "doc_id", "n_tokens"
+    )
+    return _pack_chunk_spans(spark, counts, budget=2048)
+
+
 @_register(
     "unigram_lm_band_assign",
     # Persisted CCNet quality-band store (operators/text.py:
@@ -7086,3 +7182,101 @@ def q_contamination_attribution(
     return decontam.contamination_attribution(
         batch, bench, n=8, key="string"
     )
+
+
+def _release_audit_oracle() -> str:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        simhash_exact_oracle_sql,
+    )
+
+    near = simhash_exact_oracle_sql("cand", max_hamming=3)
+    return f"""
+    WITH cand AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+    ), keep AS (
+      SELECT md5(text) AS h, min(doc_id) AS keeper FROM cand GROUP BY 1
+    ), ed AS (
+      SELECT c.doc_id, (c.doc_id != k.keeper) AS exact_dup
+      FROM cand c JOIN keep k ON md5(c.text) = k.h
+    ), f AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             length(replace(text, ' ', ''))::DOUBLE / len(toks) AS avg_len,
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in generate_series(1, len(toks)-2)] AS tri,
+             len(list_intersect(list_distinct(toks),
+                                ['the','a','of','and','to'])) AS stop_hits
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM cand)
+    ), q AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             (n >= 30 AND n <= 90
+              AND avg_len >= 3.0 AND avg_len <= 10.0
+              AND len(tri) > 0
+              AND len(list_distinct(tri))::DOUBLE / len(tri) >= 0.3
+              AND stop_hits >= 2) AS quality_ok
+      FROM f
+    ), bg AS (
+      SELECT DISTINCT doc_id AS bench_id,
+             array_to_string(w[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id % 10 = 0),
+           unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ), dg AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM cand),
+           unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ), attr AS (
+      SELECT doc_id,
+             CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmarks_hit,
+             CAST(count(*) AS BIGINT) AS n_shared_grams
+      FROM dg JOIN bg USING (g) GROUP BY doc_id
+    ), np AS (
+      SELECT * FROM ({near}) sq
+    ), nd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_dups,
+             max(CASE WHEN p < doc_id THEN 1 ELSE 0 END) = 1 AS has_smaller
+      FROM (SELECT doc_a AS doc_id, doc_b AS p FROM np
+            UNION ALL SELECT doc_b AS doc_id, doc_a AS p FROM np)
+      GROUP BY doc_id
+    )
+    SELECT ed.doc_id, q.n_tokens, ed.exact_dup, q.quality_ok,
+           coalesce(attr.n_benchmarks_hit, 0) AS n_benchmarks_hit,
+           coalesce(attr.n_shared_grams, 0) AS n_shared_grams,
+           coalesce(nd.n_near_dups, 0) AS n_near_dups,
+           CASE WHEN ed.exact_dup THEN 'exact_dup'
+                WHEN NOT q.quality_ok THEN 'quality'
+                WHEN coalesce(attr.n_benchmarks_hit, 0) > 0
+                  THEN 'contaminated'
+                WHEN coalesce(nd.has_smaller, false) THEN 'near_dup'
+                ELSE 'kept' END AS drop_reason
+    FROM ed JOIN q USING (doc_id)
+    LEFT JOIN attr USING (doc_id)
+    LEFT JOIN nd USING (doc_id)
+    """
+
+
+@_register(
+    "release_audit",
+    # The operational release-audit composite (operators/export.py:
+    # release_audit, VERDICT r9 directive #8 / r10 #6): per candidate
+    # doc, the three release gates in ONE artifact — exact-dup flag
+    # (min-id representative rule), Gopher quality conjunction,
+    # per-benchmark contamination attribution (string-keyed 8-grams,
+    # %10 benchmark split as in contamination_attribution), simhash
+    # near-dup partner count (exact-recall pigeonhole blocking) — and
+    # the precedence-ordered drop_reason a release review reads:
+    # exact_dup > quality > contaminated > near_dup > kept. Oracle =
+    # the three existing oracles joined on the doc spine, the
+    # brute-force simhash twin nested as a subquery.
+    _release_audit_oracle(),
+)
+def q_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.export import release_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    cand = docs.filter(F.col("doc_id") % 10 != 0)
+    return release_audit(cand, bench, gram_key="string")

@@ -266,3 +266,116 @@ def test_save_unigram_lm_empty_fit_raises(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="no scores"):
         save_unigram_lm(empty, str(tmp_path / "lm"))
+
+
+def test_save_unigram_lm_failed_refit_preserves_store(spark, tmp_path):
+    """Review r10 (advice, medium): validation must run BEFORE the
+    mode('overwrite') write to freq/ — a failed re-fit on an empty
+    corpus must leave the EXISTING store fully intact (not a corrupted
+    empty-freq + stale-meta hybrid that loads without error and
+    mis-bands every batch)."""
+    from sensor_data_pipeline___spark.operators.text import (
+        save_unigram_lm,
+        unigram_bands_against_lm,
+    )
+
+    path = str(tmp_path / "lm")
+    docs = _docs(
+        spark, ["the cat sat", "the dog ran", "a cat ran fast today"]
+    )
+    save_unigram_lm(docs, path)
+    before = {
+        r.doc_id: (r.n_tokens, r.lm_score, r.band)
+        for r in unigram_bands_against_lm(
+            spark, path, docs, cache_store=False
+        ).collect()
+    }
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no scores"):
+        save_unigram_lm(empty, path)
+    after = {
+        r.doc_id: (r.n_tokens, r.lm_score, r.band)
+        for r in unigram_bands_against_lm(
+            spark, path, docs, cache_store=False
+        ).collect()
+    }
+    assert after == before
+
+
+def test_save_bpe_vocab_persists_ordered_merges(spark, tmp_path):
+    """save_bpe_vocab persists the same merges bpe_learn_merges
+    returns, in application (rank) order, and load_bpe_merges round-
+    trips them as the ordered (left, right) list."""
+    from sensor_data_pipeline___spark.operators.text import (
+        load_bpe_merges,
+        save_bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaa aaaaa abab"), (2, "aaaaa abab abab")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bpe")
+    save_bpe_vocab(docs, path, k=3)
+    assert load_bpe_merges(spark, path) == [
+        ("a", "a"),
+        ("a", "b"),
+        ("aa", "a"),
+    ]
+
+
+def test_encode_against_vocab_greedy_rank_order(spark, tmp_path):
+    """Encoding applies the k merges in rank order, each greedy
+    left-to-right non-overlapping, on the same hand-checkable corpus
+    as the learn test: merges (a,a),(a,b),(aa,a) turn 'aaaaa' into
+    'aa aaa' (aa aa a, then the rank-3 merge folds the trailing
+    'aa a') and 'abab' into 'ab ab'."""
+    from sensor_data_pipeline___spark.operators.text import (
+        encode_against_vocab,
+        save_bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaa aaaaa abab"), (2, "aaaaa abab abab")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bpe")
+    save_bpe_vocab(docs, path, k=3)
+    got = {
+        r.doc_id: (r.n_tokens, r.encoded)
+        for r in encode_against_vocab(spark, path, docs).collect()
+    }
+    assert got == {
+        1: (6, "aa aaa aa aaa ab ab"),
+        2: (6, "aa aaa ab ab ab ab"),
+    }
+
+
+def test_encode_against_vocab_preserves_degenerate_docs(spark, tmp_path):
+    """Every input row survives encoding: empty text, NULL text, and
+    single-char words (never seen by the len>=2 learn filter) encode
+    deterministically instead of dropping."""
+    from sensor_data_pipeline___spark.operators.text import (
+        encode_against_vocab,
+        save_bpe_vocab,
+    )
+
+    fit = spark.createDataFrame(
+        [(0, "aaaaa aaaaa abab")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bpe")
+    save_bpe_vocab(fit, path, k=1)  # learns just (a, a)
+    probe = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "b aa c"), (4, "a")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.encoded)
+        for r in encode_against_vocab(spark, path, probe).collect()
+    }
+    assert got == {
+        1: (0, ""),
+        2: (0, ""),
+        3: (3, "b aa c"),
+        4: (1, "a"),
+    }
