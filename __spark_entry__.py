@@ -33,22 +33,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, so ordering is part of the contract. Rows-only (no-oracle)
 # entries ride the local replica harness
 # (tests/test_queries_oracle.py) instead of spending gate slots.
-# Round-9 rotation (standing policy from VERDICT r6 directive #1,
-# refreshed per VERDICT r8 directive #2): the window keeps the
-# 11-entry veteran spine (reference-parity core that never rotates,
-# the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the FIVE r9-registered
-# never-gated entries (the exact-recall simhash twin per directive
-# #5, the iterated-BPE driver per #6, the CCNet band store +
-# stratified-admission pair per #7, and per-benchmark contamination
-# attribution), and fills the remaining 34 slots with the STALEST
-# previously-gated cohort exactly as the r8 verdict prescribed: all
-# 29 entries last gated in r5 (TPC-H q5/q10/q12/q22, as-of/range/PIT
-# joins, gap-fill, sessionization, sketches-adjacent rollups,
-# sampling, profiling) plus the first 5 (name order) of the r6-last
-# cohort (accuracy-contract sketches, text profiling). The
-# ledger invariant ("every oracle-backed entry gated at least once")
-# is auditable in GATE_LEDGER.md, regenerated per round by
+# Round-11 rotation (standing policy from VERDICT r6 directive #1,
+# window prescription per VERDICT r10 directive #2): the window keeps
+# the 11-entry veteran spine (reference-parity core that never
+# rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
+# session_window_batch watch item), adds the THREE r11-registered
+# never-gated entries (the BPE encode half bpe_encode_k5 +
+# pack_sequences_bpe per directive #1, the release_audit composite
+# per #6), and fills the remaining 36 slots with the STALEST
+# previously-gated cohort: all 34 entries last gated in r6
+# (accuracy-contract sketches, profiling, set ops, funnels, text
+# stats, embedding column stats) plus the first 2 (name order) of the
+# r7-last cohort (the exact ANN twins). The five r9-registered
+# entries gated green in both r9 and r10 rotate out. The ledger
+# invariant ("every oracle-backed entry gated at least once") is
+# auditable in GATE_LEDGER.md, regenerated per round by
 # scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
 # local replica harness and scripts/verify_driver.py's full-surface
 # sf0.01 sweep.
@@ -66,53 +65,49 @@ _PRIORITY = (
     "corpus_pipeline_stats",
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
-    # --- never-gated (registered r9, gated r9): the exact-recall
-    # simhash twin, the iterated-BPE driver, the CCNet band store +
-    # stratified-admission pair, and per-benchmark contamination
-    # attribution ---
-    "simhash_near_dup_exact",
-    "bpe_merges_k5",
-    "unigram_lm_band_assign",
-    "band_stratified_admission",
-    "contamination_attribution",
-    # --- stalest refresh: last gated r5 (all 29 remaining) ---
-    "gapfill_linear_interp",
-    "hll_distinct_rollup",
-    "m4_downsample",
-    "mad_outliers",
-    "multimodal_binary_meta",
-    "pack_sequences",
-    "pit_join_click_version",
-    "pivot_daily_avg",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q22_idle_rich_customers",
-    "q5_region_revenue",
-    "range_join_purchase_clicks",
-    "redaction_stats",
-    "rolling_median_power",
-    "rollup_lineitem",
-    "scd2_purchase_values",
-    "sessionization",
-    "set_similarity_pairs",
-    "similarity_topk",
-    "snapshot_diff_orders",
-    "sql_api_nation_revenue",
-    "tfidf_top_terms",
-    "time_weighted_avg",
-    "train_test_contamination",
-    "unpivot_charges",
-    "variant_props_extract",
-    "weighted_sample_docs",
-    "window_topk_orders",
-    # --- stalest refresh: last gated r6 (first 5 by name; the sixth
-    # slot went to contamination_attribution above — never-gated
-    # entries take precedence over stale refresh) ---
-    "approx_distinct_accuracy",
-    "approx_percentile_accuracy",
-    "char_entropy_quality",
-    "chunk_documents_stats",
-    "cms_heavy_hitters",
+    # --- never-gated (registered r11): the BPE encode half + its
+    # pack_sequences integration, and the release-audit composite ---
+    "bpe_encode_k5",
+    "pack_sequences_bpe",
+    "release_audit",
+    # --- stalest refresh: last gated r6 (all 34) ---
+    "collapse_repeat_tokens",
+    "conditional_boolean_aggs",
+    "corr_regression_returnflag",
+    "daily_new_vs_returning",
+    "duplicated_gram_fraction",
+    "embedding_centroid_norm",
+    "embedding_component_stats",
+    "embedding_dim_variance",
+    "embedding_quantization_stats",
+    "full_outer_click_purchase",
+    "funnel_conversion",
+    "grouping_sets_priority",
+    "hard_negative_mining",
+    "hard_negative_mining_blocked",
+    "hash_split_sizes",
+    "histogram_sketch_quantiles",
+    "json_extract_props",
+    "latest_event_per_user",
+    "mixture_sample_docs",
+    "quality_assertion_counts",
+    "range_frame_user_spend",
+    "rank_distribution",
+    "revenue_share_by_nation",
+    "set_except_customers",
+    "set_intersect_customers",
+    "shard_assignment",
+    "string_agg_nations",
+    "text_normalization",
+    "top_bigrams",
+    "top_terms",
+    "udtf_first_terms",
+    "value_histogram",
+    "waveform_envelope",
+    "winsorize_event_values",
+    # --- stalest refresh: last gated r7 (first 2 by name) ---
+    "ann_topk_ivf_exact",
+    "ann_topk_lsh_exact",
 )
 
 

@@ -94,6 +94,16 @@ BENCH_QUERIES = [
     # — hashed-ngram featurize, count join, partial-agg sum; the
     # fit + probe lifecycle rides one number like decontam's)
     "dsir_probe_index",
+    # round-11 additions: per-benchmark contamination attribution
+    # (string-keyed gram join, the operational view the r10 verdict
+    # flagged as gated-but-unbenched), the BPE encode half (fit +
+    # persist + map-only fold tokenization — the full tokenizer
+    # lifecycle rides one number), and the release-audit composite
+    # (exact-dup + quality + attribution + simhash near-dup stitched
+    # per doc — the artifact a release review reads)
+    "contamination_attribution",
+    "bpe_encode_k5",
+    "release_audit",
 ]
 
 

@@ -68,7 +68,9 @@ def main() -> None:
     ap.add_argument("--docs-per-file", type=int, default=10_000)
     ap.add_argument("--n-files", type=int, default=80)
     ap.add_argument(
-        "--mode", choices=("exact", "neardup", "hygiene", "full"), default="exact"
+        "--mode",
+        choices=("exact", "neardup", "hygiene", "full", "gramgrow"),
+        default="exact",
     )
     ap.add_argument(
         "--maintenance-every",
@@ -91,6 +93,113 @@ def main() -> None:
     spark.conf.set(
         "spark.sql.streaming.numRecentProgressUpdates", str(args.n_files + 10)
     )
+
+    if args.mode == "gramgrow":
+        # DECONTAM GRAM-STORE GROWTH soak (VERDICT r9 directive #7 /
+        # r10 #5): the band store's maintained-soak A/B showed the
+        # probe cache removes the growing-store scan term; the gram
+        # store shares the mechanism but had no growth figure. Batch
+        # harness (the gram store grows by benchmark ADMISSIONS, not
+        # by the streamed corpus): each tick appends a fresh benchmark
+        # slice (contamination_index_append) and times a fixed-size
+        # probe (contaminated_against_index, cache_store=True);
+        # --maintenance-every N folds the accumulated append deltas
+        # into a new cached 'base' generation every N ticks
+        # (contamination_index_compact). Flat p50 thirds under
+        # maintenance = the same steady state the band store showed;
+        # without maintenance every probe re-scans ALL live delta
+        # partitions and the trend grows.
+        import time as _time
+
+        from sensor_data_pipeline___spark.operators import decontam
+
+        p50 = statistics.median
+
+        def _bench_slice(lo: int, count: int):
+            return spark.range(lo, lo + count).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(29)),
+                        lambda i: F.concat(
+                            F.lit("g"),
+                            F.pmod(
+                                F.xxhash64(F.col("id"), i), F.lit(500_000)
+                            ).cast("string"),
+                        ),
+                    ),
+                ).alias("text"),
+            )
+
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "gram_index")
+            decontam.save_contamination_index(
+                _bench_slice(0, 50), path, n=8, key="xxhash64"
+            )
+            # fixed probe batch: docs_per_file docs, 30 hash-derived
+            # tokens each, vocabulary disjoint from the benchmarks'
+            probe = (
+                spark.range(10_000_000, 10_000_000 + args.docs_per_file)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(29)),
+                            lambda i: F.concat(
+                                F.lit("p"),
+                                F.pmod(
+                                    F.xxhash64(F.col("id"), i),
+                                    F.lit(500_000),
+                                ).cast("string"),
+                            ),
+                        ),
+                    ).alias("text"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            secs = []
+            for t in range(args.n_files):
+                decontam.contamination_index_append(
+                    spark, path,
+                    _bench_slice(1000 * (t + 1), 500),
+                    ingest_key=f"b{t:03d}",
+                )
+                t0 = _time.time()
+                decontam.contaminated_against_index(
+                    spark, path, probe, cache_store=True
+                ).count()
+                secs.append(round(_time.time() - t0, 3))
+                if args.maintenance_every and (
+                    (t + 1) % args.maintenance_every == 0
+                ):
+                    decontam.contamination_index_compact(spark, path)
+            third = max(1, len(secs) // 3)
+            root = decontam._cx_root(path)
+            print(
+                json.dumps(
+                    {
+                        "mode": "gramgrow",
+                        "ticks": len(secs),
+                        "bench_docs_per_tick": 500,
+                        "probe_docs": args.docs_per_file,
+                        "store_grams_final": spark.read.parquet(
+                            root + "/grams"
+                        ).count(),
+                        "maintenance_every": args.maintenance_every,
+                        "final_generation": os.path.basename(root),
+                        "probe_s_p50_first_third": p50(secs[:third]),
+                        "probe_s_p50_mid_third": p50(
+                            secs[third : 2 * third]
+                        ),
+                        "probe_s_p50_last_third": p50(secs[2 * third :]),
+                        "probe_s_max": max(secs),
+                    }
+                )
+            )
+        spark.stop()
+        return
 
     with tempfile.TemporaryDirectory() as td:
         drop = os.path.join(td, "drop")

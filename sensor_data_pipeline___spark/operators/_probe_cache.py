@@ -53,20 +53,30 @@ touching many temp stores don't pin block-manager storage without
 bound. Entries are additionally keyed by the OWNING SparkSession: a
 stop-and-recreate of the session leaves checkpoint blocks behind in a
 dead context, so a lookup from a different session discards the stale
-entry and rebuilds against the live one (review r9). Eviction and
+entry and rebuilds against the live one (review r9). Keying by
+SESSION identity rather than SparkContext identity is a deliberately
+conservative trade (review r10): ``spark.newSession()`` siblings share
+the live context (and thus could share checkpoint blocks), but a
+sibling lookup just rebuilds once — safe, merely unshared — while
+context-keying would have to prove the JVM context behind a Python
+handle is still alive on every hit. Eviction and
 invalidation drop the Python reference; the ContextCleaner frees the
 checkpoint blocks at GC time — there is no public eager-free API for
 localCheckpoint blocks, and this is the same lifecycle every other
 checkpoint in the repo rides.
 
-Filesystem scope (documented trade, review r9): the base-partition
-DISCOVERY here (:func:`_base_dirs`) and the footer manifests in
-``dedup.py`` use driver-local ``glob``/pyarrow, so these fast paths
-engage on a local/NFS-visible filesystem only. On an object store or
-HDFS the cache and manifest lookups find no directories and every
-probe falls back to the plain full scan — correct, just not
-accelerated; porting the listing to the Hadoop FileSystem API is the
-(mechanical) cluster follow-up and changes no read semantics.
+Filesystem scope (r11: the r9/r10 documented local-FS trade is
+CLOSED): base-partition discovery (:func:`_base_dirs`), the dedup
+footer manifests, and the generation pointer protocol all route
+driver-side metadata I/O through ``operators/_fsio.py`` — plain
+``os``/``glob`` on local paths (unchanged fast path), the Hadoop
+FileSystem API on URIs — so the cache and manifest pruning engage on
+HDFS/object stores too. ``file:`` URIs exercise the Hadoop branch
+against local disk in the unit tests. The one remaining per-FS note:
+footer-stats extraction needs a pyarrow filesystem driver for the
+store's scheme (always present for local/file:, bundled for s3 in
+most wheels); where absent, no manifest is written and probes take
+the correct-but-unpruned full scan.
 """
 
 from __future__ import annotations
@@ -78,6 +88,8 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators import _fsio
+
 _MAX_ENTRIES = 8
 
 #: (store_path, table) -> (resolved_root, checkpointed base DataFrame,
@@ -88,8 +100,19 @@ _REG: "OrderedDict[tuple, tuple]" = OrderedDict()
 def _base_dirs(resolved_root: str, table: str) -> "list[str]":
     """The generation's immutable ``ingest_key=base`` partition dirs —
     at either hive depth the index layouts use (``grams/ingest_key=``,
-    ``bands/band_idx=*/ingest_key=``)."""
+    ``bands/band_idx=*/ingest_key=``). Local paths list via ``glob``;
+    URIs (``hdfs://``, ``s3a://``, ``file:``) via the Hadoop
+    FileSystem API (operators/_fsio.py) so the cache engages on
+    cluster filesystems too."""
     t = os.path.join(resolved_root, table)
+    if _fsio.is_uri(t):
+        direct = os.path.join(t, "ingest_key=base")
+        out = [direct] if _fsio.is_dir(direct) else []
+        for sub in _fsio.child_dirs(t):
+            cand = os.path.join(sub, "ingest_key=base")
+            if not sub.endswith("ingest_key=base") and _fsio.is_dir(cand):
+                out.append(cand)
+        return sorted(out)
     return sorted(
         glob.glob(os.path.join(t, "ingest_key=base"))
         + glob.glob(os.path.join(t, "*", "ingest_key=base"))

@@ -50,19 +50,20 @@ def overwrite_mode(spark, mode: str):
 # first, in-flight queries keep the version they resolved, a crash
 # before the swap leaves the old generation serving, and old
 # generations stay immutable until maintenance deletes them. Pointer
-# IO is plain files here (local mode); on an object store / HDFS the
-# same one-file swap rides the FS rename primitive.
+# IO rides operators/_fsio.py: plain ``os`` on local paths, the
+# Hadoop FileSystem API on URIs — the same one-file swap on either.
 # ---------------------------------------------------------------------------
 
 import os as _os
+
+from sensor_data_pipeline___spark.operators import _fsio
 
 
 def resolve_current(path: str) -> str:
     """The store's CURRENT generation root (``path`` itself pre-swap)."""
     ptr = _os.path.join(path, "CURRENT")
-    if _os.path.exists(ptr):
-        with open(ptr) as f:
-            return _os.path.join(path, f.read().strip())
+    if _fsio.exists(ptr):
+        return _os.path.join(path, _fsio.read_text(ptr).strip())
     return path
 
 
@@ -76,15 +77,12 @@ def next_generation(path: str) -> str:
 
 def swap_current(path: str, new_root: str) -> None:
     """Atomically point ``path/CURRENT`` at a fully-written generation."""
-    tmp = _os.path.join(path, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(_os.path.basename(new_root))
-    _os.replace(tmp, _os.path.join(path, "CURRENT"))
+    _fsio.write_text_atomic(
+        _os.path.join(path, "CURRENT"), _os.path.basename(new_root)
+    )
 
 
 def retire_current(path: str) -> None:
     """Drop the pointer — a fresh ``save_*`` makes the flat root the
     store again (old generation dirs remain on disk, unreferenced)."""
-    ptr = _os.path.join(path, "CURRENT")
-    if _os.path.exists(ptr):
-        _os.remove(ptr)
+    _fsio.remove(_os.path.join(path, "CURRENT"))

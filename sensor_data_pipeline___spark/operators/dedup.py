@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sensor_data_pipeline___spark.operators import _probe_cache
+from sensor_data_pipeline___spark.operators import _fsio, _probe_cache
 from sensor_data_pipeline___spark.operators._local import local_df
 from sensor_data_pipeline___spark.operators._writes import (
     next_generation,
@@ -367,10 +367,10 @@ def _write_band_manifest(root: str) -> None:
         entries.append(
             {"file": rel, "band_idx": band_idx, "min": stats[0], "max": stats[1]}
         )
-    tmp = os.path.join(root, "bands_manifest.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"files": entries}, fh)
-    os.replace(tmp, os.path.join(root, "bands_manifest.json"))
+    _fsio.write_text_atomic(
+        os.path.join(root, "bands_manifest.json"),
+        json.dumps({"files": entries}),
+    )
     # a REWRITTEN manifest must invalidate its own cache entry: a
     # fresh-save-then-compact sequence RECREATES a vN root whose old
     # manifest may still be cached (review r9)
@@ -380,22 +380,35 @@ def _write_band_manifest(root: str) -> None:
 def _base_file_stats(table_dir: str, col: str):
     """(relative file, (min, max)) for every ``ingest_key=base`` data
     file's footer stats on ``col`` — the shared scanner behind both
-    manifests. Driver-side pyarrow, O(files); like the probe cache's
-    directory listing this engages on driver-visible filesystems only
-    (on HDFS/S3 no files are found, no manifest is written, and probes
-    take the correct-but-unpruned full scan — see
-    ``_probe_cache.py``'s filesystem-scope note)."""
-    import glob
-
+    manifests. Driver-side pyarrow, O(files). Listing rides
+    ``operators/_fsio.py`` (glob on local paths, Hadoop FS on URIs);
+    footer reads use pyarrow's filesystem driver for the scheme —
+    where pyarrow has no driver for the store's scheme, no manifest is
+    written and probes take the correct-but-unpruned full scan."""
     import pyarrow.parquet as pq
 
-    for f in sorted(
-        glob.glob(os.path.join(table_dir, "**", "*.parquet"), recursive=True)
-    ):
+    def _open_metadata(f: str):
+        if not _fsio.is_uri(f):
+            return pq.ParquetFile(f).metadata
+        import pyarrow.fs as pafs
+
+        fs, rel_path = pafs.FileSystem.from_uri(f)
+        with fs.open_input_file(rel_path) as fh:
+            return pq.ParquetFile(fh).metadata
+
+    try:
+        files = _fsio.list_files_recursive(table_dir, ".parquet")
+        table_dir = _fsio.normalize(table_dir)
+    except Exception:
+        return  # no listing driver for this scheme — no manifest
+    for f in files:
         rel = os.path.relpath(f, table_dir)
         if "ingest_key=base" not in rel:
             continue
-        md = pq.ParquetFile(f).metadata
+        try:
+            md = _open_metadata(f)
+        except Exception:
+            return  # no pyarrow driver for this scheme — no manifest
         lo = hi = None
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
@@ -424,10 +437,10 @@ def _write_sig_manifest(root: str, id_col: str) -> None:
             os.path.join(root, "signatures"), id_col
         )
     ]
-    tmp = os.path.join(root, "signatures_manifest.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"files": entries, "id_col": id_col}, fh)
-    os.replace(tmp, os.path.join(root, "signatures_manifest.json"))
+    _fsio.write_text_atomic(
+        os.path.join(root, "signatures_manifest.json"),
+        json.dumps({"files": entries, "id_col": id_col}),
+    )
     _MANIFEST_CACHE.pop((root, "sig"), None)  # see _write_band_manifest
 
 
@@ -437,11 +450,10 @@ def _load_sig_manifest(root: str):
         import json
 
         p = os.path.join(root, "signatures_manifest.json")
-        if not os.path.exists(p):
+        if not _fsio.exists(p):
             _MANIFEST_CACHE[key] = None
         else:
-            with open(p) as fh:
-                raw = json.load(fh)["files"]
+            raw = json.loads(_fsio.read_text(p))["files"]
             _MANIFEST_CACHE[key] = [
                 (e["min"], e["max"], e["file"]) for e in raw
             ]
@@ -459,11 +471,10 @@ def _load_band_manifest(root: str):
         import json
 
         p = os.path.join(root, "bands_manifest.json")
-        if not os.path.exists(p):
+        if not _fsio.exists(p):
             _MANIFEST_CACHE[root] = None
         else:
-            with open(p) as fh:
-                raw = json.load(fh)["files"]
+            raw = json.loads(_fsio.read_text(p))["files"]
             by_band: dict = {}
             for e in raw:
                 by_band.setdefault(e["band_idx"], []).append(

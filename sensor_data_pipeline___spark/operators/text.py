@@ -971,31 +971,46 @@ def encode_against_vocab(
     wants instead of whitespace word counts.
 
     Plan: map-only — each word is char-split then folded through the
-    k merges in rank order via k nested :func:`_merge_fold` state
-    machines (codegen'd ``F.aggregate``, no UDF), inside one
-    ``F.transform`` over the word array. NO shuffle, NO join: the
-    merge list is k driver-bounded literals baked into the
-    expression, so at 100 TB this is a narrow pass that scales with
-    input splits — encoding never moves a row. Every input row is
-    preserved (zero-word docs encode to n_tokens 0 / encoded '')."""
+    k merges in rank order via :func:`_merge_fold` state machines
+    (codegen'd ``F.aggregate``, no UDF). NO shuffle, NO join: the
+    merge list is k driver-bounded literals baked into the plan, so
+    at 100 TB this is a narrow pass that scales with input splits —
+    encoding never moves a row. Every input row is preserved
+    (zero-word docs encode to n_tokens 0 / encoded '').
+
+    Expression shape matters here: each merge round is its OWN
+    projection over the per-doc word-symbol array, and inside a round
+    the fold only references its ``transform`` lambda variable.
+    Chaining the rounds as one nested Python-built expression instead
+    (fold-of-fold-of-fold on the raw string) re-embeds each round's
+    whole subtree at every one of the ~4 places the next round
+    references it — a 4^k expression blowup that measured 239 s at
+    sf0.1 (vs ~2 s for this form) before Catalyst ever saw a row."""
     merges = load_bpe_merges(spark, path)
-
-    def _encode_word(w):
-        s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
-        for left, right in merges:
-            s = _merge_fold(F.split(s, " ", -1), left, right)
-        return s
-
     words = F.filter(
         # NULL text encodes like empty text (n_tokens 0, encoded ''),
         # matching the oracle's LEFT-join fallback row
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1),
         lambda w: F.length(w) > 0,
     )
-    toks = F.flatten(
-        F.transform(words, lambda w: F.split(_encode_word(w), " ", -1))
+    out = docs.select(
+        F.col(id_col),
+        F.transform(
+            words, lambda w: F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        ).alias("_ws"),
     )
-    return docs.select(F.col(id_col), toks.alias("_toks")).select(
+    for left, right in merges:
+        out = out.select(
+            id_col,
+            F.transform(
+                F.col("_ws"),
+                lambda s: _merge_fold(F.split(s, " ", -1), left, right),
+            ).alias("_ws"),
+        )
+    toks = F.flatten(
+        F.transform(F.col("_ws"), lambda s: F.split(s, " ", -1))
+    )
+    return out.select(F.col(id_col), toks.alias("_toks")).select(
         id_col,
         F.size("_toks").cast("long").alias("n_tokens"),
         F.array_join("_toks", " ").alias("encoded"),

@@ -1009,12 +1009,14 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.8)
 
 
-@_register("simhash_fingerprint", None)
-def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 64-bit SimHash per document (engine-specific hash function).
-    from sensor_data_pipeline___spark.operators.dedup import simhash
-
-    return simhash(_t(spark, sf_dir, "documents"))
+# simhash_fingerprint was DEREGISTERED in r11 (VERDICT r9 directive
+# #3 / r10 #3: rows-only registry ≤12): the raw per-doc fingerprint's
+# verifiable core is carried by the oracle-gated simhash_near_dup_exact
+# (md5c60 parity fingerprint, brute-force DuckDB twin), and the
+# production xxhash64 fingerprint plumbing stays exercised through
+# simhash_near_dup_pairs and the planted-pair tests in
+# tests/test_dedup_more.py. The operator (operators/dedup.py:simhash)
+# is unchanged and public.
 
 
 # ---------------------------------------------------------------------------

@@ -302,3 +302,22 @@ def test_round9_additions_plan_shapes(spark):
         q = QUERIES[name](spark, SF)
         p = explain.formatted_plan(q)
         assert "CartesianProduct" not in p, (name, p)
+
+
+def test_bpe_encode_is_map_only(spark, tmp_path):
+    """Encoding a corpus against a persisted BPE vocabulary must be a
+    pure map — zero exchanges of any kind (the merges are inlined
+    literals, never a join side), and the expression shape must be the
+    LINEAR per-round composition: each merge round's fold appears
+    exactly once in the plan (the exponential chained-string shape
+    re-embeds earlier rounds ~4x per level — SCALING.md r11)."""
+    from sensor_data_pipeline___spark.operators import text as T
+
+    docs = readers.table(spark, "documents", SF)
+    path = str(tmp_path / "bpe")
+    T.save_bpe_vocab(docs, path, k=5)
+    df = T.encode_against_vocab(spark, path, docs)
+    plan = explain.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    # one aggregate(...) fold per learned merge, each exactly once
+    assert plan.count("aggregate(slice(") == 5, plan

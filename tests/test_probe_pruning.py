@@ -308,3 +308,51 @@ def test_probe_cache_invalidate_rebuilds_identical(spark, tmp_path):
     rebuilt = [k for k in _probe_cache._REG if k[0] == path]
     assert rebuilt, "retry probe should rebuild the cache entry"
     assert _probe_cache._REG[rebuilt[0]][1] is not entry_before[1]
+
+
+def test_store_lifecycle_on_file_uri_exercises_hadoop_fs_branch(
+    spark, tmp_path
+):
+    """r11: the driver-side metadata I/O (CURRENT pointer, footer
+    manifests, probe-cache base discovery) routes URIs through the
+    Hadoop FileSystem API (operators/_fsio.py). A ``file:`` store root
+    runs that exact branch against local disk: the full save → append
+    → probe → compact(swap) → pruned-probe lifecycle must behave
+    identically to the plain-path stores above, with the manifests and
+    pointer readable through _fsio and the probe cache's base
+    discovery engaging."""
+    from sensor_data_pipeline___spark.operators import _fsio, _probe_cache
+
+    docs = _docs(spark)
+    path = "file:" + str(tmp_path / "mh_uri")
+    assert _fsio.is_uri(path)
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 100), path)
+    dedup.minhash_index_append(
+        spark, path, docs.filter(F.col("doc_id") == 200), ingest_key="b1"
+    )
+    probe = docs.filter(F.col("doc_id").isin(5, 200)).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    before = sorted(
+        (r.new_id, r.corpus_id)
+        for r in dedup.near_dup_against_index(
+            spark, path, probe, cache_store=True
+        ).collect()
+    )
+    assert {(50_000_005, 5), (50_000_200, 200)} <= set(before)
+    # base discovery engaged through the Hadoop branch (probe cache)
+    assert _probe_cache._base_dirs(dedup._mh_root(path), "bands")
+
+    dedup.minhash_index_compact(spark, path, files_per_band=4)
+    root = dedup._mh_root(path)
+    assert root != path and root.startswith("file:")  # pointer swapped
+    assert _fsio.exists(root + "/bands_manifest.json")
+    man = dedup._load_band_manifest(root)
+    assert man is not None and len(man) == 8
+    after = sorted(
+        (r.new_id, r.corpus_id)
+        for r in dedup.near_dup_against_index(
+            spark, path, probe, prune_max_keys=64, cache_store=False
+        ).collect()
+    )
+    assert after == before

@@ -266,3 +266,103 @@ def test_soak_corpus_ingest_state_plateaus_under_straddling_dupes(
         f"\ncorpus soak: batches={len(series)} peak_state={peak} "
         f"tail={tail[-5:]} out_rows={out.count()}"
     )
+
+
+def test_soak_release_audit_flags_planted_violations(spark, tmp_path):
+    """VERDICT r10 directive #6 (second half): stream a corpus with a
+    PLANTED violation for every release gate through the ingest path
+    (corpus_ingest_stream: quality gate + watermark-bounded exact
+    dedup), then run the release_audit composite over the clean store
+    and assert each plant carries exactly its drop reason:
+
+    - an exact duplicate resent 12 batches later (6x the 2-batch
+      watermark horizon — state evicted, re-admitted at ingest; the
+      documented handoff to the batch-side audit, which must flag it);
+    - a 25-token doc (passes the ingest gate's min 20, fails the
+      audit's Gopher min 30);
+    - a doc with one verbatim benchmark 8-gram spliced in;
+    - a reversed-word near-dup pair (identical token set -> simhash
+      hamming 0; no shared 8-gram, not an exact dup) — keep-first
+      rule: only the LARGER id is dropped;
+    - distinct-vocabulary fillers, all 'kept'.
+    """
+    import json as _json
+    import os
+
+    from sensor_data_pipeline___spark.operators.export import release_audit
+
+    n_batches = 16
+    step_s = 60
+    t0 = 1_700_000_000
+    drop = tmp_path / "drop"
+    drop.mkdir()
+
+    def words(uid, n=32):
+        return [f"w{uid}x{i}" for i in range(n)] + ["the", "of"]
+
+    def doc(doc_id, text, batch):
+        ts = time.strftime(
+            "%Y-%m-%dT%H:%M:%S", time.gmtime(t0 + batch * step_s)
+        )
+        return {
+            "doc_id": doc_id, "text": text, "lang": "en",
+            "source": "soak", "fetched_at": ts,
+        }
+
+    bench_words = [f"bench{j}g" for j in range(12)]
+    dup_text = " ".join(words("dup"))
+    nd_words = words("nd")
+    contam_text = " ".join(
+        words("dirty", 24) + bench_words[2:10]  # one verbatim 8-gram
+    )
+
+    plants = {
+        0: [doc(100, dup_text, 0)],
+        2: [doc(2100, " ".join(nd_words), 2)],
+        3: [doc(3100, " ".join(words("short", 23)[:25]), 3)],
+        5: [doc(5100, contam_text, 5)],
+        7: [doc(7100, " ".join(reversed(nd_words)), 7)],
+        12: [doc(12100, dup_text, 12)],  # cross-horizon exact dup
+    }
+    for b in range(n_batches):
+        docs = [
+            doc(b * 1000 + i, " ".join(words(f"{b}_{i}")), b)
+            for i in range(5)
+        ] + plants.get(b, [])
+        path = drop / f"b{b:03d}.jsonl"
+        path.write_text("\n".join(_json.dumps(d) for d in docs))
+        os.utime(path, (t0 + b, t0 + b))
+
+    q = sp.corpus_ingest_stream(
+        spark,
+        str(drop),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        watermark="120 seconds",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+
+    out = spark.read.parquet(str(tmp_path / "out")).select("doc_id", "text")
+    # the within-horizon dedup must have admitted BOTH dup copies
+    # (12-batch lag is far past the 2-batch horizon)
+    assert out.filter(F.col("doc_id").isin(100, 12100)).count() == 2
+
+    bench = spark.createDataFrame(
+        [(0, " ".join(bench_words))], "bench_id long, text string"
+    )
+    audit = {
+        r.doc_id: r.drop_reason
+        for r in release_audit(out, bench, gram_key="string").collect()
+    }
+    assert audit[100] == "kept"          # keeper of the exact pair
+    assert audit[12100] == "exact_dup"   # cross-horizon copy, flagged
+    assert audit[3100] == "quality"      # 25 tokens < Gopher min 30
+    assert audit[5100] == "contaminated"
+    assert audit[2100] == "kept"         # near-dup keep-first rule
+    assert audit[7100] == "near_dup"
+    fillers = [
+        k for k in audit
+        if k not in (100, 12100, 3100, 5100, 2100, 7100)
+    ]
+    assert fillers and all(audit[k] == "kept" for k in fillers)

@@ -379,3 +379,29 @@ def test_encode_against_vocab_preserves_degenerate_docs(spark, tmp_path):
         3: (3, "b aa c"),
         4: (1, "a"),
     }
+
+
+def test_encode_against_vocab_is_lossless(spark, tmp_path):
+    """Tokenization must be a segmentation, never a rewrite: for every
+    document, the encoded token sequence with separators removed is
+    byte-identical to the original text with spaces removed — pinned
+    distributively over the full sf0.001 corpus (one aggregate, no
+    collect of the texts)."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators.text import (
+        encode_against_vocab,
+        save_bpe_vocab,
+    )
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "bpe")
+    save_bpe_vocab(docs, path, k=5)
+    enc = encode_against_vocab(spark, path, docs)
+    joined = docs.select("doc_id", "text").join(enc, "doc_id")
+    bad = joined.filter(
+        F.regexp_replace("encoded", " ", "")
+        != F.regexp_replace("text", " ", "")
+    ).count()
+    assert bad == 0
