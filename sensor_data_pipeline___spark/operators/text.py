@@ -987,33 +987,59 @@ def encode_against_vocab(
     references it — a 4^k expression blowup that measured 239 s at
     sf0.1 (vs ~2 s for this form) before Catalyst ever saw a row."""
     merges = load_bpe_merges(spark, path)
-    words = F.filter(
-        # NULL text encodes like empty text (n_tokens 0, encoded ''),
-        # matching the oracle's LEFT-join fallback row
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1),
-        lambda w: F.length(w) > 0,
+    out = apply_merge_rounds(
+        docs.select(F.col(id_col), F.col(text_col)),
+        merges,
+        text_col,
+        "_toks",
     )
-    out = docs.select(
-        F.col(id_col),
-        F.transform(
-            words, lambda w: F.trim(F.regexp_replace(w, "(.)", "$1 "))
-        ).alias("_ws"),
-    )
-    for left, right in merges:
-        out = out.select(
-            id_col,
-            F.transform(
-                F.col("_ws"),
-                lambda s: _merge_fold(F.split(s, " ", -1), left, right),
-            ).alias("_ws"),
-        )
-    toks = F.flatten(
-        F.transform(F.col("_ws"), lambda s: F.split(s, " ", -1))
-    )
-    return out.select(F.col(id_col), toks.alias("_toks")).select(
+    return out.select(
         id_col,
         F.size("_toks").cast("long").alias("n_tokens"),
         F.array_join("_toks", " ").alias("encoded"),
+    )
+
+
+def apply_merge_rounds(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Append ``out_col`` = the BPE token array of ``text_col`` under
+    the ordered ``merges`` list — the shared encode core of
+    :func:`encode_against_vocab` and the streaming tokenize-at-ingest
+    enrichment (``streaming/pipeline.py:corpus_ingest_stream``).
+    Purely row-local and deterministic, so it is legal on streaming
+    DataFrames; each merge round is its OWN projection whose fold
+    references only its ``transform`` lambda variable (the linear
+    expression shape — see :func:`encode_against_vocab`'s docstring
+    for the measured 4^k trap the per-round aliasing avoids)."""
+    words = F.filter(
+        # NULL text encodes like empty text (empty token array),
+        # matching the batch oracle's LEFT-join fallback row
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1),
+        lambda w: F.length(w) > 0,
+    )
+    df = df.withColumn(
+        out_col,
+        F.transform(
+            words, lambda w: F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        ),
+    )
+    for left, right in merges:
+        df = df.withColumn(
+            out_col,
+            F.transform(
+                F.col(out_col),
+                lambda s: _merge_fold(F.split(s, " ", -1), left, right),
+            ),
+        )
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.transform(F.col(out_col), lambda s: F.split(s, " ", -1))
+        ),
     )
 
 

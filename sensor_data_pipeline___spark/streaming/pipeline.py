@@ -765,6 +765,7 @@ def corpus_ingest_stream(
     max_avg_token_len: float = 10.0,
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
+    tokenizer_vocab_path: "str | None" = None,
 ):
     """Streaming corpus ingest — the continuous mirror of the batch
     ``corpus_pipeline_stats`` front half: JSONL documents stream in,
@@ -772,6 +773,18 @@ def corpus_ingest_stream(
     ``dropDuplicatesWithinWatermark`` keyed on the 128-bit content
     hash makes the clean store effectively-once under at-least-once
     crawler redelivery.
+
+    ``tokenizer_vocab_path`` (optional) composes a persisted BPE
+    vocabulary (``operators/text.py:save_bpe_vocab``) in as
+    tokenize-at-ingest: every admitted doc is stamped with
+    ``n_tokens_bpe``, the REAL learned-vocabulary token count a
+    trainer's packing budget consumes (what ``pack_sequences_bpe``
+    computes in batch). The merge list is collected ONCE at stream
+    definition — the store is immutable for its lifetime (only a
+    fresh ``save_bpe_vocab`` replaces it, which is a new stream
+    deployment) — and the enrichment is a purely row-local projection
+    (no state, no join), so it is replay-stable and adds no state
+    store.
 
     Same state-bound argument as :func:`dedup_stream`: per-key state
     is a constant-width md5 + event time, total state is bounded by
@@ -791,6 +804,18 @@ def corpus_ingest_stream(
         spark, src_dir, watermark, min_tokens, max_tokens,
         max_avg_token_len, max_files_per_trigger,
     )
+    if tokenizer_vocab_path is not None:
+        from sensor_data_pipeline___spark.operators.text import (
+            apply_merge_rounds,
+            load_bpe_merges,
+        )
+
+        merges = load_bpe_merges(spark, tokenizer_vocab_path)
+        deduped = apply_merge_rounds(
+            deduped, merges, "text", "_bpe_toks"
+        ).withColumn(
+            "n_tokens_bpe", F.size("_bpe_toks").cast("long")
+        ).drop("_bpe_toks")
     return (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)

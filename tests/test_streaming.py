@@ -1236,3 +1236,50 @@ def test_vector_ingest_replay_after_retrain_adds_nothing(spark, dirs):
     assert len([t for t in s1 if t[0] >= 5000]) == 3
     fn(batch, 3)  # full replay against the retrained generation
     assert snap() == s1
+
+
+def test_corpus_ingest_stream_tokenizes_at_ingest(spark, dirs, tmp_path):
+    """tokenizer_vocab_path composes the persisted BPE vocabulary into
+    the ingest path: every admitted doc is stamped with n_tokens_bpe,
+    and the streamed counts are IDENTICAL to the batch
+    encode_against_vocab over the same docs (the replay-stable
+    map-only enrichment contract); junk is still gated before it is
+    ever tokenized."""
+    from sensor_data_pipeline___spark.operators import text as T
+
+    fit = spark.createDataFrame(
+        [(0, GOOD_TEXT), (1, "tok tok end end")],
+        "doc_id long, text string",
+    )
+    vocab = str(tmp_path / "bpe_vocab")
+    T.save_bpe_vocab(fit, vocab, k=3)
+
+    ts = "2024-01-01T00:00:00Z"
+    _drop_jsonl(
+        dirs,
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "text": GOOD_TEXT, "lang": "en", "source": "s1", "fetched_at": ts},
+            {"doc_id": 2, "text": JUNK_SHORT, "lang": "en", "source": "s1", "fetched_at": ts},
+            {"doc_id": 3, "text": "fresh " + GOOD_TEXT, "lang": "en", "source": "s1", "fetched_at": ts},
+        ],
+    )
+    q = sp.corpus_ingest_stream(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"],
+        tokenizer_vocab_path=vocab,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(dirs["out"])
+    got = {r.doc_id: r.n_tokens_bpe for r in out.collect()}
+    assert set(got) == {1, 3}  # junk gated before tokenization
+    batch = {
+        r.doc_id: r.n_tokens
+        for r in T.encode_against_vocab(
+            spark, vocab, out.select("doc_id", "text")
+        ).collect()
+    }
+    assert got == batch
+    # the learned merge actually engaged: 'tok' is one token, so the
+    # count is below the whitespace word count
+    n_words = len(GOOD_TEXT.split())
+    assert got[1] < 3 * n_words  # chars per word ~3-4, merges fold them
