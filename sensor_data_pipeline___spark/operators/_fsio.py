@@ -14,13 +14,15 @@ dispatching on the path form:
   same Hadoop code path against the local disk, which is how the unit
   tests cover the cluster branch end to end.
 
-Atomicity note: ``write_text_atomic`` is write-temp-then-rename. POSIX
-rename replaces atomically; Hadoop's ``rename`` refuses an existing
-destination on some FS, so the URI branch deletes-then-renames — the
-pointer swap is then two metadata ops, which matches what every
-Hadoop-based table format does for its pointer file (object stores
-have no atomic rename at all; a torn swap leaves the OLD pointer
-serving, which the generation protocol already tolerates).
+Atomicity note: ``write_text_atomic`` is write-temp-then-rename.
+POSIX rename replaces atomically; the URI branch first tries
+``FileContext.rename(..., Rename.OVERWRITE)`` (atomic on HDFS and the
+local AbstractFs) and only falls back to delete-then-rename where no
+FileContext binding exists (raw object stores, which have no atomic
+rename at all). That fallback's crash window can leave only the
+``.tmp`` behind — the temp always holds the COMPLETE new content, so
+``_writes.resolve_current`` recovers by falling FORWARD to it rather
+than regressing to the flat root (review r11).
 
 These helpers are DRIVER-side metadata I/O: a handful of calls per
 save/probe, never per row — py4j latency (~ms) is irrelevant next to
@@ -38,15 +40,28 @@ def is_uri(path: str) -> bool:
     return "://" in path or path.startswith("file:")
 
 
-def _hfs(path: str):
-    """(jvm, FileSystem, Path) for a URI via the active session."""
+def _session():
+    """The driver's SparkSession for JVM gateway access.
+    ``getActiveSession()`` is a thread-local and is UNSET on fresh
+    py4j callback threads (foreachBatch bodies under pinned-thread
+    mode — exactly the streaming cluster path this module serves), so
+    fall back to the process-wide default session the classic PySpark
+    ``getOrCreate`` maintains (review r11)."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
     if spark is None:
+        spark = getattr(SparkSession, "_instantiatedSession", None)
+    if spark is None:
         raise RuntimeError(
-            f"no active SparkSession to resolve filesystem for {path!r}"
+            "no SparkSession in this process to resolve a filesystem"
         )
+    return spark
+
+
+def _hfs(path: str):
+    """(jvm, FileSystem, Path) for a URI via the driver's session."""
+    spark = _session()
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -92,7 +107,17 @@ def read_text(path: str) -> str:
 
 
 def write_text_atomic(path: str, text: str) -> None:
-    """Write ``path`` via a same-directory temp file + rename."""
+    """Write ``path`` via a same-directory ``.tmp`` file + rename.
+
+    Local paths: ``os.replace`` (POSIX-atomic). URIs: the fully
+    written temp is renamed with ``FileContext.rename(...,
+    Rename.OVERWRITE)`` — atomic on HDFS and the local AbstractFs.
+    Filesystems with no FileContext binding (e.g. raw s3a) fall back
+    to delete-then-rename, whose crash window can leave only the
+    ``.tmp`` behind; callers that need recovery semantics read the
+    ``.tmp`` as the fallback (see ``_writes.resolve_current`` — the
+    temp holds the COMPLETE new content, so recovering from it is
+    always forward, never torn)."""
     if not is_uri(path):
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -106,6 +131,18 @@ def write_text_atomic(path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    try:
+        spark = _session()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        fc.rename(tmp, p, opts)
+        return
+    except Exception:
+        pass  # no FileContext binding for this scheme — fall back
     if fs.exists(p):
         fs.delete(p, False)
     if not fs.rename(tmp, p):

@@ -60,10 +60,23 @@ from sensor_data_pipeline___spark.operators import _fsio
 
 
 def resolve_current(path: str) -> str:
-    """The store's CURRENT generation root (``path`` itself pre-swap)."""
+    """The store's CURRENT generation root (``path`` itself pre-swap).
+
+    Torn-swap recovery: on filesystems whose pointer rename is
+    delete-then-rename (no FileContext atomic overwrite — see
+    ``_fsio.write_text_atomic``), a crash between the delete and the
+    rename leaves only ``CURRENT.tmp``. The temp always holds the
+    COMPLETE new pointer (fully written and closed before the swap
+    began), and the generation it names is fully written before
+    ``swap_current`` is ever called — so falling forward to it is
+    always safe, where falling back to the FLAT root would silently
+    serve the oldest generation (review r11)."""
     ptr = _os.path.join(path, "CURRENT")
     if _fsio.exists(ptr):
         return _os.path.join(path, _fsio.read_text(ptr).strip())
+    tmp = ptr + ".tmp"
+    if _fsio.exists(tmp):
+        return _os.path.join(path, _fsio.read_text(tmp).strip())
     return path
 
 
@@ -76,7 +89,11 @@ def next_generation(path: str) -> str:
 
 
 def swap_current(path: str, new_root: str) -> None:
-    """Atomically point ``path/CURRENT`` at a fully-written generation."""
+    """Point ``path/CURRENT`` at a fully-written generation —
+    atomically where the FS supports it (POSIX replace, FileContext
+    overwrite-rename); elsewhere the delete-then-rename window is
+    covered by :func:`resolve_current`'s fall-FORWARD recovery from
+    the complete ``CURRENT.tmp``."""
     _fsio.write_text_atomic(
         _os.path.join(path, "CURRENT"), _os.path.basename(new_root)
     )
@@ -84,5 +101,9 @@ def swap_current(path: str, new_root: str) -> None:
 
 def retire_current(path: str) -> None:
     """Drop the pointer — a fresh ``save_*`` makes the flat root the
-    store again (old generation dirs remain on disk, unreferenced)."""
+    store again (old generation dirs remain on disk, unreferenced).
+    Also drops a leftover ``CURRENT.tmp``: the torn-swap recovery in
+    :func:`resolve_current` reads it when CURRENT is absent, and a
+    stale one would resurrect the retired generation."""
     _fsio.remove(_os.path.join(path, "CURRENT"))
+    _fsio.remove(_os.path.join(path, "CURRENT.tmp"))

@@ -354,10 +354,16 @@ def _write_band_manifest(root: str) -> None:
     always read unpruned."""
     import json
 
+    try:
+        stats_list = _base_file_stats(
+            os.path.join(root, "bands"), "band_hash"
+        )
+    except _ManifestUnavailable:
+        # write NOTHING — probes fall back to the full scan (a partial
+        # manifest would silently hide the unlisted base files)
+        return
     entries = []
-    for rel, stats in _base_file_stats(
-        os.path.join(root, "bands"), "band_hash"
-    ):
+    for rel, stats in stats_list:
         band_idx = None
         for part in rel.split(os.sep):
             if part.startswith("band_idx="):
@@ -377,14 +383,25 @@ def _write_band_manifest(root: str) -> None:
     _MANIFEST_CACHE.pop(root, None)
 
 
+class _ManifestUnavailable(Exception):
+    """Footer-stats extraction failed for the store's filesystem (no
+    listing/pyarrow driver for the scheme, or a transient read error
+    mid-scan). The manifest writers catch this and write NOTHING — a
+    partial manifest would make the selective probe treat the unlisted
+    base files as nonexistent (silent missed duplicates, review r11);
+    no manifest just means probes take the correct-but-unpruned full
+    scan."""
+
+
 def _base_file_stats(table_dir: str, col: str):
-    """(relative file, (min, max)) for every ``ingest_key=base`` data
-    file's footer stats on ``col`` — the shared scanner behind both
-    manifests. Driver-side pyarrow, O(files). Listing rides
+    """[(relative file, (min, max))] for every ``ingest_key=base``
+    data file's footer stats on ``col`` — the shared scanner behind
+    both manifests. Driver-side pyarrow, O(files). Listing rides
     ``operators/_fsio.py`` (glob on local paths, Hadoop FS on URIs);
-    footer reads use pyarrow's filesystem driver for the scheme —
-    where pyarrow has no driver for the store's scheme, no manifest is
-    written and probes take the correct-but-unpruned full scan."""
+    footer reads use pyarrow's filesystem driver for the scheme.
+    ALL-OR-NOTHING: any listing or footer-read failure raises
+    :class:`_ManifestUnavailable` so the caller never persists a
+    partial file list."""
     import pyarrow.parquet as pq
 
     def _open_metadata(f: str):
@@ -399,16 +416,17 @@ def _base_file_stats(table_dir: str, col: str):
     try:
         files = _fsio.list_files_recursive(table_dir, ".parquet")
         table_dir = _fsio.normalize(table_dir)
-    except Exception:
-        return  # no listing driver for this scheme — no manifest
+    except Exception as exc:
+        raise _ManifestUnavailable(str(exc)) from exc
+    out = []
     for f in files:
         rel = os.path.relpath(f, table_dir)
         if "ingest_key=base" not in rel:
             continue
         try:
             md = _open_metadata(f)
-        except Exception:
-            return  # no pyarrow driver for this scheme — no manifest
+        except Exception as exc:
+            raise _ManifestUnavailable(f"{f}: {exc}") from exc
         lo = hi = None
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
@@ -420,7 +438,8 @@ def _base_file_stats(table_dir: str, col: str):
                         lo = st.min if lo is None else min(lo, st.min)
                         hi = st.max if hi is None else max(hi, st.max)
         if lo is not None:
-            yield rel, (lo, hi)
+            out.append((rel, (lo, hi)))
+    return out
 
 
 def _write_sig_manifest(root: str, id_col: str) -> None:
@@ -431,11 +450,14 @@ def _write_sig_manifest(root: str, id_col: str) -> None:
     staleness-free contract as the bands manifest (base files only)."""
     import json
 
-    entries = [
-        {"file": rel, "min": s[0], "max": s[1]}
-        for rel, s in _base_file_stats(
+    try:
+        stats_list = _base_file_stats(
             os.path.join(root, "signatures"), id_col
         )
+    except _ManifestUnavailable:
+        return  # see _write_band_manifest: never persist a partial list
+    entries = [
+        {"file": rel, "min": s[0], "max": s[1]} for rel, s in stats_list
     ]
     _fsio.write_text_atomic(
         os.path.join(root, "signatures_manifest.json"),

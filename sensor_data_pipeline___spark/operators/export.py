@@ -400,6 +400,15 @@ def release_audit(
         gopher_quality_flags,
     )
 
+    # NULL text audits like empty text: md5(NULL) is NULL and an
+    # equi-join on the content hash would silently drop the doc from
+    # the audit with NO row at all — a release review reconciling
+    # audit rows against corpus counts must see every candidate
+    # (review r11). Empty/NULL docs group as one exact-dup cluster and
+    # fail the quality gate, which is the reason a review reads.
+    docs = docs.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
     keepers = docs.groupBy(F.md5(text_col).alias("_h")).agg(
         F.min(id_col).alias("_keeper")
     )

@@ -7194,7 +7194,10 @@ def _release_audit_oracle() -> str:
     near = simhash_exact_oracle_sql("cand", max_hamming=3)
     return f"""
     WITH cand AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+      -- coalesce mirrors release_audit's NULL-text normalization: a
+      -- NULL md5 key would drop the doc from the audit entirely
+      SELECT doc_id, coalesce(text, '') AS text
+      FROM documents WHERE doc_id % 10 != 0
     ), keep AS (
       SELECT md5(text) AS h, min(doc_id) AS keeper FROM cand GROUP BY 1
     ), ed AS (

@@ -247,3 +247,32 @@ def test_next_event_pairs_null_event_type_windows_dropped(spark):
     # event 3's window is (a, NULL, b) and event 4's is (NULL, b, c):
     # both dropped; event 5's (b, c, d) is the first complete window
     assert got == {5: ("b c d", "e")}
+
+
+def test_release_audit_keeps_null_text_docs(spark):
+    """Review r11: a NULL-text candidate must appear in the audit (the
+    'one row per candidate' contract) instead of vanishing through a
+    NULL md5 join key. NULL and empty texts group as one exact-dup
+    cluster; the representative fails quality, the rest are
+    exact_dup."""
+    from sensor_data_pipeline___spark.operators.export import release_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, " ".join([f"word{i}xy" for i in range(32)] + ["the", "of"])),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "b1 b2 b3 b4 b5 b6 b7 b8")], "bench_id long, text string"
+    )
+    audit = {
+        r.doc_id: r.drop_reason
+        for r in release_audit(docs, bench, gram_key="string").collect()
+    }
+    assert set(audit) == {1, 2, 3}
+    assert audit[1] == "quality"    # min-id representative of ('' , NULL)
+    assert audit[2] == "exact_dup"  # same content hash, larger id
+    assert audit[3] == "kept"

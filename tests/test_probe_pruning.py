@@ -356,3 +356,73 @@ def test_store_lifecycle_on_file_uri_exercises_hadoop_fs_branch(
         ).collect()
     )
     assert after == before
+
+
+def test_torn_pointer_swap_recovers_forward(tmp_path):
+    """Review r11: a crash inside a non-atomic pointer swap (delete
+    succeeded, rename didn't — possible only on FS without FileContext
+    overwrite-rename) leaves just CURRENT.tmp. resolve_current must
+    fall FORWARD to the complete new pointer it holds, never regress
+    to the flat root; retire_current must clear the tmp so a retired
+    generation cannot resurrect."""
+    from sensor_data_pipeline___spark.operators import _writes
+
+    root = str(tmp_path / "store")
+    import os
+
+    os.makedirs(root)
+    # healthy swap, then simulate the torn window: CURRENT deleted,
+    # fully-written tmp left behind
+    _writes.swap_current(root, os.path.join(root, "v1"))
+    assert _writes.resolve_current(root).endswith("v1")
+    with open(os.path.join(root, "CURRENT.tmp"), "w") as f:
+        f.write("v2")
+    os.remove(os.path.join(root, "CURRENT"))
+    assert _writes.resolve_current(root).endswith("v2")  # forward, not flat
+    _writes.retire_current(root)
+    assert _writes.resolve_current(root) == root  # tmp cleared too
+
+
+def test_manifest_never_written_partial(spark, tmp_path, monkeypatch):
+    """Review r11: if footer-stats extraction fails mid-scan, the
+    manifest writers must persist NOTHING — a partial file list would
+    make the selective probe treat unlisted base files as nonexistent
+    (silent missed duplicates). Probes then take the full scan."""
+    import os
+
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 100), path)
+
+    calls = {"n": 0}
+    real = dedup._fsio.list_files_recursive
+
+    def flaky(p, suffix):
+        calls["n"] += 1
+        raise OSError("transient listing failure")
+
+    monkeypatch.setattr(dedup._fsio, "list_files_recursive", flaky)
+    dedup._MANIFEST_CACHE.clear()
+    root = dedup._mh_root(path)
+    for f in ("bands_manifest.json", "signatures_manifest.json"):
+        if os.path.exists(os.path.join(root, f)):
+            os.remove(os.path.join(root, f))
+    dedup._write_band_manifest(root)
+    dedup._write_sig_manifest(root, "doc_id")
+    assert calls["n"] == 2
+    assert not os.path.exists(os.path.join(root, "bands_manifest.json"))
+    assert not os.path.exists(
+        os.path.join(root, "signatures_manifest.json")
+    )
+    monkeypatch.setattr(dedup._fsio, "list_files_recursive", real)
+    # and the pruned probe still answers correctly via the full scan
+    probe = docs.filter(F.col("doc_id").isin(5)).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+    hits = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.near_dup_against_index(
+            spark, path, probe, prune_max_keys=64, cache_store=False
+        ).collect()
+    }
+    assert (50_000_005, 5) in hits
