@@ -357,3 +357,106 @@ def test_hash_stratified_membership_matches_python_md5(spark, ids, frac):
         ).collect()
     }
     assert half <= got
+
+
+# --- BPE loop vs a pure-Python reference (round 11) -----------------
+
+def _py_bpe_learn(texts: "list[str]", k: int):
+    """Reference Sennrich-style BPE: vocabulary-weighted adjacent pair
+    counts, (count DESC, pair ASC) argmax, greedy left-to-right
+    non-overlapping merge — the operator contract, in ~25 lines of
+    plain Python."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(k):
+        counts = Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], counts[best]))
+        new_vocab = Counter()
+        for syms, freq in vocab.items():
+            new_vocab[tuple(_py_merge_once(list(syms), best))] += freq
+        vocab = new_vocab
+    return merges
+
+
+def _py_merge_once(syms: "list[str]", pair):
+    out, i = [], 0
+    while i < len(syms):
+        if (
+            i + 1 < len(syms)
+            and syms[i] == pair[0]
+            and syms[i + 1] == pair[1]
+        ):
+            out.append(pair[0] + pair[1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_bpe_encode(text: str, merges):
+    toks = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w)
+        for left, right, _ in merges:
+            syms = _py_merge_once(syms, (left, right))
+        toks.extend(syms)
+    return toks
+
+
+#: Words over a 3-letter alphabet force dense pair collisions and
+#: tie-breaks — the regime where greedy/ordering bugs actually show.
+_bpe_words = st.from_regex(r"[abc]{1,6}", fullmatch=True, alphabet=_ascii)
+_bpe_texts = st.lists(
+    st.lists(_bpe_words, min_size=1, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_bpe_texts, st.integers(min_value=1, max_value=4))
+def test_bpe_learn_and_encode_match_python_reference(spark, texts, k):
+    """The Spark BPE loop (vocabulary-weighted learn + greedy fold
+    encode) agrees with a direct pure-Python implementation on
+    arbitrary small corpora — correctness evidence independent of the
+    DuckDB oracle's recursive-CTE formulation."""
+    from sensor_data_pipeline___spark.operators.text import (
+        bpe_learn_merges,
+        encode_against_vocab,
+        save_bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expected_merges = _py_bpe_learn(texts, k)
+    got_merges = [
+        (r.pair.split(" ")[0], r.pair.split(" ")[1], r.n)
+        for r in bpe_learn_merges(docs, k=k).orderBy("merge_rank").collect()
+    ]
+    assert got_merges == expected_merges
+
+    path = spark.conf.get("spark.local.dir", "/tmp") + "/bpe_prop"
+    save_bpe_vocab(docs, path, k=k)
+    got_enc = {
+        r.doc_id: (r.n_tokens, r.encoded)
+        for r in encode_against_vocab(spark, path, docs).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _py_bpe_encode(t, expected_merges)
+        assert got_enc[i] == (len(toks), " ".join(toks)), (t, toks)
