@@ -251,3 +251,47 @@ def test_compact_folds_appends_and_probe_is_unchanged(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "CURRENT"))
     rep2 = decontam.contaminated_against_index(spark, path, probe).collect()
     assert not rep2[0].is_contaminated  # zqx grams retired with v1
+
+
+def test_gram_store_lifecycle_on_file_uri(spark, tmp_path):
+    """r11 Hadoop-FS branch coverage for the GRAM store (the minhash
+    twin lives in test_probe_pruning): save → append → probe →
+    compact(CURRENT swap) → probe on a ``file:`` URI root must behave
+    identically to a plain-path store — pointer and store reads route
+    through operators/_fsio.py's Hadoop branch."""
+    from sensor_data_pipeline___spark.operators import _fsio
+
+    docs = readers.table(spark, "documents", SF)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    path = "file:" + str(tmp_path / "ix_uri")
+    assert _fsio.is_uri(path)
+
+    decontam.save_contamination_index(bench, path, n=3, key="string")
+    before = {
+        r.doc_id
+        for r in decontam.contaminated_against_index(
+            spark, path, batch
+        ).collect()
+        if r.is_contaminated
+    }
+    assert before == _inline_contaminated(spark, bench, batch, n=3)
+
+    # widen membership via an effectively-once append, then compact:
+    # the CURRENT pointer swaps through the Hadoop branch
+    extra = docs.filter(F.col("doc_id") % 5 == 1).limit(5)
+    decontam.contamination_index_append(spark, path, extra, ingest_key="b1")
+    new_root = decontam.contamination_index_compact(spark, path)
+    assert new_root.startswith("file:") and new_root != path
+    assert decontam._cx_root(path) == new_root
+    after = {
+        r.doc_id
+        for r in decontam.contaminated_against_index(
+            spark, path, batch
+        ).collect()
+        if r.is_contaminated
+    }
+    widened = _inline_contaminated(
+        spark, bench.unionByName(extra), batch, n=3
+    )
+    assert after == widened and before <= after
