@@ -962,3 +962,45 @@ def test_ivf_maintenance_policy_chooses_and_acts(spark, tmp_path):
     # row conservation across the whole episode
     stats = sim.ivf_index_stats(spark, p).collect()
     assert sum(r["n_vectors"] for r in stats) == 200 + 3 * 50 + 2_000
+
+
+def test_ivf_store_lifecycle_on_file_uri(spark, tmp_path):
+    """r11 Hadoop-FS branch coverage for the IVF store (the third
+    persisted-index family; minhash and gram twins live in
+    test_probe_pruning / test_decontam): save → search → compact
+    (CURRENT swap through operators/_fsio.py's Hadoop branch) →
+    search again on a ``file:`` URI root, row-identical across the
+    generation swap."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import _fsio
+    from sensor_data_pipeline___spark.operators.similarity import (
+        _store_root,
+        ivf_index_compact,
+        ivf_topk_indexed,
+        save_ivf_index,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    path = "file:" + str(tmp_path / "ivf_uri")
+    assert _fsio.is_uri(path)
+    save_ivf_index(corpus, path, ncells=8, iters=1)
+    before = sorted(
+        map(
+            tuple,
+            ivf_topk_indexed(spark, path, queries, k=5, nprobe=3).collect(),
+        )
+    )
+    assert before
+
+    ivf_index_compact(spark, path)
+    root = _store_root(path)
+    assert root != path and root.startswith("file:")  # pointer swapped
+    after = sorted(
+        map(
+            tuple,
+            ivf_topk_indexed(spark, path, queries, k=5, nprobe=3).collect(),
+        )
+    )
+    assert after == before
