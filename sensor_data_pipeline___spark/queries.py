@@ -7013,6 +7013,60 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_chunk_spans(spark, counts, budget=2048)
 
 
+def _bpe_tok_hist_oracle() -> str:
+    from sensor_data_pipeline___spark.operators.text import (
+        _bpe_encode_parts,
+        _bpe_learn_parts,
+    )
+
+    parts = _bpe_learn_parts("documents", 5) + _bpe_encode_parts(
+        "documents", 5
+    )
+    return (
+        "WITH RECURSIVE\n    "
+        + ",\n    ".join(parts)
+        + """,
+    toks AS (
+      SELECT unnest(string_split(encoded, ' ')) AS tok FROM encd
+    )
+    SELECT CAST(len(tok) AS INT) AS tok_len,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+    FROM toks GROUP BY 1"""
+    )
+
+
+@_register(
+    "bpe_token_length_hist",
+    # The tokenizer-quality diagnostic a vocab review reads: token-
+    # LENGTH distribution of the encoded corpus (occurrences +
+    # distinct types per length). After k merges the mass above
+    # length 1 is exactly what the learned vocabulary bought; the
+    # whole query rides the map-only encode plus one constant-width
+    # groupBy (token lengths are a handful of keys — partial agg
+    # collapses it map-side). Oracle = the learn+encode CTE chain
+    # feeding the same histogram.
+    _bpe_tok_hist_oracle(),
+)
+def q_bpe_token_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _run_scoped_store_path(spark, "bpe_vocab_hist", sf_dir)
+    T.save_bpe_vocab(docs, path, k=5)
+    toks = (
+        T.encode_against_vocab(spark, path, docs)
+        .select(F.explode(F.split("encoded", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    return toks.groupBy(
+        F.length("tok").cast("int").alias("tok_len")
+    ).agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("tok").alias("n_distinct"),
+    )
+
+
 @_register(
     "unigram_lm_band_assign",
     # Persisted CCNet quality-band store (operators/text.py:

@@ -881,6 +881,7 @@ def corpus_neardup_batch_fn(
     lm_store_path: "str | None" = None,
     lm_band_fractions: "dict | None" = None,
     lm_salt: str = "ccnet-band-v1",
+    tokenizer_merges: "list[tuple[str, str]] | None" = None,
 ):
     """The foreachBatch body for :func:`corpus_ingest_stream_neardup`,
     exposed so tests can drive crash-replay directly (the
@@ -968,6 +969,13 @@ def corpus_neardup_batch_fn(
     to keep reference-like text whole and drop rare-token gibberish.
     Both the score and the sample are replay-stable against a store
     the loop never writes — effectively-once unchanged.
+
+    ``tokenizer_merges`` (optional, the ordered (left, right) list
+    from ``text.load_bpe_merges`` — collected ONCE by the stream
+    wrapper) stamps survivors with ``n_tokens_bpe`` on the way to the
+    clean store: a row-local stateless projection after every gate,
+    so dropped docs are never tokenized and replay-stability is
+    untouched.
     """
     from sensor_data_pipeline___spark.operators import decontam, dedup
 
@@ -1072,9 +1080,20 @@ def corpus_neardup_batch_fn(
             overwrite_mode,
         )
 
+        clean = survivors
+        if tokenizer_merges is not None:
+            from sensor_data_pipeline___spark.operators.text import (
+                apply_merge_rounds,
+            )
+
+            clean = apply_merge_rounds(
+                clean, tokenizer_merges, "text", "_bpe_toks"
+            ).withColumn(
+                "n_tokens_bpe", F.size("_bpe_toks").cast("long")
+            ).drop("_bpe_toks")
         with overwrite_mode(spark, "dynamic"):
             (
-                survivors.withColumn("ingest_batch", F.lit(key))
+                clean.withColumn("ingest_batch", F.lit(key))
                 .write.mode("overwrite")
                 .partitionBy("ingest_batch")
                 .parquet(out_dir)
@@ -1109,6 +1128,7 @@ def corpus_ingest_stream_neardup(
     lm_store_path: "str | None" = None,
     lm_band_fractions: "dict | None" = None,
     lm_salt: str = "ccnet-band-v1",
+    tokenizer_vocab_path: "str | None" = None,
 ):
     """:func:`corpus_ingest_stream` with the persisted minhash index
     composed in (VERDICT r7 directive #4): the stream's exact dedup
@@ -1125,6 +1145,10 @@ def corpus_ingest_stream_neardup(
     selection (index, with ``dsir_index_path``) → CCNet quality-band
     stratified admission (LM store, with ``lm_store_path`` +
     ``lm_band_fractions``) → near-dup dedup (index) → clean store.
+    ``tokenizer_vocab_path`` additionally stamps survivors with
+    ``n_tokens_bpe`` (tokenize-at-ingest — see
+    :func:`corpus_ingest_stream`; merges collected once here, the
+    store is immutable for the stream's lifetime).
 
     Bootstrap: build the index first (``save_minhash_index`` on the
     seed corpus, or on an EMPTY frame of the right schema for a cold
@@ -1138,6 +1162,13 @@ def corpus_ingest_stream_neardup(
         spark, src_dir, watermark, min_tokens, max_tokens,
         max_avg_token_len, max_files_per_trigger,
     )
+    tokenizer_merges = None
+    if tokenizer_vocab_path is not None:
+        from sensor_data_pipeline___spark.operators.text import (
+            load_bpe_merges,
+        )
+
+        tokenizer_merges = load_bpe_merges(spark, tokenizer_vocab_path)
     return (
         deduped.writeStream.foreachBatch(
             corpus_neardup_batch_fn(
@@ -1150,6 +1181,7 @@ def corpus_ingest_stream_neardup(
                 lm_store_path=lm_store_path,
                 lm_band_fractions=lm_band_fractions,
                 lm_salt=lm_salt,
+                tokenizer_merges=tokenizer_merges,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

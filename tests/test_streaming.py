@@ -1283,3 +1283,43 @@ def test_corpus_ingest_stream_tokenizes_at_ingest(spark, dirs, tmp_path):
     # count is below the whitespace word count
     n_words = len(GOOD_TEXT.split())
     assert got[1] < 3 * n_words  # chars per word ~3-4, merges fold them
+
+
+def test_neardup_stream_tokenizes_survivors(spark, dirs, tmp_path):
+    """tokenizer_vocab_path on the NEARDUP stream: survivors of the
+    full probe→drop loop carry n_tokens_bpe identical to the batch
+    encode; dropped near-dups never reach the store at all."""
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.operators import text as T
+
+    idx = os.path.join(dirs["wh"], "mh_index_tok")
+    seed = spark.createDataFrame(
+        [(1000 + i, " ".join(_corpus_words(i))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    dedup.save_minhash_index(seed, idx)
+    vocab = str(tmp_path / "bpe_vocab")
+    T.save_bpe_vocab(seed, vocab, k=3)
+
+    w7, w9 = _corpus_words(7), _corpus_words(9)
+    near_seed2 = _corpus_words(2)[:-1] + ["tweak"]
+    _drop_jsonl(dirs, "b1.jsonl", [
+        _mk_doc(30, w7),
+        _mk_doc(31, w9),
+        _mk_doc(33, near_seed2),  # cross near-dup of seed 1002
+    ])
+    q = sp.corpus_ingest_stream_neardup(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], idx,
+        tokenizer_vocab_path=vocab,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(dirs["out"])
+    got = {r.doc_id: r.n_tokens_bpe for r in out.collect()}
+    assert set(got) == {30, 31}  # near-dup dropped before tokenization
+    batch = {
+        r.doc_id: r.n_tokens
+        for r in T.encode_against_vocab(
+            spark, vocab, out.select("doc_id", "text")
+        ).collect()
+    }
+    assert got == batch
