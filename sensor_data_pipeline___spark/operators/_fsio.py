@@ -141,12 +141,34 @@ def write_text_atomic(path: str, text: str) -> None:
         opts[0] = rename_cls.OVERWRITE
         fc.rename(tmp, p, opts)
         return
-    except Exception:
-        pass  # no FileContext binding for this scheme — fall back
+    except Exception as exc:
+        # Fall back ONLY when the scheme has no FileContext binding
+        # (UnsupportedFileSystemException from getFileContext — raw
+        # object stores). Any OTHER failure (transient HDFS error,
+        # permissions) must propagate: swallowing it would silently
+        # downgrade an atomic pointer swap to the torn-window
+        # delete-then-rename path on filesystems that DO support
+        # atomic rename (review r12).
+        if not _is_unsupported_fs(exc):
+            raise
     if fs.exists(p):
         fs.delete(p, False)
     if not fs.rename(tmp, p):
         raise IOError(f"rename {path}.tmp -> {path} failed")
+
+
+def _is_unsupported_fs(exc: Exception) -> bool:
+    """True when a py4j error wraps Hadoop's
+    ``UnsupportedFileSystemException`` (no AbstractFileSystem binding
+    for the scheme) — the one failure ``write_text_atomic`` is allowed
+    to downgrade to delete-then-rename on."""
+    try:
+        from py4j.protocol import Py4JJavaError
+    except Exception:  # pragma: no cover — py4j always ships with pyspark
+        return "UnsupportedFileSystemException" in str(exc)
+    if not isinstance(exc, Py4JJavaError):
+        return False
+    return "UnsupportedFileSystemException" in str(exc)
 
 
 def remove(path: str) -> None:

@@ -55,6 +55,7 @@ def overwrite_mode(spark, mode: str):
 # ---------------------------------------------------------------------------
 
 import os as _os
+import re as _re
 
 from sensor_data_pipeline___spark.operators import _fsio
 
@@ -76,7 +77,17 @@ def resolve_current(path: str) -> str:
         return _os.path.join(path, _fsio.read_text(ptr).strip())
     tmp = ptr + ".tmp"
     if _fsio.exists(tmp):
-        return _os.path.join(path, _fsio.read_text(tmp).strip())
+        # Trust the temp only if it actually holds a complete pointer:
+        # a crash DURING the tmp write (before close/flush) can leave
+        # it partial or empty, and following a garbage pointer would
+        # make the store unreadable where the flat root still serves
+        # (review r12). A valid pointer is exactly ``v<N>`` and names
+        # a generation dir that exists.
+        gen = _fsio.read_text(tmp).strip()
+        if _re.fullmatch(r"v\d+", gen) and _fsio.is_dir(
+            _os.path.join(path, gen)
+        ):
+            return _os.path.join(path, gen)
     return path
 
 

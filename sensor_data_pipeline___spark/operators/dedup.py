@@ -359,8 +359,15 @@ def _write_band_manifest(root: str) -> None:
             os.path.join(root, "bands"), "band_hash"
         )
     except _ManifestUnavailable:
-        # write NOTHING — probes fall back to the full scan (a partial
-        # manifest would silently hide the unlisted base files)
+        # write NOTHING — but a REWRITTEN generation root (compact over
+        # a stale v<N>, resave over the flat root) may still carry the
+        # PREVIOUS incarnation's manifest, whose min/max ranges describe
+        # files that no longer exist; probes pruning against it would
+        # silently miss duplicates outside the stale ranges (review
+        # r12). Drop the old manifest and its cache entry so probes
+        # truly fall back to the full scan.
+        _fsio.remove(os.path.join(root, "bands_manifest.json"))
+        _MANIFEST_CACHE.pop(root, None)
         return
     entries = []
     for rel, stats in stats_list:
@@ -455,7 +462,12 @@ def _write_sig_manifest(root: str, id_col: str) -> None:
             os.path.join(root, "signatures"), id_col
         )
     except _ManifestUnavailable:
-        return  # see _write_band_manifest: never persist a partial list
+        # see _write_band_manifest: never persist a partial list, and
+        # drop any previous incarnation's manifest so probes fall back
+        # to the full scan instead of pruning against stale ranges
+        _fsio.remove(os.path.join(root, "signatures_manifest.json"))
+        _MANIFEST_CACHE.pop((root, "sig"), None)
+        return
     entries = [
         {"file": rel, "min": s[0], "max": s[1]} for rel, s in stats_list
     ]

@@ -371,6 +371,7 @@ def test_torn_pointer_swap_recovers_forward(tmp_path):
     import os
 
     os.makedirs(root)
+    os.makedirs(os.path.join(root, "v2"))  # fully written pre-swap
     # healthy swap, then simulate the torn window: CURRENT deleted,
     # fully-written tmp left behind
     _writes.swap_current(root, os.path.join(root, "v1"))
@@ -381,6 +382,35 @@ def test_torn_pointer_swap_recovers_forward(tmp_path):
     assert _writes.resolve_current(root).endswith("v2")  # forward, not flat
     _writes.retire_current(root)
     assert _writes.resolve_current(root) == root  # tmp cleared too
+
+
+def test_partial_pointer_tmp_falls_back_to_flat_root(tmp_path):
+    """Review r12: a crash DURING the tmp write (before close/flush)
+    leaves CURRENT.tmp partial or empty — following it would name a
+    nonexistent generation and make the store unreadable. The tmp is
+    trusted only if it is exactly ``v<N>`` AND that generation dir
+    exists; otherwise the flat root serves."""
+    from sensor_data_pipeline___spark.operators import _writes
+
+    root = str(tmp_path / "store")
+    import os
+
+    os.makedirs(root)
+    tmp = os.path.join(root, "CURRENT.tmp")
+    # empty tmp (crash before any byte flushed)
+    open(tmp, "w").close()
+    assert _writes.resolve_current(root) == root
+    # garbage tmp (partial/corrupt content)
+    with open(tmp, "w") as f:
+        f.write("v")  # truncated mid-write
+    assert _writes.resolve_current(root) == root
+    # well-formed pointer but the generation dir is absent
+    with open(tmp, "w") as f:
+        f.write("v7")
+    assert _writes.resolve_current(root) == root
+    # once the named generation exists, forward recovery engages
+    os.makedirs(os.path.join(root, "v7"))
+    assert _writes.resolve_current(root).endswith("v7")
 
 
 def test_manifest_never_written_partial(spark, tmp_path, monkeypatch):
@@ -426,3 +456,39 @@ def test_manifest_never_written_partial(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert (50_000_005, 5) in hits
+
+
+def test_failed_manifest_rewrite_drops_stale_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Review r12 (advice): a REWRITTEN generation root (compact over a
+    stale v<N>, resave over the flat root) may still carry the previous
+    incarnation's manifest. If the new footer scan fails, the writer
+    must DELETE that stale manifest and pop the cache — pruning against
+    ranges that describe files which no longer exist silently misses
+    duplicates outside them."""
+    import os
+
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    dedup.save_minhash_index(docs.filter(F.col("doc_id") < 100), path)
+    root = dedup._mh_root(path)
+    assert os.path.exists(os.path.join(root, "bands_manifest.json"))
+    assert os.path.exists(os.path.join(root, "signatures_manifest.json"))
+    # warm the cache so the pop is observable
+    dedup._load_band_manifest(root)
+    dedup._load_sig_manifest(root)
+    assert root in dedup._MANIFEST_CACHE
+    assert (root, "sig") in dedup._MANIFEST_CACHE
+
+    def flaky(p, suffix):
+        raise OSError("transient listing failure")
+
+    monkeypatch.setattr(dedup._fsio, "list_files_recursive", flaky)
+    dedup._write_band_manifest(root)
+    dedup._write_sig_manifest(root, "doc_id")
+    # stale manifests gone, caches popped — probes take the full scan
+    assert not os.path.exists(os.path.join(root, "bands_manifest.json"))
+    assert not os.path.exists(os.path.join(root, "signatures_manifest.json"))
+    assert root not in dedup._MANIFEST_CACHE
+    assert (root, "sig") not in dedup._MANIFEST_CACHE
