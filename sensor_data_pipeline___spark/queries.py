@@ -7339,3 +7339,57 @@ def q_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = docs.filter(F.col("doc_id") % 10 != 0)
     return release_audit(cand, bench, gram_key="string")
+
+
+def _release_audit_summary_oracle() -> str:
+    return f"""
+    WITH ra AS ({_release_audit_oracle()}),
+    bg AS (
+      SELECT DISTINCT doc_id AS bench_id,
+             array_to_string(w[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id % 10 = 0),
+           unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ), dg AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ')
+                     AS w
+            FROM documents WHERE doc_id % 10 != 0),
+           unnest(generate_series(1, len(w) - 7)) AS t(i)
+    )
+    SELECT 'drop_reason' AS section, drop_reason AS key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_shared_grams) AS BIGINT) AS n_shared_grams
+    FROM ra GROUP BY drop_reason
+    UNION ALL
+    SELECT 'benchmark', CAST(bench_id AS VARCHAR),
+           CAST(count(DISTINCT doc_id) AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM dg JOIN bg USING (g) GROUP BY bench_id
+    """
+
+
+@_register(
+    "release_audit_summary",
+    # The BOUNDED release-audit artifact (operators/export.py:
+    # release_audit_summary, VERDICT r11 directive #6): the per-doc
+    # audit is corpus-sized by construction; the review-facing read at
+    # 100 TB is counts per drop_reason (doc count, token mass, shared
+    # grams) plus the per-benchmark contamination breakdown (docs
+    # touched, grams shared). Oracle = GROUP BY over the nested
+    # release_audit oracle, UNION ALL the benchmark-keyed gram join.
+    _release_audit_summary_oracle(),
+)
+def q_release_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.export import (
+        release_audit_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    cand = docs.filter(F.col("doc_id") % 10 != 0)
+    return release_audit_summary(cand, bench, gram_key="string")
