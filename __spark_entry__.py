@@ -33,21 +33,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, so ordering is part of the contract. Rows-only (no-oracle)
 # entries ride the local replica harness
 # (tests/test_queries_oracle.py) instead of spending gate slots.
-# Round-11 rotation (standing policy from VERDICT r6 directive #1,
-# window prescription per VERDICT r10 directive #2): the window keeps
+# Round-12 rotation (standing policy from VERDICT r6 directive #1,
+# window prescription per VERDICT r11 directive #2): the window keeps
 # the 11-entry veteran spine (reference-parity core that never
 # rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the THREE r11-registered
-# never-gated entries (the BPE encode half bpe_encode_k5 +
-# pack_sequences_bpe per directive #1, the release_audit composite
-# per #6), and fills the remaining 36 slots with the STALEST
-# previously-gated cohort: all 34 entries last gated in r6
-# (accuracy-contract sketches, profiling, set ops, funnels, text
-# stats, embedding column stats) plus the first 2 (name order) of the
-# r7-last cohort (the exact ANN twins). The five r9-registered
-# entries gated green in both r9 and r10 rotate out. The ledger
-# invariant ("every oracle-backed entry gated at least once") is
-# auditable in GATE_LEDGER.md, regenerated per round by
+# session_window_batch watch item), adds the TWO never-gated entries
+# (bpe_token_length_hist, registered after r11's gate ran — the one
+# ledger exception — and the r12-registered release_audit_summary per
+# directive #6), and fills the remaining 37 slots with the STALEST
+# previously-gated cohort: all 37 entries last gated in r7
+# (anti_join_inactive_customers … zorder_curve_stats — recomputed from
+# the CORRECTNESS_r*.json union this round). The r11 window's 39
+# non-spine entries rotate out. The ledger invariant ("every
+# oracle-backed entry gated at least once") is auditable in
+# GATE_LEDGER.md, regenerated per round by
 # scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
 # local replica harness and scripts/verify_driver.py's full-surface
 # sf0.01 sweep.
@@ -65,49 +64,48 @@ _PRIORITY = (
     "corpus_pipeline_stats",
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
-    # --- never-gated (registered r11): the BPE encode half + its
-    # pack_sequences integration, and the release-audit composite ---
-    "bpe_encode_k5",
-    "pack_sequences_bpe",
-    "release_audit",
-    # --- stalest refresh: last gated r6 (all 34) ---
-    "collapse_repeat_tokens",
-    "conditional_boolean_aggs",
-    "corr_regression_returnflag",
-    "daily_new_vs_returning",
-    "duplicated_gram_fraction",
-    "embedding_centroid_norm",
-    "embedding_component_stats",
-    "embedding_dim_variance",
-    "embedding_quantization_stats",
-    "full_outer_click_purchase",
-    "funnel_conversion",
-    "grouping_sets_priority",
-    "hard_negative_mining",
-    "hard_negative_mining_blocked",
-    "hash_split_sizes",
-    "histogram_sketch_quantiles",
-    "json_extract_props",
-    "latest_event_per_user",
-    "mixture_sample_docs",
-    "quality_assertion_counts",
-    "range_frame_user_spend",
-    "rank_distribution",
-    "revenue_share_by_nation",
-    "set_except_customers",
-    "set_intersect_customers",
-    "shard_assignment",
-    "string_agg_nations",
-    "text_normalization",
-    "top_bigrams",
-    "top_terms",
-    "udtf_first_terms",
-    "value_histogram",
-    "waveform_envelope",
-    "winsorize_event_values",
-    # --- stalest refresh: last gated r7 (first 2 by name) ---
-    "ann_topk_ivf_exact",
-    "ann_topk_lsh_exact",
+    # --- never-gated: registered after r11's gate ran (ledger
+    # exception) + the r12-registered bounded release-audit read ---
+    "bpe_token_length_hist",
+    "release_audit_summary",
+    # --- stalest refresh: last gated r7 (all 37) ---
+    "anti_join_inactive_customers",
+    "benford_first_digit",
+    "column_profile_orders",
+    "content_pattern_profile",
+    "cube_orders",
+    "dedup_exact_stats",
+    "dedup_token_set",
+    "distinct_agg_suppliers",
+    "distinct_projection",
+    "embedding_near_dup",
+    "fingerprint_md5",
+    "hash_stratified_counts",
+    "hourly_tumbling_window",
+    "in_list_filter",
+    "interarrival_histogram",
+    "inverted_index_sample",
+    "iso_multiformat_parse",
+    "lag_daily_power_delta",
+    "lang_distribution",
+    "lang_id_heuristic",
+    "ntile_deciles",
+    "percentile_prices",
+    "psi_value_drift",
+    "q13_customer_distribution",
+    "q14_brand_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "segment_frequency_stats",
+    "semi_join_active_customers",
+    "string_functions_parts",
+    "text_quality",
+    "token_counts",
+    "user_event_sequences",
+    "window_running_total",
+    "winnowing_fingerprint",
+    "zorder_curve_stats",
 )
 
 
