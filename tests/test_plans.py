@@ -321,3 +321,60 @@ def test_bpe_encode_is_map_only(spark, tmp_path):
     assert "Exchange" not in plan, plan
     # one aggregate(...) fold per learned merge, each exactly once
     assert plan.count("aggregate(slice(") == 5, plan
+
+
+def test_bpe_word_cache_encode_plan_shape(spark, tmp_path):
+    """The large-k encode strategy (word-cache, VERDICT r11 #1), JVM
+    fold word-encoder: the corpus side must pay joins/aggregation
+    INDEPENDENT of k — the merge-fold chain runs only on the
+    distinct-word table — and the chunked localCheckpoint must
+    actually cut the live plan: with checkpoint_every=2 and k=5, at
+    most the LAST chunk's folds (≤2) survive in the optimized plan,
+    the rest hidden behind the checkpoint's RDD scan."""
+    from sensor_data_pipeline___spark.operators import text as T
+
+    docs = readers.table(spark, "documents", SF)
+    path = str(tmp_path / "bpe")
+    T.save_bpe_vocab(docs, path, k=5)
+    df = T.encode_against_vocab(
+        spark, path, docs, strategy="word_cache", checkpoint_every=2,
+        word_encoder="fold",
+    )
+    plan = explain.formatted_plan(df)
+    # plan is cut: the checkpointed word table scans as an RDD
+    assert "ExistingRDD" in plan, plan
+    # only the post-checkpoint chunk's folds remain visible (k=5,
+    # chunks of 2 -> final chunk has 1 fold), not all 5
+    assert 1 <= plan.count("aggregate(slice(") <= 2, plan
+    # corpus-side cost independent of k: explode + one join + one
+    # final groupBy — no per-merge exchange anywhere
+    assert plan.count("Exchange") <= 6, plan
+
+
+def test_bpe_word_cache_arrow_plan_shape(spark, tmp_path):
+    """The word-cache auto word-encoder (Arrow): the Python pass must
+    touch ONLY the distinct-word table — exactly one MapInPandas node,
+    fed by the word-side aggregate, never the corpus scan — with zero
+    merge folds anywhere (k lives in the task closure, not the plan)
+    and the same k-independent corpus shape."""
+    from sensor_data_pipeline___spark.operators import text as T
+
+    docs = readers.table(spark, "documents", SF)
+    path = str(tmp_path / "bpe")
+    T.save_bpe_vocab(docs, path, k=5)
+    df = T.encode_against_vocab(
+        spark, path, docs, strategy="word_cache", word_encoder="arrow"
+    )
+    plan = explain.formatted_plan(df)
+    import re
+
+    # count OPERATORS via the detail-section headers (formatted
+    # explain prints each node in the tree AND in the details)
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    assert ops.count("MapInPandas") == 1, plan
+    assert "aggregate(slice(" not in plan, plan
+    # corpus-side cost independent of k; the encoded word table comes
+    # back BROADCAST (suite-sized), never a corpus-sized shuffle side
+    n_exch = sum(1 for o in ops if o in ("Exchange", "BroadcastExchange"))
+    assert n_exch <= 5, (ops, plan)
+    assert "BroadcastExchange" in ops, plan

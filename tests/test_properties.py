@@ -460,3 +460,82 @@ def test_bpe_learn_and_encode_match_python_reference(spark, texts, k):
     for i, t in enumerate(texts):
         toks = _py_bpe_encode(t, expected_merges)
         assert got_enc[i] == (len(toks), " ".join(toks)), (t, toks)
+
+
+def test_bpe_encode_large_k_matches_python_reference(spark, tmp_path):
+    """VERDICT r11 directive #1: encode correctness at k ≥ 32 against
+    the pure-Python reference, for BOTH strategies — the inline
+    map-only fold chain and the word-cache path (distinct-word encode
+    with chunked localCheckpoint + join back) that makes production
+    vocabulary sizes viable. Real corpus (sf0.001 documents), k=40;
+    also pins k=40 learn parity (the hypothesis twin stops at k=4)."""
+    from sensor_data_pipeline___spark.operators.text import (
+        encode_against_vocab,
+        load_bpe_merges,
+        save_bpe_vocab,
+    )
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", "/root/testdata/sf0.001")
+    rows = docs.select("doc_id", "text").collect()
+    texts = {r.doc_id: (r.text or "") for r in rows}
+
+    path = str(tmp_path / "bpe40")
+    save_bpe_vocab(docs, path, k=40)
+    expected_merges = _py_bpe_learn(list(texts.values()), 40)
+    assert len(expected_merges) == 40
+    got_merges = load_bpe_merges(spark, path)
+    assert got_merges == [(l, r) for l, r, _ in expected_merges]
+
+    expected = {
+        i: _py_bpe_encode(t, expected_merges) for i, t in texts.items()
+    }
+    variants = (
+        ("inline", 0, "auto"),
+        ("word_cache", 8, "fold"),
+        ("word_cache", 0, "arrow"),
+    )
+    for strategy, ckpt, enc in variants:
+        got = {
+            r.doc_id: (r.n_tokens, r.encoded)
+            for r in encode_against_vocab(
+                spark,
+                path,
+                docs,
+                strategy=strategy,
+                checkpoint_every=ckpt,
+                word_encoder=enc,
+            ).collect()
+        }
+        assert len(got) == len(expected)
+        for i, toks in expected.items():
+            assert got[i] == (len(toks), " ".join(toks)), (strategy, enc, i)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_bpe_texts, st.integers(min_value=1, max_value=4))
+def test_bpe_word_cache_encode_matches_python_reference(spark, texts, k):
+    """The word-cache encode strategy (distinct words + join back)
+    agrees with the pure-Python reference on arbitrary small corpora —
+    same contract as the inline strategy's hypothesis twin, including
+    chunked-checkpoint plan cutting (checkpoint_every=2)."""
+    from sensor_data_pipeline___spark.operators.text import (
+        encode_against_vocab,
+        save_bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expected_merges = _py_bpe_learn(texts, k)
+    path = spark.conf.get("spark.local.dir", "/tmp") + "/bpe_prop_wc"
+    save_bpe_vocab(docs, path, k=k)
+    got = {
+        r.doc_id: (r.n_tokens, r.encoded)
+        for r in encode_against_vocab(
+            spark, path, docs, strategy="word_cache", checkpoint_every=2
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _py_bpe_encode(t, expected_merges)
+        assert got[i] == (len(toks), " ".join(toks)), (t, toks)
