@@ -180,7 +180,11 @@ def bench_streaming(
 
 
 def bench_corpus_ingest(
-    spark, docs_per_file: int = 10_000, n_files: int = 8
+    spark,
+    docs_per_file: int = 10_000,
+    n_files: int = 8,
+    tokenizer_vocab_path: "str | None" = None,
+    key_prefix: str = "corpus_ingest",
 ) -> dict[str, float]:
     """Streaming corpus ingest throughput (VERDICT r5 directive #5):
     the ``corpus_ingest_stream`` path — JSONL drop → quality gate →
@@ -229,6 +233,7 @@ def bench_corpus_ingest(
             os.path.join(td, "out"),
             os.path.join(td, "ckpt"),
             max_files_per_trigger=1,
+            tokenizer_vocab_path=tokenizer_vocab_path,
         )
         q.awaitTermination(300)
         done = [
@@ -243,11 +248,76 @@ def bench_corpus_ingest(
         rows = sum(p["numInputRows"] for p in done)
         exec_ms = [p["durationMs"]["triggerExecution"] for p in done]
         return {
-            "corpus_ingest_rows_per_s": round(rows / (sum(exec_ms) / 1000.0), 1),
-            "corpus_ingest_batch_latency_ms_p50": round(
+            f"{key_prefix}_rows_per_s": round(
+                rows / (sum(exec_ms) / 1000.0), 1
+            ),
+            f"{key_prefix}_batch_latency_ms_p50": round(
                 statistics.median(exec_ms), 1
             ),
-            "corpus_ingest_batches_measured": len(done),
+            f"{key_prefix}_batches_measured": len(done),
+        }
+
+
+def bench_corpus_ingest_tokenized(spark, sf_dir: str) -> dict[str, float]:
+    """The tokenize-at-ingest arm of :func:`bench_corpus_ingest`
+    (VERDICT r11 directive #5): the SAME synthetic drop and stream,
+    plus a persisted k=5 BPE vocabulary composed in as the
+    ``n_tokens_bpe`` enrichment — so the composition's cost is a
+    tracked number (``corpus_ingest_tok_rows_per_s`` vs the base
+    track) instead of an inference. The vocabulary is fit on the
+    sf documents (real text) outside the measured window."""
+    import tempfile
+
+    from sensor_data_pipeline___spark.operators.text import save_bpe_vocab
+    from sensor_data_pipeline___spark.sources import readers
+
+    with tempfile.TemporaryDirectory() as td:
+        vocab = os.path.join(td, "vocab")
+        save_bpe_vocab(
+            readers.table(spark, "documents", sf_dir), vocab, k=5
+        )
+        return bench_corpus_ingest(
+            spark,
+            tokenizer_vocab_path=vocab,
+            key_prefix="corpus_ingest_tok",
+        )
+
+
+def bench_bpe_encode_warm(spark, sf_dir: str) -> dict[str, float]:
+    """Warm-encode throughput (VERDICT r11 directive #4): the
+    ``bpe_encode_k5`` headline number is the full lifecycle (fit +
+    persist + encode); THIS isolates the steady-state cost a serving
+    tokenizer actually pays — store pre-built outside the window,
+    measure ``encode_against_vocab`` alone (3 reps, min). The map-only
+    claim gets its own tracked figure."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators.text import (
+        encode_against_vocab,
+        save_bpe_vocab,
+    )
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", sf_dir)
+    n_rows = docs.count()
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "vocab")
+        save_bpe_vocab(docs, path, k=5)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            encode_against_vocab(spark, path, docs).agg(
+                F.count("*").alias("n"),
+                F.sum("n_tokens").alias("tok"),
+            ).collect()
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        return {
+            "bpe_encode_warm_s": round(best, 3),
+            "bpe_encode_warm_rows_per_s": round(n_rows / best, 1),
         }
 
 
@@ -475,6 +545,14 @@ def main() -> None:
         result.update(bench_corpus_ingest(spark))
     except Exception as exc:  # noqa: BLE001 — record, keep going
         errors["corpus_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        result.update(bench_corpus_ingest_tokenized(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001 — record, keep going
+        errors["corpus_ingest_tok"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        result.update(bench_bpe_encode_warm(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001 — record, keep going
+        errors["bpe_encode_warm"] = f"{type(exc).__name__}: {exc}"[:300]
     try:
         result.update(bench_corpus_neardup_ingest(spark))
     except Exception as exc:  # noqa: BLE001 — record, keep going
