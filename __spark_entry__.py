@@ -37,14 +37,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # window prescription per VERDICT r11 directive #2): the window keeps
 # the 11-entry veteran spine (reference-parity core that never
 # rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the TWO never-gated entries
-# (bpe_token_length_hist, registered after r11's gate ran — the one
-# ledger exception — and the r12-registered release_audit_summary per
-# directive #6), and fills the remaining 37 slots with the STALEST
-# previously-gated cohort: all 37 entries last gated in r7
-# (anti_join_inactive_customers … zorder_curve_stats — recomputed from
-# the CORRECTNESS_r*.json union this round). The r11 window's 39
-# non-spine entries rotate out. The ledger invariant ("every
+# session_window_batch watch item), adds the THREE never-gated
+# entries (bpe_token_length_hist, registered after r11's gate ran —
+# the one ledger exception — plus the r12-registered
+# release_audit_summary per directive #6 and cluster_quality_reps),
+# and fills the remaining 36 slots with the STALEST previously-gated
+# cohort: the first 36 (by name) of the 37 entries last gated in r7
+# (anti_join_inactive_customers … winnowing_fingerprint — recomputed
+# from the CORRECTNESS_r*.json union this round; zorder_curve_stats
+# leads the r13 staleness queue). The r11 window's 39 non-spine
+# entries rotate out. The ledger invariant ("every
 # oracle-backed entry gated at least once") is auditable in
 # GATE_LEDGER.md, regenerated per round by
 # scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
@@ -65,10 +67,12 @@ _PRIORITY = (
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
     # --- never-gated: registered after r11's gate ran (ledger
-    # exception) + the r12-registered bounded release-audit read ---
+    # exception) + the r12-registered bounded release-audit read and
+    # quality-argmax cluster representatives ---
     "bpe_token_length_hist",
     "release_audit_summary",
-    # --- stalest refresh: last gated r7 (all 37) ---
+    "cluster_quality_reps",
+    # --- stalest refresh: last gated r7 (first 36 by name) ---
     "anti_join_inactive_customers",
     "benford_first_digit",
     "column_profile_orders",
@@ -105,7 +109,6 @@ _PRIORITY = (
     "user_event_sequences",
     "window_running_total",
     "winnowing_fingerprint",
-    "zorder_curve_stats",
 )
 
 

@@ -104,6 +104,14 @@ BENCH_QUERIES = [
     "contamination_attribution",
     "bpe_encode_k5",
     "release_audit",
+    # round-12 additions: the bounded release-audit read (counts per
+    # drop_reason + per-benchmark breakdown — the artifact a review
+    # pages through where the per-doc audit is corpus-sized) and the
+    # encoded-corpus token-length histogram (the vocab-review
+    # diagnostic, gated this round) — benched on registration so no
+    # gated operator ships unbenched
+    "release_audit_summary",
+    "bpe_token_length_hist",
 ]
 
 
@@ -306,19 +314,25 @@ def bench_bpe_encode_warm(spark, sf_dir: str) -> dict[str, float]:
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "vocab")
         save_bpe_vocab(docs, path, k=5)
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            encode_against_vocab(spark, path, docs).agg(
-                F.count("*").alias("n"),
-                F.sum("n_tokens").alias("tok"),
-            ).collect()
-            times.append(time.perf_counter() - t0)
-        best = min(times)
-        return {
-            "bpe_encode_warm_s": round(best, 3),
-            "bpe_encode_warm_rows_per_s": round(n_rows / best, 1),
-        }
+        out = {}
+        for key, kwargs in (
+            ("bpe_encode_warm", {}),  # auto: the map-only inline plan
+            # the r12 large-k path (distinct-word Arrow encode + join
+            # back) — k-independent, tracked alongside the inline arm
+            ("bpe_encode_warm_wc", {"strategy": "word_cache"}),
+        ):
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                encode_against_vocab(spark, path, docs, **kwargs).agg(
+                    F.count("*").alias("n"),
+                    F.sum("n_tokens").alias("tok"),
+                ).collect()
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            out[f"{key}_s"] = round(best, 3)
+            out[f"{key}_rows_per_s"] = round(n_rows / best, 1)
+        return out
 
 
 def bench_corpus_neardup_ingest(

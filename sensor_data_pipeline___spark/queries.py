@@ -7393,3 +7393,86 @@ def q_release_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = docs.filter(F.col("doc_id") % 10 != 0)
     return release_audit_summary(cand, bench, gram_key="string")
+
+
+@_register(
+    "cluster_quality_reps",
+    # Quality-argmax dedup-cluster representatives over EXACT pairs
+    # (round 12): the first oracle-HASH-gated ride of the
+    # connected-components machinery. The pair source is the exact
+    # prefix-filtered Jaccard self-join (set_similarity_pairs' shape,
+    # threshold 0.9 — cross-engine reproducible, unlike the seeded
+    # minhash edges behind the rows-only minhash_cluster_stats), the
+    # components come from dedup.connected_components (min-label
+    # propagation), and the keeper rule upgrades min-id to ARGMAX
+    # QUALITY (longest token count, doc_id tiebreak) — the rule a real
+    # dedup pipeline wants: keep the most complete member, not the
+    # accidental lowest id. Oracle: recursive-CTE transitive closure
+    # (reach = edges UNION reach JOIN edges) + least(self, min(reach))
+    # as the component id — exactly the label-propagation fixpoint.
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ), e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+            (len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks))) >= 0.9
+    ), edges AS (
+      SELECT u, v FROM e UNION SELECT v, u FROM e
+    ), reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ), comp AS (
+      SELECT u AS node, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    ), nt AS (
+      SELECT doc_id AS node,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT c.component, c.node, nt.n_tokens,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY nt.n_tokens DESC, c.node ASC
+             ) AS rk
+      FROM comp c JOIN nt USING (node)
+    )
+    SELECT component,
+           max(CASE WHEN rk = 1 THEN node END) AS rep_doc_id,
+           max(CASE WHEN rk = 1 THEN n_tokens END) AS rep_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS cluster_tokens
+    FROM ranked GROUP BY component
+    """,
+)
+def q_cluster_quality_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components,
+        set_similarity_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = set_similarity_join(docs, threshold=0.9)
+    comp = connected_components(pairs)
+    toks = docs.select(
+        F.col("doc_id").alias("node"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("node").asc()
+    )
+    ranked = comp.join(toks, "node").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return ranked.groupBy("component").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("rep_doc_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_tokens"))).alias(
+            "rep_tokens"
+        ),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("cluster_tokens"),
+    )
