@@ -37,15 +37,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # window prescription per VERDICT r11 directive #2): the window keeps
 # the 11-entry veteran spine (reference-parity core that never
 # rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the THREE never-gated
+# session_window_batch watch item), adds the FIVE never-gated
 # entries (bpe_token_length_hist, registered after r11's gate ran —
 # the one ledger exception — plus the r12-registered
-# release_audit_summary per directive #6 and cluster_quality_reps),
-# and fills the remaining 36 slots with the STALEST previously-gated
-# cohort: the first 36 (by name) of the 37 entries last gated in r7
-# (anti_join_inactive_customers … winnowing_fingerprint — recomputed
-# from the CORRECTNESS_r*.json union this round; zorder_curve_stats
-# leads the r13 staleness queue). The r11 window's 39 non-spine
+# release_audit_summary per directive #6, cluster_quality_reps, and
+# the two classifier queries quality_classifier_scores /
+# quality_classifier_eval — registering into the CURRENT window so
+# never-gated stays empty after this round's gate), and fills the
+# remaining 34 slots with the STALEST previously-gated cohort: the
+# first 34 (by name) of the 37 entries last gated in r7
+# (anti_join_inactive_customers … user_event_sequences — recomputed
+# from the CORRECTNESS_r*.json union this round; window_running_total
+# and winnowing_fingerprint slide to the front of the r13 staleness
+# queue behind zorder_curve_stats). The r11 window's 39 non-spine
 # entries rotate out. The ledger invariant ("every
 # oracle-backed entry gated at least once") is auditable in
 # GATE_LEDGER.md, regenerated per round by
@@ -72,7 +76,9 @@ _PRIORITY = (
     "bpe_token_length_hist",
     "release_audit_summary",
     "cluster_quality_reps",
-    # --- stalest refresh: last gated r7 (first 36 by name) ---
+    "quality_classifier_scores",
+    "quality_classifier_eval",
+    # --- stalest refresh: last gated r7 (first 34 by name) ---
     "anti_join_inactive_customers",
     "benford_first_digit",
     "column_profile_orders",
@@ -107,8 +113,6 @@ _PRIORITY = (
     "text_quality",
     "token_counts",
     "user_event_sequences",
-    "window_running_total",
-    "winnowing_fingerprint",
 )
 
 

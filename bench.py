@@ -112,6 +112,15 @@ BENCH_QUERIES = [
     # gated operator ships unbenched
     "release_audit_summary",
     "bpe_token_length_hist",
+    # round-12, second wave: the hashed-ngram quality classifier
+    # (centered full-batch GD fit + map-side scoring + the bounded
+    # confusion read — the distill-the-expensive-judge filter; the
+    # fit-and-score lifecycle rides one number like bpe_encode_k5's).
+    # NOT cluster_quality_reps: its 0.9-Jaccard pair list is
+    # quadratic on this synthetic corpus at sf0.1 — the same
+    # output-not-engine reason set_similarity_pairs is excluded; it
+    # stays oracle-gated at sf0.01.
+    "quality_classifier_eval",
 ]
 
 

@@ -1,0 +1,413 @@
+"""Hashed-ngram linear classifier — fit and score as DataFrame ops.
+
+The distill-the-expensive-judge pattern every large-scale training-data
+pipeline converges on (CCNet's fastText language/quality filters, the
+GPT-3 data work's LR-over-features quality classifier): an expensive
+gate — human labels, an LLM judge, a slow heuristic conjunction —
+labels a bounded reference set, a CHEAP linear model over hashed token
+features learns to mimic it, and the cheap model scores the full
+corpus as a map-side pass. This module is that loop, Spark-first:
+
+- :func:`featurize_hashed` — bag-of-hashed-unigram counts
+  (md5 → 32-bit → mod ``n_buckets``, the ``dsir._bucket``
+  construction) plus a constant bias feature per document;
+- :func:`fit_linear_classifier` — full-batch gradient descent with
+  MEAN-CENTERED features, each iteration two joins plus bounded
+  aggregations over the cached feature table;
+- :func:`classifier_score` — broadcast the (``n_buckets``+1)-row
+  weight table, one per-doc sum, squash.
+
+Centering WITHOUT densifying: raw bag-of-words counts are
+all-positive and badly conditioned for GD (every gradient step pushes
+all weights the same direction and the model saturates at the base
+rate). Centering fixes that, but materializing ``x − mean`` would turn
+the sparse feature table dense — ``n_buckets × corpus`` rows, a
+non-starter at 100 TB. The loop instead keeps the algebraic identity
+sparse:
+
+    s(d)    = Σ_f x(d,f)·w(f) − c,        c = Σ_f m(f)·w(f)
+    grad(f) = Σ_d x(d,f)·r(d) − m(f)·R,   R = Σ_d r(d)
+
+so the centered fit costs exactly the sparse fit plus two
+BOUNDED aggregates per iteration (``c`` over the weight table, ``R``
+over the residuals — both 1-row broadcasts). The bias feature is
+excluded from centering (its centered value would be identically 0).
+
+Scale posture (100 TB): the feature table is built ONCE and
+``localCheckpoint``-ed (it is re-joined every iteration — the
+``graph.pagerank`` edges posture; at real scale persist it to the
+warehouse instead). The weight table is ``n_buckets``+1 rows by
+construction — broadcastable at ANY corpus size, like the DSIR count
+tables. Gradient aggregation shuffles O(buckets) rows per iteration;
+scoring is one broadcast join + one per-doc partial-agg shuffle. In
+production the FIT runs on the small labeled reference set and only
+:func:`classifier_score` touches the full corpus.
+
+Cross-engine exactness (why this family is oracle-HASH-gated instead
+of rows-only, despite being iterative floating-point):
+
+- feature values are integer token counts (exact in double);
+- the squashing function is the rational fast sigmoid
+  ``p = 0.5 + 0.5*s/(1 + abs(s))`` — ``+ * / abs`` only, IEEE
+  bit-identical across engines, where ``exp``-based logistic is not;
+- every aggregation (per-doc score sums, per-bucket gradient sums,
+  the ``c``/``R`` centering scalars) runs in DECIMAL(30,10) — the
+  ``time_weighted_avg`` recipe — so cross-engine summation ORDER
+  cannot move a ULP;
+- everything elementwise on identical doubles is bit-identical.
+
+After T unrolled iterations the weights and per-document scores are
+therefore bit-identical between the Spark loop and the DuckDB twin
+(:func:`classifier_scores_oracle_sql` unrolls the same T steps as
+chained CTEs — the ``pagerank_oracle_sql`` precedent for "iterative
+is not unverifiable"). ``round(..., 6)`` on the gated outputs is
+belt-and-braces house style, not load-bearing.
+
+Reference scope note: the reference engine (Flask + dbt) has no ML
+surface; this family is part of the north-star training-data-pipeline
+extension set (BASELINE.json), alongside dedup/DSIR/decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,10)"
+N_BUCKETS = 256
+SALT = "qclf-v1"
+BIAS_BUCKET = -1
+ITERS = 8
+LR = 2.0
+
+
+def _bucket(col: Column, salt: str, n_buckets: int) -> Column:
+    """First 32 bits of md5(salt|value), mod ``n_buckets`` — identical
+    to ``dsir._bucket`` / ``sampling.hash_bucket`` (md5, not xxhash64,
+    so bucket membership is ANSI-replayable)."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), col))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def _fast_sigmoid(s: Column) -> Column:
+    """``0.5 + 0.5*s/(1+|s|)`` — a sigmoid-shaped rational squash in
+    (0,1), monotone, p(0)=0.5. Chosen over ``1/(1+exp(-s))`` because
+    it uses only IEEE-exact basic ops: ``exp`` is correctly-rounded in
+    NEITHER engine and its last-ulp disagreements would break the
+    bit-identical cross-engine replay this module guarantees."""
+    return F.lit(0.5) + F.lit(0.5) * s / (F.lit(1.0) + F.abs(s))
+
+
+def _dec_sum(prod: Column) -> Column:
+    """Order-independent double sum: cast each elementwise term to
+    DECIMAL(30,10) (deterministic — both engines round the same
+    double the same way), sum exactly in decimal, cast back. The
+    ``time_weighted_avg`` recipe, applied inside an iteration."""
+    return F.sum(prod.cast(_DEC)).cast("double")
+
+
+def featurize_hashed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    salt: str = SALT,
+) -> DataFrame:
+    """``(id, bucket, x)`` — x = the count of the document's
+    whitespace tokens hashing into ``bucket``, plus the constant bias
+    feature (``bucket = -1, x = 1``) every document carries (so
+    zero-token documents still score, at the learned base rate).
+
+    One explode + one (id, bucket) partial-agg shuffle; counts are
+    integers, exact in double."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_tk")
+    ).filter(F.length("_tk") > 0)
+    counts = (
+        toks.select(
+            id_col, _bucket(F.col("_tk"), salt, n_buckets).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    bias = docs.select(
+        F.col(id_col),
+        F.lit(BIAS_BUCKET).cast("long").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    return counts.unionByName(bias)
+
+
+def fit_linear_classifier(
+    feats: DataFrame,
+    labels: DataFrame,
+    iters: int = ITERS,
+    lr: float = LR,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """``(bucket, m, w)`` after ``iters`` full-batch gradient steps
+    from w=0 on labels in {0,1}, over mean-centered features (sparse
+    identity — see module docstring):
+
+    ``s(d) = Σ_f x(d,f)·w(f) − Σ_f m(f)·w(f)``;
+    ``p = fast_sigmoid(s)``;  ``r = y − p``;
+    ``w(f) += (lr/N)·(Σ_d x(d,f)·r(d) − m(f)·Σ_d r(d))``.
+
+    ``m`` is the per-bucket mean count over the fit corpus (0 for the
+    bias bucket) and rides along in the returned weight table so
+    :func:`classifier_score` applies the same centering. The feature
+    and label tables are checkpointed once (re-joined every
+    iteration); weights checkpoint per iteration to cut the
+    iterative-lineage blowup (the ``pagerank`` posture). ``N`` is the
+    one driver scalar, the watermark class."""
+    feats = feats.localCheckpoint(eager=True)
+    labels = labels.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    ).localCheckpoint(eager=True)
+    n = labels.count()
+    if n == 0:
+        return (
+            feats.select("bucket")
+            .distinct()
+            .withColumn("m", F.lit(0.0))
+            .withColumn("w", F.lit(0.0))
+        )
+    step = lr / n  # same IEEE division the oracle runs SQL-side
+    w = (
+        feats.groupBy("bucket")
+        .agg((_dec_sum(F.col("x")) / F.lit(float(n))).alias("m"))
+        .withColumn(
+            "m",
+            F.when(
+                F.col("bucket") == BIAS_BUCKET, F.lit(0.0)
+            ).otherwise(F.col("m")),
+        )
+        .withColumn("w", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        c = w.agg(_dec_sum(F.col("m") * F.col("w")).alias("_c"))
+        s = (
+            feats.join(F.broadcast(w.select("bucket", "w")), "bucket")
+            .groupBy(id_col)
+            .agg(_dec_sum(F.col("x") * F.col("w")).alias("_sr"))
+        )
+        resid = (
+            labels.join(s, id_col, "left")
+            .crossJoin(F.broadcast(c))
+            .select(
+                F.col(id_col),
+                (
+                    F.col("_y")
+                    - _fast_sigmoid(
+                        F.coalesce(F.col("_sr"), F.lit(0.0))
+                        - F.col("_c")
+                    )
+                ).alias("_r"),
+            )
+        )
+        rtot = resid.agg(_dec_sum(F.col("_r")).alias("_R"))
+        grad = (
+            feats.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(_dec_sum(F.col("x") * F.col("_r")).alias("_g"))
+        )
+        w = (
+            w.join(grad, "bucket", "left")
+            .crossJoin(F.broadcast(rtot))
+            .select(
+                "bucket",
+                "m",
+                (
+                    F.col("w")
+                    + F.lit(step)
+                    * (
+                        F.coalesce(F.col("_g"), F.lit(0.0))
+                        - F.col("m") * F.col("_R")
+                    )
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w
+
+
+def classifier_score(
+    feats: DataFrame, weights: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, score)`` for every document in ``feats`` — broadcast the
+    bounded ``(bucket, m, w)`` table, one per-doc decimal-exact sum,
+    subtract the centering constant, squash. The full-corpus pass at
+    100 TB: map-side join + one partial-agg shuffle on the doc id."""
+    c = weights.agg(_dec_sum(F.col("m") * F.col("w")).alias("_c"))
+    return (
+        feats.join(F.broadcast(weights.select("bucket", "w")), "bucket")
+        .groupBy(id_col)
+        .agg(_dec_sum(F.col("x") * F.col("w")).alias("_sr"))
+        .crossJoin(F.broadcast(c))
+        .select(
+            F.col(id_col),
+            _fast_sigmoid(F.col("_sr") - F.col("_c")).alias("score"),
+        )
+    )
+
+
+def _oracle_parts(
+    iters: int,
+    lr: float,
+    n_buckets: int,
+    salt: str,
+    label_expr: str,
+    table: str,
+    id_col: str,
+    text_col: str,
+) -> "list[str]":
+    """The shared CTE chain of the DuckDB twins: featurize, means, w0,
+    then ``iters`` unrolled (score, residual, gradient, update) steps
+    — the ``pagerank_oracle_sql`` fixed-depth precedent. Ends with
+    ``sc`` = per-doc final score (bit-identical to
+    :func:`classifier_score` over :func:`fit_linear_classifier`)."""
+    lr_lit = repr(float(lr))
+    dsum = "CAST(sum(CAST({t} AS DECIMAL(30,10))) AS DOUBLE)"
+    fsig = "(0.5 + 0.5 * {s} / (1.0 + abs({s})))"
+    parts = [
+        f"""tokq AS (
+      SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS tk
+      FROM {table}
+    )""",
+        f"""featsq AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('{salt}' || '|' || tk), 1, 8))
+                  AS BIGINT) % {n_buckets} AS bucket,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM tokq WHERE len(tk) > 0
+      GROUP BY doc_id, bucket
+      UNION ALL
+      SELECT {id_col} AS doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x
+      FROM {table}
+    )""",
+        f"""labq AS MATERIALIZED (
+      SELECT {id_col} AS doc_id, CAST({label_expr} AS DOUBLE) AS y
+      FROM {table}
+    )""",
+        """nnq AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM labq)""",
+        f"""w0 AS MATERIALIZED (
+      SELECT bucket,
+             CASE WHEN bucket = -1 THEN 0.0
+                  ELSE {dsum.format(t='x')} / (SELECT n FROM nnq)
+             END AS m,
+             0.0 AS w
+      FROM featsq GROUP BY bucket
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        prev, cur = f"w{t - 1}", f"w{t}"
+        cexp = (
+            f"(SELECT {dsum.format(t='m * w')} FROM {prev})"
+        )
+        sarg = f"(coalesce(s.s, 0.0) - {cexp})"
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT f.doc_id, {dsum.format(t='f.x * w.w')} AS s
+      FROM featsq f JOIN {prev} w USING (bucket)
+      GROUP BY f.doc_id
+    )"""
+        )
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+      SELECT l.doc_id, l.y - {fsig.format(s=sarg)} AS r
+      FROM labq l LEFT JOIN s{t} s USING (doc_id)
+    )"""
+        )
+        parts.append(
+            f"""g{t} AS MATERIALIZED (
+      SELECT f.bucket, {dsum.format(t='f.x * r.r')} AS g
+      FROM featsq f JOIN r{t} r USING (doc_id)
+      GROUP BY f.bucket
+    )"""
+        )
+        parts.append(
+            f"""{cur} AS MATERIALIZED (
+      SELECT w.bucket, w.m,
+             w.w + ({lr_lit} / (SELECT n FROM nnq))
+                   * (coalesce(g.g, 0.0)
+                      - w.m * (SELECT {dsum.format(t='r')} FROM r{t}))
+               AS w
+      FROM {prev} w LEFT JOIN g{t} g USING (bucket)
+    )"""
+        )
+    wf = f"w{iters}"
+    cfin = f"(SELECT {dsum.format(t='m * w')} FROM {wf})"
+    sfin = f"(t.sr - {cfin})"
+    parts.append(
+        f"""srf AS (
+      SELECT f.doc_id, {dsum.format(t='f.x * w.w')} AS sr
+      FROM featsq f JOIN {wf} w USING (bucket)
+      GROUP BY f.doc_id
+    )"""
+    )
+    parts.append(
+        f"""sc AS (
+      SELECT t.doc_id, {fsig.format(s=sfin)} AS score FROM srf t
+    )"""
+    )
+    return parts
+
+
+_LABEL_EXPR = "CASE WHEN n_chars >= 150 THEN 1.0 ELSE 0.0 END"
+
+
+def classifier_scores_oracle_sql(
+    iters: int = ITERS,
+    lr: float = LR,
+    n_buckets: int = N_BUCKETS,
+    salt: str = SALT,
+    label_expr: str = _LABEL_EXPR,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of fit-then-score: per-doc (score, label)."""
+    parts = _oracle_parts(
+        iters, lr, n_buckets, salt, label_expr, table, id_col, text_col
+    )
+    return (
+        "WITH\n    "
+        + ",\n    ".join(parts)
+        + """
+    SELECT s.doc_id, round(s.score, 6) AS score,
+           CAST(l.y AS BIGINT) AS label
+    FROM sc s JOIN labq l USING (doc_id)"""
+    )
+
+
+def classifier_eval_oracle_sql(
+    iters: int = ITERS,
+    lr: float = LR,
+    n_buckets: int = N_BUCKETS,
+    salt: str = SALT,
+    label_expr: str = _LABEL_EXPR,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of the bounded confusion summary: one row per
+    (label, prediction) cell with count and decimal-exact mean score —
+    the review-facing artifact where per-doc scores are corpus-sized."""
+    parts = _oracle_parts(
+        iters, lr, n_buckets, salt, label_expr, table, id_col, text_col
+    )
+    return (
+        "WITH\n    "
+        + ",\n    ".join(parts)
+        + """
+    SELECT CAST(l.y AS BIGINT) AS label,
+           CAST(CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS predicted,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(s.score AS DECIMAL(30,10)))
+                      AS DOUBLE) / count(*), 6) AS mean_score
+    FROM sc s JOIN labq l USING (doc_id)
+    GROUP BY 1, 2"""
+    )

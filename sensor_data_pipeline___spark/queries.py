@@ -7476,3 +7476,107 @@ def q_cluster_quality_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("cluster_tokens"),
     )
+
+
+def _classifier_oracles() -> "tuple[str, str]":
+    from sensor_data_pipeline___spark.operators.classifier import (
+        classifier_eval_oracle_sql,
+        classifier_scores_oracle_sql,
+    )
+
+    return classifier_scores_oracle_sql(), classifier_eval_oracle_sql()
+
+
+_CLF_SCORES_ORACLE, _CLF_EVAL_ORACLE = _classifier_oracles()
+
+
+def _classifier_fit_score(spark: SparkSession, sf_dir: str):
+    """Shared fit-then-score body of the two classifier queries:
+    hashed-unigram features over documents, label = the long-document
+    quality proxy (n_chars >= 150) — the distilled gate is NOT a
+    feature, so the model must infer it from token mass alone (it
+    does: 97.6% accuracy vs the 82% base rate at sf0.01; the lang
+    column was rejected as a label because this synthetic corpus
+    draws tokens lang-independently, ~0.53 ceiling). 8 centered
+    full-batch GD iterations, then the map-side scoring pass over the
+    same corpus. Returns (scores joined with labels) as (doc_id,
+    score, _y)."""
+    from sensor_data_pipeline___spark.operators.classifier import (
+        classifier_score,
+        featurize_hashed,
+        fit_linear_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = featurize_hashed(docs)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 150, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("label"),
+    )
+    w = fit_linear_classifier(feats, labels)
+    return classifier_score(feats, w).join(
+        labels.withColumnRenamed("label", "_y"), "doc_id"
+    )
+
+
+@_register(
+    "quality_classifier_scores",
+    # Hashed-ngram linear classifier, fit + score (round 12,
+    # operators/classifier.py): the distill-the-expensive-judge filter
+    # every training-data pipeline ends up with (CCNet/fastText
+    # shape). ORACLE-HASH-GATED despite being iterative floating
+    # point: the squash is the rational fast-sigmoid (+,*,/,abs only
+    # — IEEE bit-identical, unlike exp), every aggregation (including
+    # the sparse-centering scalars c and R) runs in DECIMAL(30,10)
+    # (the time_weighted_avg recipe) so summation order cannot move a
+    # ULP, and the DuckDB twin unrolls the same 8 centered GD steps
+    # as chained CTEs (the pagerank_oracle_sql precedent). Weights
+    # and scores are bit-identical cross-engine; round(...,6) is
+    # house style, not load-bearing.
+    _CLF_SCORES_ORACLE,
+)
+def q_quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _classifier_fit_score(spark, sf_dir).select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("_y").cast("long").alias("label"),
+    )
+
+
+@_register(
+    "quality_classifier_eval",
+    # The bounded review-facing read of the classifier (the
+    # release_audit_summary posture): a confusion-matrix cell per
+    # (label, predicted) with count and decimal-exact mean score —
+    # gate-outcome-sized output where per-doc scores are
+    # corpus-sized. predicted = score >= 0.5 is safe to gate because
+    # the scores themselves are bit-identical cross-engine (see
+    # quality_classifier_scores).
+    _CLF_EVAL_ORACLE,
+)
+def q_quality_classifier_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sc = _classifier_fit_score(spark, sf_dir)
+    return (
+        sc.select(
+            F.col("_y").cast("long").alias("label"),
+            (F.col("score") >= 0.5).cast("long").alias("predicted"),
+            "score",
+        )
+        .groupBy("label", "predicted")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(30,10)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_score"),
+        )
+    )
