@@ -67,6 +67,29 @@ def main() -> None:
         "a Heaps-like word tail; hex chunks give thousands of "
         "distinct words and a rich pair space",
     )
+    ap.add_argument(
+        "--synthetic-ks",
+        default="",
+        help="comma list (e.g. 256,4096,32768): skip the fit and "
+        "measure the word_cache encoders against a SYNTHETIC "
+        "well-formed vocabulary built from the corpus's own distinct "
+        "words (prefix chains: (w[:1],w[1]), (w[:2],w[2]), … — every "
+        "merge's left operand is produced by a strictly earlier "
+        "merge, the precondition rankdict needs, and the merges all "
+        "FIRE on real words, so this is a heavy-merge load, not a "
+        "no-op sweep). Learning 32k merges is a week of shuffles; "
+        "production-k encode behavior doesn't need a production fit, "
+        "just a production-SIZED well-formed merge list",
+    )
+    ap.add_argument(
+        "--arrow-max-run-k",
+        type=int,
+        default=4096,
+        help="above this k the arrow encoder records analysis only "
+        "(its per-word guard sweep is O(k); at k=32768 over ~50k "
+        "distinct words that is ~3e9 set probes of pure Python — "
+        "the regime the rank-dict encoder exists for)",
+    )
     ap.add_argument("--work", default="/tmp/spark_bpe_scale")
     args = ap.parse_args()
     ks = [int(k) for k in args.ks.split(",")]
@@ -93,6 +116,10 @@ def main() -> None:
         docs = docs.select(
             "doc_id", F.concat_ws(" ", "text", tail).alias("text")
         )
+
+    if args.synthetic_ks:
+        _synthetic_main(spark, docs, args)
+        return
 
     # one fit at max k; per-k stores are prefix slices of its merges
     fit_path = os.path.join(args.work, f"fit_k{max(ks)}")
@@ -218,6 +245,158 @@ def main() -> None:
                 "fit_s": round(fit_s, 1),
                 "checkpoint_every": args.checkpoint_every,
                 "rows": rows,
+            }
+        )
+    )
+
+
+def _replicate(spark, docs, factor: int, work: str):
+    """--factor id-offset copies, odd replicas suffixed (the
+    scale_sweep.py mixture posture), materialized to parquet."""
+    rep = docs.crossJoin(
+        spark.range(factor).select(F.col("id").alias("_r"))
+    ).select(
+        (F.col("doc_id") + F.col("_r") * F.lit(10_000_000_000)).alias(
+            "doc_id"
+        ),
+        F.when(
+            F.col("_r") % 2 == 1,
+            F.concat(F.col("text"), F.lit(" replica suffix")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rep.write.mode("overwrite").parquet(os.path.join(work, "corpus"))
+    corpus = spark.read.parquet(os.path.join(work, "corpus"))
+    return corpus, corpus.count()
+
+
+def _synthetic_main(spark, docs, args) -> None:
+    """Production-SIZED vocabulary sweep: well-formed prefix-chain
+    merges from the corpus's distinct words (see --synthetic-ks),
+    word_cache/arrow vs word_cache/rankdict. The distinct-word
+    collect is harness-only (bounded by the corpus vocabulary; the
+    operators themselves never collect the word table)."""
+    from sensor_data_pipeline___spark.operators._local import local_df
+    from sensor_data_pipeline___spark.operators import text as T
+
+    ks = sorted(int(k) for k in args.synthetic_ks.split(","))
+    words = sorted(
+        r["w"]
+        for r in docs.select(
+            F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .distinct()
+        .collect()
+    )
+    seen: set = set()
+    merges: list = []
+    for w in words:
+        for i in range(1, len(w)):
+            pair = (w[:i], w[i])
+            if pair not in seen:
+                seen.add(pair)
+                merges.append(pair)
+        if len(merges) >= max(ks):
+            break
+    if len(merges) < max(ks):
+        raise SystemExit(
+            f"only {len(merges)} chain merges available < k={max(ks)} "
+            "— raise --enrich-words for a longer word tail"
+        )
+    stores = {}
+    for k in ks:
+        p = os.path.join(args.work, f"syn_k{k}")
+        rows = [
+            (rank, left, right, 0)
+            for rank, (left, right) in enumerate(merges[:k], start=1)
+        ]
+        local_df(
+            spark, rows, "merge_rank int, left string, right string, n long"
+        ).coalesce(1).write.mode("overwrite").parquet(p + "/merges")
+        stores[k] = p
+
+    corpus, n_rows = _replicate(spark, docs, args.factor, args.work)
+    print(
+        f"synthetic vocab: {len(words)} distinct words, "
+        f"{len(merges)} chain merges, corpus {n_rows} rows",
+        file=sys.stderr,
+        flush=True,
+    )
+    rows_out = []
+    for k in ks:
+        for word_encoder in ("arrow", "rankdict"):
+            label = f"word_cache/{word_encoder}"
+            t0 = time.monotonic()
+            df = T.encode_against_vocab(
+                spark,
+                stores[k],
+                corpus,
+                strategy="word_cache",
+                word_encoder=word_encoder,
+            )
+            df.schema
+            analyze_s = time.monotonic() - t0
+            if word_encoder == "arrow" and k > args.arrow_max_run_k:
+                rows_out.append(
+                    {
+                        "k": k,
+                        "strategy": label,
+                        "analyze_s": round(analyze_s, 2),
+                        "run_s": None,
+                        "rows_per_s": None,
+                        "n_tokens": None,
+                    }
+                )
+                print(
+                    f"k={k:<6} {label:<20} run SKIPPED "
+                    "(--arrow-max-run-k)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                continue
+            t0 = time.monotonic()
+            got = df.agg(
+                F.count("*").alias("n"),
+                F.sum("n_tokens").alias("tok"),
+            ).collect()[0]
+            run_s = time.monotonic() - t0
+            rows_out.append(
+                {
+                    "k": k,
+                    "strategy": label,
+                    "analyze_s": round(analyze_s, 2),
+                    "run_s": round(run_s, 2),
+                    "rows_per_s": round(n_rows / run_s),
+                    "n_tokens": int(got["tok"]),
+                }
+            )
+            print(
+                f"k={k:<6} {label:<20} analyze {analyze_s:6.2f}s  "
+                f"run {run_s:8.2f}s  {n_rows / run_s:>9.0f} rows/s  "
+                f"tokens {got['tok']}",
+                file=sys.stderr,
+                flush=True,
+            )
+    # encoder equivalence: token totals must agree per k wherever
+    # both encoders ran (rankdict's well-formedness claim, checked on
+    # the measured load itself)
+    for k in ks:
+        tks = {
+            r["n_tokens"]
+            for r in rows_out
+            if r["k"] == k and r["n_tokens"] is not None
+        }
+        assert len(tks) == 1, (k, tks)
+    print(
+        json.dumps(
+            {
+                "metric": "bpe_encode_scale_synthetic",
+                "sf_src": args.src,
+                "corpus_rows": n_rows,
+                "n_distinct_words": len(words),
+                "rows": rows_out,
             }
         )
     )

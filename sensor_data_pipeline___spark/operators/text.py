@@ -1002,11 +1002,15 @@ def encode_against_vocab(
     table itself is encoded: ``"arrow"`` (:func:`_arrow_word_encode` —
     Arrow-batched Python with a set-membership guard per merge,
     amortizing k away for the huge majority of merges that cannot
-    touch a given word; the auto default — it measured faster at
-    every k and the gap widens with k, SCALING.md r12) or ``"fold"``
-    (the JVM merge-fold chain with chunked ``localCheckpoint``,
-    O(vocab × k) expression evaluation — the pure-JVM fallback for
-    clusters where Python workers are unwelcome in the plan).
+    touch a given word; the auto default up to k=4096),
+    ``"rankdict"`` (:func:`_rankdict_word_encode` — greedy
+    lowest-rank-pair merging off a hash map, per-word cost
+    INDEPENDENT of k: the production-tokenizer shape and the auto
+    default above k=4096, valid for the well-formed merge lists
+    :func:`save_bpe_vocab` emits) or ``"fold"`` (the JVM merge-fold
+    chain with chunked ``localCheckpoint``, O(vocab × k) expression
+    evaluation — the pure-JVM fallback for clusters where Python
+    workers are unwelcome in the plan).
 
     Every input row is preserved on both paths (zero-word/NULL docs
     encode to n_tokens 0 / encoded '').
@@ -1041,10 +1045,15 @@ def encode_against_vocab(
         # measured at every k in {5, 32, 256} (SCALING.md r12): the
         # Arrow per-word pass beats the fold chain's O(vocab × k) JVM
         # expression evaluation throughout word_cache's regime and the
-        # gap widens with k (no crossover in fold's favor), so auto is
-        # simply arrow; "fold" stays available as the pure-JVM path
-        # (no Python workers in the plan) and keeps its pins
-        word_encoder = "arrow"
+        # gap widens with k (no crossover in fold's favor). Above
+        # k=4096 the Arrow pass's own O(k) per-word guard sweep
+        # becomes the cost and the rank-dict greedy (per-word cost
+        # independent of k — the production-tokenizer shape) takes
+        # over; learned vocabularies are well-formed, which is the
+        # precondition rankdict needs (see _rankdict_word_encode).
+        # "fold" stays available as the pure-JVM path (no Python
+        # workers in the plan) and keeps its pins.
+        word_encoder = "arrow" if len(merges) <= 4096 else "rankdict"
     words_arr = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1),
         lambda w: F.length(w) > 0,
@@ -1060,6 +1069,10 @@ def encode_against_vocab(
         ).select(F.col("w").alias("_w"), "_wtoks")
     elif word_encoder == "arrow":
         enc = _arrow_word_encode(vocab, merges).select(
+            F.col("w").alias("_w"), "_wtoks"
+        )
+    elif word_encoder == "rankdict":
+        enc = _rankdict_word_encode(vocab, merges).select(
             F.col("w").alias("_w"), "_wtoks"
         )
     else:
@@ -1138,6 +1151,78 @@ def _arrow_word_encode(
                 if hit:
                     syms = out
                     present = set(syms)
+            return syms
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"w": pdf["w"], "_wtoks": [enc(w) for w in pdf["w"]]}
+            )
+
+    return vocab.mapInPandas(
+        _encode_batches, "w string, _wtoks array<string>"
+    )
+
+
+def _rankdict_word_encode(
+    vocab: DataFrame, merges: "list[tuple[str, str]]"
+) -> DataFrame:
+    """``(w, _wtoks)`` — BPE-encode each DISTINCT word by repeatedly
+    merging its lowest-RANK adjacent pair (one full left-to-right
+    pass per selected rank), looked up in a hash map: per-word cost
+    is O(passes × word_len), INDEPENDENT of k — the production
+    tokenizer shape (HuggingFace/tiktoken encode greedily by min
+    rank), where :func:`_arrow_word_encode` still pays an O(k) guard
+    sweep per word. At k ≈ 30k that sweep IS the cost; this is the
+    encoder that makes real vocabularies flat in k (measured in
+    SCALING.md r12, k up to 32768).
+
+    Semantics: equivalent to the sequential full-pass-per-merge rank
+    order (:func:`_merge_fold`) for WELL-FORMED merge lists — ones
+    where each merge's operands are only producible by strictly
+    earlier merges, which is what :func:`_learn_merges` /
+    :func:`save_bpe_vocab` emit (a merge never re-enables an
+    earlier-rank pair, so greedy-by-rank visits the same passes in
+    the same order, skipping no-ops; pinned against the pure-Python
+    sequential reference in tests/test_properties.py). For ARBITRARY
+    hand-built lists (e.g. a pair whose operands are created by a
+    LATER merge, or symbol aliasing where two different merge chains
+    build equal strings) the two orders can diverge — use
+    ``word_encoder="arrow"`` there; duplicate pairs keep their first
+    (lowest) rank here."""
+    rank: "dict[tuple[str, str], int]" = {}
+    for i, pair in enumerate(merges):
+        rank.setdefault(pair, i)
+
+    def _encode_batches(it):
+        import pandas as pd
+
+        def enc(w: str) -> "list[str]":
+            syms = list(w)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    rk = rank.get((syms[i], syms[i + 1]))
+                    if rk is not None and (best is None or rk < best):
+                        best = rk
+                if best is None:
+                    break
+                left, right = merges[best]
+                # one full left-to-right pass for the selected rank —
+                # exactly one _merge_fold round
+                out: "list[str]" = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
             return syms
 
         for pdf in it:

@@ -494,6 +494,7 @@ def test_bpe_encode_large_k_matches_python_reference(spark, tmp_path):
         ("inline", 0, "auto"),
         ("word_cache", 8, "fold"),
         ("word_cache", 0, "arrow"),
+        ("word_cache", 0, "rankdict"),
     )
     for strategy, ckpt, enc in variants:
         got = {
@@ -534,6 +535,42 @@ def test_bpe_word_cache_encode_matches_python_reference(spark, texts, k):
         r.doc_id: (r.n_tokens, r.encoded)
         for r in encode_against_vocab(
             spark, path, docs, strategy="word_cache", checkpoint_every=2
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _py_bpe_encode(t, expected_merges)
+        assert got[i] == (len(toks), " ".join(toks)), (t, toks)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_bpe_texts, st.integers(min_value=1, max_value=4))
+def test_bpe_rankdict_encode_matches_python_reference(spark, texts, k):
+    """The rank-dict greedy word encoder (the production-tokenizer
+    shape: repeatedly merge the lowest-rank adjacent pair; per-word
+    cost independent of k) equals the sequential full-pass reference
+    on LEARNED vocabularies — the well-formedness equivalence
+    _rankdict_word_encode claims, probed in the dense-pair-collision
+    [abc] regime where a greedy/sequential divergence would actually
+    surface."""
+    from sensor_data_pipeline___spark.operators.text import (
+        encode_against_vocab,
+        save_bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expected_merges = _py_bpe_learn(texts, k)
+    path = spark.conf.get("spark.local.dir", "/tmp") + "/bpe_prop_rd"
+    save_bpe_vocab(docs, path, k=k)
+    got = {
+        r.doc_id: (r.n_tokens, r.encoded)
+        for r in encode_against_vocab(
+            spark,
+            path,
+            docs,
+            strategy="word_cache",
+            word_encoder="rankdict",
         ).collect()
     }
     for i, t in enumerate(texts):
