@@ -253,6 +253,117 @@ def classifier_score(
     )
 
 
+_META_CACHE: "dict[str, tuple[int, str]]" = {}
+
+
+def save_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = ITERS,
+    lr: float = LR,
+    n_buckets: int = N_BUCKETS,
+    salt: str = SALT,
+) -> None:
+    """Fit the classifier ONCE on a labeled reference corpus and
+    persist it: ``weights/`` (the (bucket, m, w) table —
+    ``n_buckets``+1 rows) plus ``meta/`` (the featurize geometry the
+    probe side must replay). The same fit-once-offline /
+    probe-O(batch) posture as ``save_dsir_index`` /
+    ``save_unigram_lm``: the full corpus is only ever touched by
+    :func:`classifier_score_against_index` or the row-local
+    :func:`classifier_score_expr`."""
+    from sensor_data_pipeline___spark.operators._local import local_df
+
+    _META_CACHE.pop(path, None)
+    feats = featurize_hashed(docs, text_col, id_col, n_buckets, salt)
+    w = fit_linear_classifier(feats, labels, iters, lr, id_col=id_col)
+    w.coalesce(1).write.mode("overwrite").parquet(path + "/weights")
+    local_df(
+        docs.sparkSession,
+        [(n_buckets, salt)],
+        "n_buckets int, salt string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _load_meta(spark, path: str) -> "tuple[int, str]":
+    if path not in _META_CACHE:
+        r = spark.read.parquet(path + "/meta").first()
+        _META_CACHE[path] = (int(r["n_buckets"]), str(r["salt"]))
+    return _META_CACHE[path]
+
+
+def classifier_score_against_index(
+    spark,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, score)`` for a batch against a :func:`save_classifier`
+    store — featurize with the STORED geometry, broadcast the stored
+    weight table, score. Identical arithmetic to
+    :func:`classifier_score` over the in-memory fit (pinned equal by
+    test); per batch: one scan + broadcast join + one partial-agg
+    shuffle."""
+    n_buckets, salt = _load_meta(spark, path)
+    w = spark.read.parquet(path + "/weights")
+    feats = featurize_hashed(docs, text_col, id_col, n_buckets, salt)
+    return classifier_score(feats, w, id_col)
+
+
+def classifier_score_expr(spark, path: str, text_col: str = "text") -> Column:
+    """Score ``text_col`` against a :func:`save_classifier` store as a
+    PURE PROJECTION — no shuffle, no join, no state: the weight table
+    (driver-bounded at ``n_buckets``+1 rows, the ``load_bpe_merges``
+    scalar class) is collected once and baked into the plan as a map
+    literal, and the per-token sum runs inside ``F.aggregate`` over
+    the split array. This is the streaming-legal variant (a stateless
+    row-local enrichment, the tokenize-at-ingest posture — legal
+    BEFORE a watermarked dedup, so junk never occupies state) and the
+    serving-side one.
+
+    Arithmetic note: the fold sums left-to-right in token order —
+    deterministic per row, but a float-ORDER difference from the
+    batch path's decimal-exact sums: agreement is ~1e-9, not
+    bit-identical (pinned by test). Buckets unseen at fit time carry
+    no weight row and contribute 0, exactly like the batch path's
+    inner join."""
+    n_buckets, salt = _load_meta(spark, path)
+    rows = spark.read.parquet(path + "/weights").collect()
+    bias = 0.0
+    c = 0.0
+    pairs: list = []
+    for r in sorted(rows, key=lambda r: r["bucket"]):
+        c += float(r["m"]) * float(r["w"])
+        if int(r["bucket"]) == BIAS_BUCKET:
+            bias = float(r["w"])
+        else:
+            pairs.extend(
+                (F.lit(int(r["bucket"])), F.lit(float(r["w"])))
+            )
+    wmap = F.create_map(*pairs)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1),
+        lambda t: F.length(t) > 0,
+    )
+    s = (
+        F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.coalesce(
+                wmap[_bucket(t, salt, n_buckets)], F.lit(0.0)
+            ),
+        )
+        + F.lit(bias)
+        - F.lit(c)
+    )
+    return _fast_sigmoid(s)
+
+
 def _oracle_parts(
     iters: int,
     lr: float,
@@ -262,34 +373,44 @@ def _oracle_parts(
     table: str,
     id_col: str,
     text_col: str,
+    fit_where: str = "TRUE",
+    probe_where: str = "TRUE",
 ) -> "list[str]":
     """The shared CTE chain of the DuckDB twins: featurize, means, w0,
     then ``iters`` unrolled (score, residual, gradient, update) steps
     — the ``pagerank_oracle_sql`` fixed-depth precedent. Ends with
     ``sc`` = per-doc final score (bit-identical to
-    :func:`classifier_score` over :func:`fit_linear_classifier`)."""
+    :func:`classifier_score` over :func:`fit_linear_classifier`).
+    ``fit_where`` restricts the FIT corpus, ``probe_where`` the docs
+    the final score pass runs over (the held-out-split shape of
+    ``quality_classifier_probe_index``); both default to the whole
+    table."""
     lr_lit = repr(float(lr))
     dsum = "CAST(sum(CAST({t} AS DECIMAL(30,10))) AS DOUBLE)"
     fsig = "(0.5 + 0.5 * {s} / (1.0 + abs({s})))"
+    feats_cte = """{name} AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('{salt}' || '|' || tk), 1, 8))
+                  AS BIGINT) % {nb} AS bucket,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM {tok} WHERE len(tk) > 0
+      GROUP BY doc_id, bucket
+      UNION ALL
+      SELECT {id} AS doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x
+      FROM {tbl} WHERE {where}
+    )"""
     parts = [
         f"""tokq AS (
       SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS tk
-      FROM {table}
+      FROM {table} WHERE {fit_where}
     )""",
-        f"""featsq AS MATERIALIZED (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5('{salt}' || '|' || tk), 1, 8))
-                  AS BIGINT) % {n_buckets} AS bucket,
-             CAST(count(*) AS DOUBLE) AS x
-      FROM tokq WHERE len(tk) > 0
-      GROUP BY doc_id, bucket
-      UNION ALL
-      SELECT {id_col} AS doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x
-      FROM {table}
-    )""",
+        feats_cte.format(
+            name="featsq", salt=salt, nb=n_buckets, tok="tokq",
+            id=id_col, tbl=table, where=fit_where,
+        ),
         f"""labq AS MATERIALIZED (
       SELECT {id_col} AS doc_id, CAST({label_expr} AS DOUBLE) AS y
-      FROM {table}
+      FROM {table} WHERE {fit_where}
     )""",
         """nnq AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM labq)""",
         f"""w0 AS MATERIALIZED (
@@ -340,10 +461,26 @@ def _oracle_parts(
     wf = f"w{iters}"
     cfin = f"(SELECT {dsum.format(t='m * w')} FROM {wf})"
     sfin = f"(t.sr - {cfin})"
+    if probe_where == fit_where:
+        probe_feats = "featsq"
+    else:
+        probe_feats = "featsp"
+        parts.append(
+            f"""tokp AS (
+      SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS tk
+      FROM {table} WHERE {probe_where}
+    )"""
+        )
+        parts.append(
+            feats_cte.format(
+                name="featsp", salt=salt, nb=n_buckets, tok="tokp",
+                id=id_col, tbl=table, where=probe_where,
+            )
+        )
     parts.append(
         f"""srf AS (
       SELECT f.doc_id, {dsum.format(t='f.x * w.w')} AS sr
-      FROM featsq f JOIN {wf} w USING (bucket)
+      FROM {probe_feats} f JOIN {wf} w USING (bucket)
       GROUP BY f.doc_id
     )"""
     )
@@ -379,6 +516,35 @@ def classifier_scores_oracle_sql(
     SELECT s.doc_id, round(s.score, 6) AS score,
            CAST(l.y AS BIGINT) AS label
     FROM sc s JOIN labq l USING (doc_id)"""
+    )
+
+
+def classifier_probe_oracle_sql(
+    iters: int = ITERS,
+    lr: float = LR,
+    n_buckets: int = N_BUCKETS,
+    salt: str = SALT,
+    label_expr: str = _LABEL_EXPR,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fit_where: str = "doc_id % 2 = 0",
+    probe_where: str = "doc_id % 2 = 1",
+) -> str:
+    """DuckDB twin of the PERSISTED lifecycle: fit on the
+    ``fit_where`` half, score the held-out ``probe_where`` half
+    against the store (scoring against stored weights is exact — no
+    approximation to twin away — so the oracle recomputes the same
+    fit from the fit split, the ``dsir_probe_index`` precedent)."""
+    parts = _oracle_parts(
+        iters, lr, n_buckets, salt, label_expr, table, id_col,
+        text_col, fit_where=fit_where, probe_where=probe_where,
+    )
+    return (
+        "WITH\n    "
+        + ",\n    ".join(parts)
+        + """
+    SELECT doc_id, round(score, 6) AS score FROM sc"""
     )
 
 

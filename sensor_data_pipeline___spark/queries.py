@@ -7580,3 +7580,45 @@ def q_quality_classifier_eval(
             ).alias("mean_score"),
         )
     )
+
+
+def _classifier_probe_oracle() -> str:
+    from sensor_data_pipeline___spark.operators.classifier import (
+        classifier_probe_oracle_sql,
+    )
+
+    return classifier_probe_oracle_sql()
+
+
+@_register(
+    "quality_classifier_probe_index",
+    # The PERSISTED classifier lifecycle (operators/classifier.py:
+    # save_classifier / classifier_score_against_index): fit on the
+    # even-doc_id half, probe the held-out odd half against the store
+    # — store write, meta geometry round-trip, broadcast weight join
+    # and probe-side scoring all on the hash-verified path. Scoring
+    # against stored weights is exact (no approximation to twin
+    # away), so the DuckDB oracle recomputes the same fit from the
+    # even split — the dsir_probe_index precedent. Same deterministic
+    # run-scoped temp path contract as the other store probes.
+    _classifier_probe_oracle(),
+)
+def q_quality_classifier_probe_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators import classifier as C
+
+    docs = _t(spark, sf_dir, "documents")
+    fit = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    labels = fit.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 150, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("label"),
+    )
+    path = _run_scoped_store_path(spark, "qclf_probe", sf_dir)
+    C.save_classifier(fit, labels, path)
+    return C.classifier_score_against_index(spark, path, probe).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )

@@ -766,6 +766,8 @@ def corpus_ingest_stream(
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
     tokenizer_vocab_path: "str | None" = None,
+    classifier_path: "str | None" = None,
+    min_quality_score: float = 0.0,
 ):
     """Streaming corpus ingest — the continuous mirror of the batch
     ``corpus_pipeline_stats`` front half: JSONL documents stream in,
@@ -773,6 +775,14 @@ def corpus_ingest_stream(
     ``dropDuplicatesWithinWatermark`` keyed on the 128-bit content
     hash makes the clean store effectively-once under at-least-once
     crawler redelivery.
+
+    ``classifier_path`` (optional) composes a persisted learned
+    quality classifier (``operators/classifier.py:save_classifier``)
+    in as an admission gate ahead of the dedup state — docs are
+    stamped with ``quality_score`` (a stateless map-literal
+    projection, :func:`classifier_score_expr`) and dropped under
+    ``min_quality_score`` (see
+    :func:`_gated_deduped_corpus_stream`).
 
     ``tokenizer_vocab_path`` (optional) composes a persisted BPE
     vocabulary (``operators/text.py:save_bpe_vocab``) in as
@@ -803,6 +813,8 @@ def corpus_ingest_stream(
     deduped = _gated_deduped_corpus_stream(
         spark, src_dir, watermark, min_tokens, max_tokens,
         max_avg_token_len, max_files_per_trigger,
+        classifier_path=classifier_path,
+        min_quality_score=min_quality_score,
     )
     if tokenizer_vocab_path is not None:
         from sensor_data_pipeline___spark.operators.text import (
@@ -834,11 +846,23 @@ def _gated_deduped_corpus_stream(
     max_tokens: int,
     max_avg_token_len: float,
     max_files_per_trigger: int | None,
+    classifier_path: "str | None" = None,
+    min_quality_score: float = 0.0,
 ) -> DataFrame:
     """Shared front half of the corpus ingest streams: JSONL reader →
-    language-neutral quality gate → watermark-bounded exact dedup on
-    the content md5. The gate runs BEFORE dedup so junk never
-    occupies state."""
+    language-neutral quality gate → (optional) learned quality-
+    classifier gate → watermark-bounded exact dedup on the content
+    md5. Every gate runs BEFORE dedup so junk never occupies state.
+
+    ``classifier_path`` composes a persisted
+    ``operators/classifier.py:save_classifier`` store in as a learned
+    admission gate: each doc is stamped with ``quality_score`` via
+    :func:`classifier_score_expr` — a pure stateless projection (the
+    weight table rides the plan as a map literal; no join, no state,
+    replay-stable, exactly the tokenize-at-ingest posture) — and docs
+    under ``min_quality_score`` are dropped before they can occupy
+    dedup state. The store is immutable for the stream's lifetime
+    (a re-fit is a new stream deployment, like the BPE vocabulary)."""
     reader = spark.readStream.schema(
         "doc_id bigint, text string, lang string, "
         "source string, fetched_at timestamp"
@@ -860,6 +884,14 @@ def _gated_deduped_corpus_stream(
         & (nt <= max_tokens)
         & (atl <= max_avg_token_len)
     )
+    if classifier_path is not None:
+        from sensor_data_pipeline___spark.operators.classifier import (
+            classifier_score_expr,
+        )
+
+        gated = gated.withColumn(
+            "quality_score", classifier_score_expr(spark, classifier_path)
+        ).filter(F.col("quality_score") >= F.lit(min_quality_score))
     return (
         gated.withColumn("content_md5", F.md5("text"))
         .withWatermark("fetched_at", watermark)
@@ -1129,6 +1161,8 @@ def corpus_ingest_stream_neardup(
     lm_band_fractions: "dict | None" = None,
     lm_salt: str = "ccnet-band-v1",
     tokenizer_vocab_path: "str | None" = None,
+    classifier_path: "str | None" = None,
+    min_quality_score: float = 0.0,
 ):
     """:func:`corpus_ingest_stream` with the persisted minhash index
     composed in (VERDICT r7 directive #4): the stream's exact dedup
@@ -1149,6 +1183,12 @@ def corpus_ingest_stream_neardup(
     ``n_tokens_bpe`` (tokenize-at-ingest — see
     :func:`corpus_ingest_stream`; merges collected once here, the
     store is immutable for the stream's lifetime).
+    ``classifier_path`` + ``min_quality_score`` add the learned
+    quality-classifier gate ahead of the dedup state (stateless
+    map-literal projection — see :func:`corpus_ingest_stream`),
+    making the full stack: heuristic gate → learned gate → exact
+    dedup (state) → decontamination → DSIR → LM bands → near-dup →
+    clean store.
 
     Bootstrap: build the index first (``save_minhash_index`` on the
     seed corpus, or on an EMPTY frame of the right schema for a cold
@@ -1161,6 +1201,8 @@ def corpus_ingest_stream_neardup(
     deduped = _gated_deduped_corpus_stream(
         spark, src_dir, watermark, min_tokens, max_tokens,
         max_avg_token_len, max_files_per_trigger,
+        classifier_path=classifier_path,
+        min_quality_score=min_quality_score,
     )
     tokenizer_merges = None
     if tokenizer_vocab_path is not None:

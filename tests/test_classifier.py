@@ -199,3 +199,52 @@ def test_oracle_generator_replays_fit_in_duckdb(spark):
     assert set(got) == set(want)
     for did in want:  # oracle rounds to 6dp; scores are bit-identical
         assert abs(got[did] - want[did]) < 5e-7, (did, got[did], want[did])
+
+
+def test_store_probe_matches_in_memory_fit(spark, tmp_path):
+    """save_classifier → classifier_score_against_index reproduces the
+    in-memory fit-then-score EXACTLY (same weights, same decimal
+    arithmetic) — the persisted-index contract every store family
+    pins."""
+    docs, labels = _docs_df(spark), _labels_df(spark)
+    path = str(tmp_path / "clf_store")
+    clf.save_classifier(docs, labels, path)
+    feats = clf.featurize_hashed(docs)
+    w = clf.fit_linear_classifier(feats, labels)
+    want = {
+        r["doc_id"]: r["score"]
+        for r in clf.classifier_score(feats, w).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in clf.classifier_score_against_index(
+            spark, path, docs
+        ).collect()
+    }
+    assert got == want  # bit-equal, not approx
+
+
+def test_score_expr_matches_batch_path(spark, tmp_path):
+    """The row-local map-literal scoring expression (the streaming /
+    serving variant) agrees with the batch broadcast-join path to
+    float-order tolerance, scores every row including zero-token
+    docs, and plans as a pure projection — zero exchanges."""
+    from sensor_data_pipeline___spark.plans.explain import exchange_count
+
+    docs, labels = _docs_df(spark), _labels_df(spark)
+    path = str(tmp_path / "clf_store_expr")
+    clf.save_classifier(docs, labels, path)
+    want = {
+        r["doc_id"]: r["score"]
+        for r in clf.classifier_score_against_index(
+            spark, path, docs
+        ).collect()
+    }
+    scored = docs.select(
+        "doc_id", clf.classifier_score_expr(spark, path).alias("score")
+    )
+    assert exchange_count(scored) == 0
+    got = {r["doc_id"]: r["score"] for r in scored.collect()}
+    assert set(got) == set(want)
+    for did in want:
+        assert abs(got[did] - want[did]) < 1e-9, (did, got[did], want[did])

@@ -1323,3 +1323,61 @@ def test_neardup_stream_tokenizes_survivors(spark, dirs, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_corpus_ingest_stream_classifier_gate(spark, dirs, tmp_path):
+    """classifier_path composes the persisted learned quality
+    classifier into the ingest path as an admission gate AHEAD of the
+    dedup state: spam-marked docs (which pass the heuristic gate) are
+    dropped, survivors carry quality_score, and the streamed score is
+    the row-local expression's — agreeing with the batch
+    classifier_score_against_index to float-order tolerance."""
+    from sensor_data_pipeline___spark.operators import classifier as C
+
+    spam_text = "spamword " * 12 + "tok " * 12 + "end"  # 25 toks, gated in
+    fit = spark.createDataFrame(
+        [
+            (0, GOOD_TEXT, 1.0),
+            (1, "tok tok tok end end end", 1.0),
+            (2, spam_text, 0.0),
+            (3, "spamword spamword tok end", 0.0),
+        ],
+        "doc_id long, text string, label double",
+    )
+    store = str(tmp_path / "clf_gate")
+    C.save_classifier(
+        fit.select("doc_id", "text"), fit.select("doc_id", "label"), store
+    )
+    # pick the threshold from the fitted scores themselves: anything
+    # separating the planted classes works, the midpoint is stable
+    s = {
+        r["doc_id"]: r["score"]
+        for r in C.classifier_score_against_index(
+            spark, store, fit.select("doc_id", "text")
+        ).collect()
+    }
+    assert max(s[2], s[3]) < min(s[0], s[1])  # planted signal learned
+    thr = (max(s[2], s[3]) + min(s[0], s[1])) / 2
+
+    ts = "2024-01-01T00:00:00Z"
+    _drop_jsonl(
+        dirs,
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "text": GOOD_TEXT, "lang": "en", "source": "s1", "fetched_at": ts},
+            {"doc_id": 2, "text": spam_text, "lang": "en", "source": "s1", "fetched_at": ts},
+            {"doc_id": 3, "text": JUNK_SHORT, "lang": "en", "source": "s1", "fetched_at": ts},
+        ],
+    )
+    q = sp.corpus_ingest_stream(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"],
+        classifier_path=store, min_quality_score=thr,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(dirs["out"])
+    got = {r.doc_id: r.quality_score for r in out.collect()}
+    assert set(got) == {1}  # spam dropped by the learned gate, junk by the heuristic one
+    batch = C.classifier_score_against_index(
+        spark, store, out.select("doc_id", "text")
+    ).collect()[0]["score"]
+    assert abs(got[1] - batch) < 1e-9
