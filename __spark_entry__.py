@@ -37,18 +37,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # window prescription per VERDICT r11 directive #2): the window keeps
 # the 11-entry veteran spine (reference-parity core that never
 # rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the SIX never-gated
+# session_window_batch watch item), adds the SEVEN never-gated
 # entries (bpe_token_length_hist, registered after r11's gate ran —
 # the one ledger exception — plus the r12-registered
 # release_audit_summary per directive #6, cluster_quality_reps, and
 # the three classifier queries quality_classifier_scores /
-# quality_classifier_eval / quality_classifier_probe_index —
-# registering into the CURRENT window so never-gated stays empty
-# after this round's gate), and fills the remaining 33 slots with
-# the STALEST previously-gated cohort: the first 33 (by name) of
-# the 37 entries last gated in r7 (anti_join_inactive_customers …
-# token_counts — recomputed from the CORRECTNESS_r*.json union
-# this round; user_event_sequences, window_running_total and
+# quality_classifier_eval / quality_classifier_probe_index, and the
+# star-CC twin connected_components_star_fuzzy — registering into
+# the CURRENT window so never-gated stays empty after this round's
+# gate), and fills the remaining 32 slots with the STALEST
+# previously-gated cohort: the first 32 (by name) of the 37 entries
+# last gated in r7 (anti_join_inactive_customers … text_quality —
+# recomputed from the CORRECTNESS_r*.json union this round;
+# token_counts, user_event_sequences, window_running_total and
 # winnowing_fingerprint slide to the front of the r13 staleness
 # queue behind zorder_curve_stats). The r11 window's 39 non-spine
 # entries rotate out. The ledger invariant ("every
@@ -80,7 +81,8 @@ _PRIORITY = (
     "quality_classifier_scores",
     "quality_classifier_eval",
     "quality_classifier_probe_index",
-    # --- stalest refresh: last gated r7 (first 33 by name) ---
+    "connected_components_star_fuzzy",
+    # --- stalest refresh: last gated r7 (first 32 by name) ---
     "anti_join_inactive_customers",
     "benford_first_digit",
     "column_profile_orders",
@@ -113,7 +115,6 @@ _PRIORITY = (
     "semi_join_active_customers",
     "string_functions_parts",
     "text_quality",
-    "token_counts",
 )
 
 

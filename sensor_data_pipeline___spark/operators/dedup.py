@@ -1453,8 +1453,10 @@ def connected_components(
     At 100 TB scale the same loop holds (iterations are Spark jobs over
     checkpointed intermediates — ``localCheckpoint`` every round cuts
     the lineage that would otherwise re-run all prior rounds); graphs
-    with long chains would switch to the large-star/small-star
-    alternating algorithm (same primitive, provably O(log n) rounds).
+    with long chains switch to :func:`connected_components_star` (the
+    large-star/small-star alternation — same shuffle class per round,
+    provably O(log² n) rounds; measured 22 s vs ~5.4 h projected on a
+    20k-node path, SCALING.md r12).
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -1493,6 +1495,117 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, component) via the alternating large-star / small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the documented long-chain escalation of
+    :func:`connected_components`: min-label propagation needs
+    O(diameter) rounds (a pathological chain of pairwise near-dups —
+    timestamped boilerplate, serial numbers — can make diameter ≈
+    component size), where the star alternation provably converges in
+    O(log² n) rounds (O(log n) in practice) by rewiring the edge set
+    itself toward component minima instead of diffusing labels along
+    it:
+
+    - **large-star** (per node u): every neighbor v > u re-attaches to
+      m = min(N(u) ∪ {u});
+    - **small-star** (per node u, over edges oriented large→small):
+      u and every smaller neighbor re-attach to m.
+
+    Both steps preserve connectivity and only ever decrease the
+    (sum-of-labels) potential; at the fixpoint the edge set IS the
+    star forest (v → component-min), read off directly. Each round is
+    two self-shaped shuffles over the current edge set (groupBy node +
+    join back), checkpointed to cut lineage — the same per-round cost
+    class as one propagation round. Convergence is detected by an
+    aggregated (count, hash) signature, a 1-row driver scalar.
+
+    Same contract as :func:`connected_components` (component id = min
+    node id, any orderable id type, nodes in no pair are absent);
+    pinned equal to it and to a driver-side union-find by property
+    tests, including the long-path regime where propagation's round
+    count is the difference between converging and not."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = None
+    for _ in range(max_iterations):
+        # large-star: symmetric neighborhoods; larger neighbors hook
+        # onto min(N(u) ∪ {u})
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("_mn"), F.col("u")).alias("m")
+        )
+        edges = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: orient large→small; u and its smaller neighbors
+        # all hook onto the minimum
+        oriented = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(mins, "u")
+        edges = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(
+                joined.select(F.col("u").alias("u"), F.col("m").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: edges are the star forest (node → component min);
+    # roots (the minima) map to themselves
+    return (
+        nodes.join(
+            edges.select(
+                F.col("u").alias("node"), F.col("v").alias("_c")
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node", F.coalesce(F.col("_c"), F.col("node")).alias("component")
+        )
+    )
 
 
 def cluster_representatives(

@@ -7622,3 +7622,45 @@ def q_quality_classifier_probe_index(
     return C.classifier_score_against_index(spark, path, probe).select(
         "doc_id", F.round("score", 6).alias("score")
     )
+
+
+@_register(
+    "connected_components_star_fuzzy",
+    # The large-star/small-star CC (operators/dedup.py:
+    # connected_components_star, r12 — the O(log n)-rounds long-chain
+    # escalation the propagation docstring promised) on the SAME
+    # deterministic edge set and against the SAME recursive-CTE
+    # transitive-closure oracle as connected_components_fuzzy: both
+    # algorithms must land on identical min-id components, so the
+    # star variant is hash-verified end-to-end, not just
+    # property-tested.
+    """
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS noun
+      FROM part
+    ), e AS (
+      SELECT a.p_name AS a, b.p_name AS b
+      FROM names a JOIN names b
+        ON a.noun = b.noun AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), und AS (
+      SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e
+    ), reach(node, r) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+)
+def q_connected_components_star_fuzzy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = QUERIES["fuzzy_name_pairs"](spark, sf_dir).select(
+        "name_a", "name_b"
+    )
+    return connected_components_star(pairs, "name_a", "name_b")

@@ -576,3 +576,87 @@ def test_bpe_rankdict_encode_matches_python_reference(spark, texts, k):
     for i, t in enumerate(texts):
         toks = _py_bpe_encode(t, expected_merges)
         assert got[i] == (len(toks), " ".join(toks)), (t, toks)
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """The large-star/small-star alternation (the long-chain
+    escalation of min-label propagation) computes the same min-id
+    components as a driver-side union-find on every adversarial shape:
+    chain, clique, star, isolated pair, and a long path."""
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = (
+        [(1, 2), (2, 3), (3, 4)]
+        + [(10, 11), (10, 12), (11, 12)]
+        + [(20, 21), (20, 22), (20, 23)]
+        + [(30, 31)]
+        + [(i, i + 1) for i in range(100, 120)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_connected_components_star_converges_on_long_path(spark):
+    """The O(log n) claim, falsifiably: a 300-node path has diameter
+    299 — min-label propagation needs ~299 rounds (its default cap of
+    20 would return WRONG labels there), while the star alternation
+    must finish inside 20 alternations. Also exercised with shuffled
+    ids so the path is not aligned with the id order."""
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 300
+    # deterministic id shuffle: multiply by a unit mod a prime-ish n
+    ids = [(i * 7919) % 100_000 + (i * 7919) // 100_000 for i in range(n)]
+    assert len(set(ids)) == n
+    edges = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(
+            pairs, max_iterations=20
+        ).collect()
+    }
+    m = min(ids)
+    assert got == {i: m for i in ids}  # one component, min-id label
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_star_matches_propagation(spark, raw_edges):
+    """Star and propagation agree on arbitrary random graphs
+    (self-loops dropped by both; same (node, component) contract)."""
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {
+        r.node: r.component
+        for r in connected_components_star(pairs).collect()
+    }
+    prop = {
+        r.node: r.component
+        for r in connected_components(pairs, max_iterations=100).collect()
+    }
+    assert star == prop
