@@ -37,21 +37,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # window prescription per VERDICT r11 directive #2): the window keeps
 # the 11-entry veteran spine (reference-parity core that never
 # rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the SEVEN never-gated
+# session_window_batch watch item), adds the EIGHT never-gated
 # entries (bpe_token_length_hist, registered after r11's gate ran —
 # the one ledger exception — plus the r12-registered
 # release_audit_summary per directive #6, cluster_quality_reps, and
 # the three classifier queries quality_classifier_scores /
-# quality_classifier_eval / quality_classifier_probe_index, and the
-# star-CC twin connected_components_star_fuzzy — registering into
-# the CURRENT window so never-gated stays empty after this round's
-# gate), and fills the remaining 32 slots with the STALEST
-# previously-gated cohort: the first 32 (by name) of the 37 entries
-# last gated in r7 (anti_join_inactive_customers … text_quality —
+# quality_classifier_eval / quality_classifier_probe_index /
+# quality_classifier_calibration, and the star-CC twin
+# connected_components_star_fuzzy — registering into the CURRENT
+# window so never-gated stays empty after this round's gate), and
+# fills the remaining 31 slots with the STALEST previously-gated
+# cohort: the first 31 (by name) of the 37 entries last gated in r7
+# (anti_join_inactive_customers … string_functions_parts —
 # recomputed from the CORRECTNESS_r*.json union this round;
-# token_counts, user_event_sequences, window_running_total and
-# winnowing_fingerprint slide to the front of the r13 staleness
-# queue behind zorder_curve_stats). The r11 window's 39 non-spine
+# text_quality, token_counts, user_event_sequences,
+# window_running_total and winnowing_fingerprint slide to the front
+# of the r13 staleness queue behind zorder_curve_stats; text_quality
+# and token_counts stay benched at sf0.1 every round regardless). The r11 window's 39 non-spine
 # entries rotate out. The ledger invariant ("every
 # oracle-backed entry gated at least once") is auditable in
 # GATE_LEDGER.md, regenerated per round by
@@ -82,7 +84,8 @@ _PRIORITY = (
     "quality_classifier_eval",
     "quality_classifier_probe_index",
     "connected_components_star_fuzzy",
-    # --- stalest refresh: last gated r7 (first 32 by name) ---
+    "quality_classifier_calibration",
+    # --- stalest refresh: last gated r7 (first 31 by name) ---
     "anti_join_inactive_customers",
     "benford_first_digit",
     "column_profile_orders",
@@ -114,7 +117,6 @@ _PRIORITY = (
     "segment_frequency_stats",
     "semi_join_active_customers",
     "string_functions_parts",
-    "text_quality",
 )
 
 

@@ -7664,3 +7664,67 @@ def q_connected_components_star_fuzzy(
         "name_a", "name_b"
     )
     return connected_components_star(pairs, "name_a", "name_b")
+
+
+def _classifier_calibration_oracle() -> str:
+    from sensor_data_pipeline___spark.operators.classifier import (
+        _oracle_parts,
+    )
+
+    parts = _oracle_parts(
+        8, 2.0, 256, "qclf-v1",
+        "CASE WHEN n_chars >= 150 THEN 1.0 ELSE 0.0 END",
+        "documents", "doc_id", "text",
+    )
+    return (
+        "WITH\n    "
+        + ",\n    ".join(parts)
+        + """
+    SELECT CAST(floor(s.score * 10) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(s.score AS DECIMAL(30,10)))
+                      AS DOUBLE) / count(*), 6) AS mean_score,
+           round(CAST(sum(CAST(l.y AS DECIMAL(30,10)))
+                      AS DOUBLE) / count(*), 6) AS frac_positive
+    FROM sc s JOIN labq l USING (doc_id)
+    GROUP BY 1"""
+    )
+
+
+@_register(
+    "quality_classifier_calibration",
+    # The reliability diagram as a query: decile score bins × (count,
+    # mean score, empirical positive rate) — the artifact that says
+    # whether 0.8 MEANS 80%. Bin assignment is floor(score*10) over
+    # the bit-identical cross-engine scores, so binning cannot
+    # disagree; per-bin means run in DECIMAL. Completes the
+    # classifier's bounded-eval family (confusion cells → calibration
+    # curve), both gate-outcome-sized where per-doc scores are
+    # corpus-sized.
+    _classifier_calibration_oracle(),
+)
+def q_quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sc = _classifier_fit_score(spark, sf_dir)
+    return (
+        sc.select(
+            F.floor(F.col("score") * 10).cast("long").alias("bin"),
+            "score",
+            F.col("_y").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(30,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(30,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("frac_positive"),
+        )
+    )

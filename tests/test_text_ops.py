@@ -405,3 +405,33 @@ def test_encode_against_vocab_is_lossless(spark, tmp_path):
         != F.regexp_replace("text", " ", "")
     ).count()
     assert bad == 0
+
+
+def test_rankdict_encoder_duplicate_pair_keeps_first_rank(spark):
+    """A merge list containing the SAME pair at two ranks (legal in a
+    hand-built store; a learned list never repeats a pair) must apply
+    it at its FIRST (lowest) rank in the rankdict encoder — the
+    documented setdefault semantics — and agree with the sequential
+    fold, for which the duplicate second pass is a no-op."""
+    from sensor_data_pipeline___spark.operators.text import (
+        _rankdict_word_encode,
+        apply_merge_rounds,
+    )
+
+    merges = [("a", "b"), ("ab", "c"), ("a", "b")]
+    vocab = spark.createDataFrame(
+        [("abc",), ("abab",), ("cab",)], "w string"
+    )
+    got = {
+        r["w"]: list(r["_wtoks"])
+        for r in _rankdict_word_encode(vocab, merges).collect()
+    }
+    want = {
+        r["w"]: list(r["_wtoks"])
+        for r in apply_merge_rounds(
+            vocab, merges, "w", "_wtoks"
+        ).collect()
+    }
+    assert got == want
+    assert got["abc"] == ["abc"]
+    assert got["abab"] == ["ab", "ab"]
