@@ -1532,15 +1532,18 @@ def connected_components_star(
     pinned equal to it and to a driver-side union-find by property
     tests, including the long-path regime where propagation's round
     count is the difference between converging and not."""
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    # nodes from the RAW pairs: a self-pair (a,a) contributes node a as
+    # its own singleton component (matching connected_components),
+    # while the edge itself is dropped before the alternation
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .union(pairs.select(F.col(b_col).alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -1593,11 +1596,15 @@ def connected_components_star(
             break
         sig = new_sig
     # fixpoint: edges are the star forest (node → component min);
-    # roots (the minima) map to themselves
+    # roots (the minima) and singletons map to themselves. The min
+    # aggregate also guards the max_iterations-exhausted case: a
+    # not-yet-star node with several out-edges yields ONE row (its
+    # best-so-far label, the propagation cap's failure mode) rather
+    # than duplicate rows
     return (
         nodes.join(
-            edges.select(
-                F.col("u").alias("node"), F.col("v").alias("_c")
+            edges.groupBy(F.col("u").alias("node")).agg(
+                F.min("v").alias("_c")
             ),
             "node",
             "left",

@@ -660,3 +660,28 @@ def test_connected_components_star_matches_propagation(spark, raw_edges):
         for r in connected_components(pairs, max_iterations=100).collect()
     }
     assert star == prop
+
+
+def test_connected_components_star_keeps_self_pair_singletons(spark):
+    """A self-pair (a,a) — legal output of a sloppy pair source —
+    yields node a as its own singleton component in BOTH algorithms
+    (the star variant drops the loop edge but keeps the node)."""
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2)], "doc_a long, doc_b long"
+    )
+    want = {5: 5, 1: 1, 2: 1}
+    got_star = {
+        r.node: r.component
+        for r in connected_components_star(pairs).collect()
+    }
+    got_prop = {
+        r.node: r.component
+        for r in connected_components(pairs).collect()
+    }
+    assert got_star == want
+    assert got_prop == want
