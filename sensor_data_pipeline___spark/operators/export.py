@@ -147,6 +147,80 @@ def mixture_sample(
     )
 
 
+def temperature_quotas(
+    df: DataFrame,
+    stratum_col: str,
+    k_total: int,
+    tau: float = 0.5,
+) -> DataFrame:
+    """``(stratum, n, quota)`` — per-stratum target counts for
+    temperature-rebalanced mixing: ``quota_s = floor(k_total ·
+    n_s^τ / Σ n_s^τ)``, the multilingual-pretraining move (τ < 1
+    upsamples low-resource strata relative to their natural share;
+    τ=1 is proportional, τ=0 uniform). Output is strata-sized
+    (languages, source buckets) — broadcast material by construction.
+
+    Cross-engine exactness: for ``tau=0.5`` the weight is ``sqrt(n)``
+    — IEEE-754 REQUIRES sqrt to be correctly rounded, so the whole
+    quota arithmetic (sqrt, ×, ÷, floor over bit-identical doubles)
+    replays bit-identically in ANSI SQL, unlike general ``pow``
+    (correctly rounded in neither engine — other τ values are for
+    library use and carry no oracle claim)."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    if tau == 0.5:
+        wgt = F.sqrt(F.col("n").cast("double"))
+    else:
+        wgt = F.pow(F.col("n").cast("double"), F.lit(float(tau)))
+    weighted = counts.withColumn("_w", wgt)
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            "n",
+            F.floor(
+                F.lit(float(k_total)) * F.col("_w") / F.col("_tw")
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k_total: int,
+    tau: float = 0.5,
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Temperature-rebalanced mixture sample: compute
+    :func:`temperature_quotas` over the corpus itself, then fill each
+    stratum's quota with its content-smallest hashes (the
+    :func:`mixture_sample` rule — deterministic, layout/engine/rerun
+    invariant, stable under corpus growth). Unlike
+    :func:`mixture_sample`'s caller-supplied literal map, the quota
+    here is DERIVED from the data, so it rides a broadcast join (the
+    quota table is strata-sized).
+
+    One count pass + one stratum-partitioned window — the same
+    shuffle classes as mixture_sample. A stratum smaller than its
+    quota keeps everything (can't happen for τ ≤ 1 with
+    k_total ≤ corpus, since quota_s ≤ n_s^τ·Σ⁻¹·k ≤ n_s when
+    n_s^(1-τ) ≥ k/Σ — but the window filter is the same either
+    way)."""
+    quotas = temperature_quotas(df, stratum_col, k_total, tau)
+    h = _hash_hex(F.col(id_col), salt)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(quotas.select(stratum_col, "quota")), stratum_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("quota"))
+        .drop("quota", "_rn")
+    )
+
+
 def user_event_sequences(
     events: DataFrame,
     max_len: int = 64,

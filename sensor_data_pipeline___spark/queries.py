@@ -7728,3 +7728,51 @@ def q_quality_classifier_calibration(
             ).alias("frac_positive"),
         )
     )
+
+
+@_register(
+    "temperature_mixture_sample",
+    # Temperature-rebalanced source mixing (operators/export.py:
+    # temperature_sample, r12): per-source quotas ∝ n^0.5 (the
+    # multilingual-pretraining upsampling move — τ<1 lifts
+    # low-resource sources above their natural share), filled with
+    # each source's content-smallest hashes. Oracle replays the EXACT
+    # winning set: sqrt is correctly rounded by IEEE-754 mandate
+    # (unlike general pow), so quota arithmetic is bit-identical
+    # cross-engine, and the md5 rank order is the shared
+    # deterministic-randomness recipe. Quota table is strata-sized —
+    # broadcast join, one window shuffle on the source.
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), t AS (
+      SELECT sum(sqrt(CAST(n AS DOUBLE))) AS tw FROM c
+    ), q AS (
+      SELECT source,
+             CAST(floor(300.0 * sqrt(CAST(n AS DOUBLE))
+                        / (SELECT tw FROM t)) AS BIGINT) AS quota
+      FROM c
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('mixture-v1|' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+    WHERE rn <= quota
+    """,
+)
+def q_temperature_mixture_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.export import (
+        temperature_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "source", "doc_id", k_total=300
+    ).select("doc_id", "source")

@@ -276,3 +276,64 @@ def test_release_audit_keeps_null_text_docs(spark):
     assert audit[1] == "quality"    # min-id representative of ('' , NULL)
     assert audit[2] == "exact_dup"  # same content hash, larger id
     assert audit[3] == "kept"
+
+
+def test_temperature_quotas_upsample_low_resource(spark):
+    """τ=0.5 quotas: bounded by k_total, never negative, and the
+    low-resource stratum's SHARE of the sample strictly exceeds its
+    natural share (the rebalancing point), while ordering by size is
+    preserved."""
+    from sensor_data_pipeline___spark.operators.export import (
+        temperature_quotas,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    q = {
+        r["source"]: (r["n"], r["quota"])
+        for r in temperature_quotas(df, "source", k_total=200).collect()
+    }
+    assert q["big"][0] == 900 and q["small"][0] == 100
+    total = q["big"][1] + q["small"][1]
+    assert total <= 200
+    # natural share of small = 10%; sqrt share = 10/(30+10) = 25%
+    assert q["small"][1] / total > 0.2
+    assert q["big"][1] > q["small"][1]  # size order preserved
+
+
+def test_temperature_sample_is_layout_invariant_and_exact_quota(spark):
+    """The winning set is identical under a different partition layout
+    (md5 rank, not partition order) and each stratum emits exactly its
+    quota when the stratum is large enough."""
+    from sensor_data_pipeline___spark.operators.export import (
+        temperature_quotas,
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got1 = {
+        (r["doc_id"], r["source"])
+        for r in temperature_sample(
+            df, "source", "doc_id", k_total=200
+        ).collect()
+    }
+    got2 = {
+        (r["doc_id"], r["source"])
+        for r in temperature_sample(
+            df.repartition(13), "source", "doc_id", k_total=200
+        ).collect()
+    }
+    assert got1 == got2
+    quotas = {
+        r["source"]: r["quota"]
+        for r in temperature_quotas(df, "source", 200).collect()
+    }
+    from collections import Counter
+
+    per = Counter(s for _, s in got1)
+    assert per == quotas
