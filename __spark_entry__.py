@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries (bpe_token_length_hist, registered after r11's gate ran —
 # the one ledger exception — plus the r12-registered
 # release_audit_summary per directive #6, cluster_quality_reps, and
-# the three classifier queries quality_classifier_scores /
+# the four classifier queries quality_classifier_scores /
 # quality_classifier_eval / quality_classifier_probe_index /
 # quality_classifier_calibration, the star-CC twin
 # connected_components_star_fuzzy, and the temperature mixing

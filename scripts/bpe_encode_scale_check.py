@@ -142,24 +142,7 @@ def main() -> None:
         ).parquet(p + "/merges")
         stores[k] = p
 
-    # replicated corpus: --factor id-offset copies, odd replicas
-    # suffixed (scale_sweep.py's mixture posture)
-    rep = docs.crossJoin(
-        spark.range(args.factor).select(F.col("id").alias("_r"))
-    ).select(
-        (F.col("doc_id") + F.col("_r") * F.lit(10_000_000_000)).alias(
-            "doc_id"
-        ),
-        F.when(
-            F.col("_r") % 2 == 1,
-            F.concat(F.col("text"), F.lit(" replica suffix")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    rep.write.mode("overwrite").parquet(os.path.join(args.work, "corpus"))
-    corpus = spark.read.parquet(os.path.join(args.work, "corpus"))
-    n_rows = corpus.count()
+    corpus, n_rows = _replicate(spark, docs, args.factor, args.work)
 
     rows = []
     variants = (

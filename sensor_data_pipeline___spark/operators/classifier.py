@@ -206,6 +206,10 @@ def fit_linear_classifier(
                     )
                 ).alias("_r"),
             )
+            # checkpointed: resid feeds BOTH rtot and grad — without
+            # the cut its subplan (labels join + score agg + sigmoid)
+            # would execute twice per iteration (review r12)
+            .localCheckpoint(eager=True)
         )
         rtot = resid.agg(_dec_sum(F.col("_r")).alias("_R"))
         grad = (
@@ -516,6 +520,39 @@ def classifier_scores_oracle_sql(
     SELECT s.doc_id, round(s.score, 6) AS score,
            CAST(l.y AS BIGINT) AS label
     FROM sc s JOIN labq l USING (doc_id)"""
+    )
+
+
+def classifier_calibration_oracle_sql(
+    iters: int = ITERS,
+    lr: float = LR,
+    n_buckets: int = N_BUCKETS,
+    salt: str = SALT,
+    label_expr: str = _LABEL_EXPR,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of the reliability diagram: decile score bins ×
+    (count, mean score, empirical positive rate). Bin assignment is
+    floor(score·10) over the bit-identical scores; per-bin means run
+    in DECIMAL. Defaults track the module constants so a tuned
+    hyperparameter moves every classifier oracle together."""
+    parts = _oracle_parts(
+        iters, lr, n_buckets, salt, label_expr, table, id_col, text_col
+    )
+    return (
+        "WITH\n    "
+        + ",\n    ".join(parts)
+        + """
+    SELECT CAST(floor(s.score * 10) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(s.score AS DECIMAL(30,10)))
+                      AS DOUBLE) / count(*), 6) AS mean_score,
+           round(CAST(sum(CAST(l.y AS DECIMAL(30,10)))
+                      AS DOUBLE) / count(*), 6) AS frac_positive
+    FROM sc s JOIN labq l USING (doc_id)
+    GROUP BY 1"""
     )
 
 

@@ -172,7 +172,14 @@ def temperature_quotas(
     else:
         wgt = F.pow(F.col("n").cast("double"), F.lit(float(tau)))
     weighted = counts.withColumn("_w", wgt)
-    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    # DECIMAL-exact total (the time_weighted_avg recipe): the weight
+    # sum feeds a floor() cliff in the hash-gated oracle, so its value
+    # must not depend on summation order
+    tot = weighted.agg(
+        F.sum(F.col("_w").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("_tw")
+    )
     return (
         weighted.crossJoin(F.broadcast(tot))
         .select(

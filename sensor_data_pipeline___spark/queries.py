@@ -4780,15 +4780,10 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "connected_components_fuzzy",
-    # Near-dup clustering made oracle-HASH-verifiable: the min-label
-    # propagation loop (operators/dedup.py:connected_components, the
-    # step that turns pairwise near-dup output into dedup groups) is
-    # checked against DuckDB's recursive-CTE transitive closure over
-    # the SAME deterministic edge set (the blocked Levenshtein pairs of
-    # fuzzy_name_pairs). component = min reachable node on both sides.
-    """
+#: Shared transitive-closure oracle of BOTH CC algorithms over the
+#: fuzzy-pairs edge set — one copy so the edge predicate and closure
+#: can never drift between the propagation and star registrations.
+_CC_FUZZY_ORACLE = """
     WITH RECURSIVE names AS (
       SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS noun
       FROM part
@@ -4805,7 +4800,18 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
     )
     SELECT node, min(r) AS component FROM reach GROUP BY node
-    """,
+    """
+
+
+@_register(
+    "connected_components_fuzzy",
+    # Near-dup clustering made oracle-HASH-verifiable: the min-label
+    # propagation loop (operators/dedup.py:connected_components, the
+    # step that turns pairwise near-dup output into dedup groups) is
+    # checked against DuckDB's recursive-CTE transitive closure over
+    # the SAME deterministic edge set (the blocked Levenshtein pairs of
+    # fuzzy_name_pairs). component = min reachable node on both sides.
+    _CC_FUZZY_ORACLE,
 )
 def q_connected_components_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators.dedup import connected_components
@@ -7634,24 +7640,7 @@ def q_quality_classifier_probe_index(
     # algorithms must land on identical min-id components, so the
     # star variant is hash-verified end-to-end, not just
     # property-tested.
-    """
-    WITH RECURSIVE names AS (
-      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS noun
-      FROM part
-    ), e AS (
-      SELECT a.p_name AS a, b.p_name AS b
-      FROM names a JOIN names b
-        ON a.noun = b.noun AND a.p_name < b.p_name
-      WHERE levenshtein(a.p_name, b.p_name) <= 2
-    ), und AS (
-      SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e
-    ), reach(node, r) AS (
-      SELECT u, u FROM und
-      UNION
-      SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
-    )
-    SELECT node, min(r) AS component FROM reach GROUP BY node
-    """,
+    _CC_FUZZY_ORACLE,
 )
 def q_connected_components_star_fuzzy(
     spark: SparkSession, sf_dir: str
@@ -7668,27 +7657,10 @@ def q_connected_components_star_fuzzy(
 
 def _classifier_calibration_oracle() -> str:
     from sensor_data_pipeline___spark.operators.classifier import (
-        _oracle_parts,
+        classifier_calibration_oracle_sql,
     )
 
-    parts = _oracle_parts(
-        8, 2.0, 256, "qclf-v1",
-        "CASE WHEN n_chars >= 150 THEN 1.0 ELSE 0.0 END",
-        "documents", "doc_id", "text",
-    )
-    return (
-        "WITH\n    "
-        + ",\n    ".join(parts)
-        + """
-    SELECT CAST(floor(s.score * 10) AS BIGINT) AS bin,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           round(CAST(sum(CAST(s.score AS DECIMAL(30,10)))
-                      AS DOUBLE) / count(*), 6) AS mean_score,
-           round(CAST(sum(CAST(l.y AS DECIMAL(30,10)))
-                      AS DOUBLE) / count(*), 6) AS frac_positive
-    FROM sc s JOIN labq l USING (doc_id)
-    GROUP BY 1"""
-    )
+    return classifier_calibration_oracle_sql()
 
 
 @_register(
@@ -7746,7 +7718,8 @@ def q_quality_classifier_calibration(
     WITH c AS (
       SELECT source, count(*) AS n FROM documents GROUP BY source
     ), t AS (
-      SELECT sum(sqrt(CAST(n AS DOUBLE))) AS tw FROM c
+      SELECT CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS tw FROM c
     ), q AS (
       SELECT source,
              CAST(floor(300.0 * sqrt(CAST(n AS DOUBLE))
