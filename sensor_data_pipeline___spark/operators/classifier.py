@@ -206,10 +206,12 @@ def fit_linear_classifier(
                     )
                 ).alias("_r"),
             )
-            # checkpointed: resid feeds BOTH rtot and grad — without
-            # the cut its subplan (labels join + score agg + sigmoid)
-            # would execute twice per iteration (review r12)
-            .localCheckpoint(eager=True)
+            # NOT checkpointed, deliberately: resid feeds both rtot
+            # and grad, but ReuseExchange already shares the score
+            # shuffle between the two subtrees, and materializing
+            # resid costs more than recomputing the post-shuffle
+            # remainder — measured 7.5 s (checkpoint) vs 5.9 s
+            # (recompute) per fit at sf0.1 (review r12, adjudicated)
         )
         rtot = resid.agg(_dec_sum(F.col("_r")).alias("_R"))
         grad = (
