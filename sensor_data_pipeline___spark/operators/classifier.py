@@ -112,17 +112,41 @@ def featurize_hashed(
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
     salt: str = SALT,
+    bigrams: bool = False,
 ) -> DataFrame:
     """``(id, bucket, x)`` — x = the count of the document's
     whitespace tokens hashing into ``bucket``, plus the constant bias
     feature (``bucket = -1, x = 1``) every document carries (so
     zero-token documents still score, at the learned base rate).
 
+    ``bigrams=True`` additionally hashes adjacent-token bigrams (the
+    ``dsir.hashed_ngram_buckets`` construction — the fastText-faithful
+    feature set; word order starts to matter). The gated queries keep
+    the unigram default; a persisted fit records the flag in its
+    ``meta/``, and both probe paths
+    (:func:`classifier_score_against_index`,
+    :func:`classifier_score_expr`) replay it automatically, so a
+    bigram fit can never be silently probed with unigram features.
+
     One explode + one (id, bucket) partial-agg shuffle; counts are
     integers, exact in double."""
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_tk")
-    ).filter(F.length("_tk") > 0)
+    t = F.split(F.col(text_col), " ")
+    grams = F.filter(t, lambda w: F.length(w) > 0)
+    if bigrams:
+        tail = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+        big = F.filter(
+            F.zip_with(
+                t,
+                tail,
+                lambda a, b: F.when(
+                    b.isNotNull() & (F.length(a) > 0) & (F.length(b) > 0),
+                    F.concat_ws(" ", a, b),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        grams = F.concat(grams, big)
+    toks = docs.select(F.col(id_col), F.explode(grams).alias("_tk"))
     counts = (
         toks.select(
             id_col, _bucket(F.col("_tk"), salt, n_buckets).alias("bucket")
@@ -272,11 +296,13 @@ def save_classifier(
     lr: float = LR,
     n_buckets: int = N_BUCKETS,
     salt: str = SALT,
+    bigrams: bool = False,
 ) -> None:
     """Fit the classifier ONCE on a labeled reference corpus and
     persist it: ``weights/`` (the (bucket, m, w) table —
     ``n_buckets``+1 rows) plus ``meta/`` (the featurize geometry the
-    probe side must replay). The same fit-once-offline /
+    probe side must replay, INCLUDING the n-gram order, so a bigram
+    fit can never be silently probed with unigram features). The same fit-once-offline /
     probe-O(batch) posture as ``save_dsir_index`` /
     ``save_unigram_lm``: the full corpus is only ever touched by
     :func:`classifier_score_against_index` or the row-local
@@ -284,20 +310,28 @@ def save_classifier(
     from sensor_data_pipeline___spark.operators._local import local_df
 
     _META_CACHE.pop(path, None)
-    feats = featurize_hashed(docs, text_col, id_col, n_buckets, salt)
+    feats = featurize_hashed(
+        docs, text_col, id_col, n_buckets, salt, bigrams=bigrams
+    )
     w = fit_linear_classifier(feats, labels, iters, lr, id_col=id_col)
     w.coalesce(1).write.mode("overwrite").parquet(path + "/weights")
     local_df(
         docs.sparkSession,
-        [(n_buckets, salt)],
-        "n_buckets int, salt string",
+        [(n_buckets, salt, bool(bigrams))],
+        "n_buckets int, salt string, bigrams boolean",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
-def _load_meta(spark, path: str) -> "tuple[int, str]":
+def _load_meta(spark, path: str) -> "tuple[int, str, bool]":
     if path not in _META_CACHE:
         r = spark.read.parquet(path + "/meta").first()
-        _META_CACHE[path] = (int(r["n_buckets"]), str(r["salt"]))
+        d = r.asDict()
+        _META_CACHE[path] = (
+            int(d["n_buckets"]),
+            str(d["salt"]),
+            # stores written before the flag existed are unigram
+            bool(d.get("bigrams", False)),
+        )
     return _META_CACHE[path]
 
 
@@ -314,9 +348,11 @@ def classifier_score_against_index(
     :func:`classifier_score` over the in-memory fit (pinned equal by
     test); per batch: one scan + broadcast join + one partial-agg
     shuffle."""
-    n_buckets, salt = _load_meta(spark, path)
+    n_buckets, salt, bigrams = _load_meta(spark, path)
     w = spark.read.parquet(path + "/weights")
-    feats = featurize_hashed(docs, text_col, id_col, n_buckets, salt)
+    feats = featurize_hashed(
+        docs, text_col, id_col, n_buckets, salt, bigrams=bigrams
+    )
     return classifier_score(feats, w, id_col)
 
 
@@ -336,8 +372,9 @@ def classifier_score_expr(spark, path: str, text_col: str = "text") -> Column:
     batch path's decimal-exact sums: agreement is ~1e-9, not
     bit-identical (pinned by test). Buckets unseen at fit time carry
     no weight row and contribute 0, exactly like the batch path's
-    inner join."""
-    n_buckets, salt = _load_meta(spark, path)
+    inner join. A bigram-fit store (meta flag) folds the adjacent-
+    pair grams in a second stateless pass — still zero exchanges."""
+    n_buckets, salt, bigrams = _load_meta(spark, path)
     rows = spark.read.parquet(path + "/weights").collect()
     bias = 0.0
     c = 0.0
@@ -351,22 +388,34 @@ def classifier_score_expr(spark, path: str, text_col: str = "text") -> Column:
                 (F.lit(int(r["bucket"])), F.lit(float(r["w"])))
             )
     wmap = F.create_map(*pairs)
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1),
-        lambda t: F.length(t) > 0,
-    )
-    s = (
-        F.aggregate(
-            toks,
+
+    def _fold(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
             F.lit(0.0),
             lambda acc, t: acc
             + F.coalesce(
                 wmap[_bucket(t, salt, n_buckets)], F.lit(0.0)
             ),
         )
-        + F.lit(bias)
-        - F.lit(c)
-    )
+
+    t = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
+    toks = F.filter(t, lambda w: F.length(w) > 0)
+    s = _fold(toks) + F.lit(bias) - F.lit(c)
+    if bigrams:
+        tail = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+        big = F.filter(
+            F.zip_with(
+                t,
+                tail,
+                lambda a, b: F.when(
+                    b.isNotNull() & (F.length(a) > 0) & (F.length(b) > 0),
+                    F.concat_ws(" ", a, b),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        s = s + _fold(big)
     return _fast_sigmoid(s)
 
 

@@ -248,3 +248,59 @@ def test_score_expr_matches_batch_path(spark, tmp_path):
     assert set(got) == set(want)
     for did in want:
         assert abs(got[did] - want[did]) < 1e-9, (did, got[did], want[did])
+
+
+def test_bigram_features_separate_order_swapped_docs(spark, tmp_path):
+    """Docs with IDENTICAL unigram bags but different word order are
+    inseparable for the unigram featurizer and separable with
+    bigrams=True; the store records the flag so both probe paths
+    (batch index probe and the row-local expression) replay it
+    automatically and agree."""
+    rows = []
+    for i in range(6):
+        rows.append((2 * i, f"good stuff filler{i}", 1.0))
+        rows.append((2 * i + 1, f"stuff good filler{i}", 0.0))
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in rows], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(d, y) for d, _, y in rows], "doc_id long, label double"
+    )
+    lab = {d: y for d, _, y in rows}
+
+    def split_scores(feats):
+        w = clf.fit_linear_classifier(feats, labels)
+        sc = {
+            r["doc_id"]: r["score"]
+            for r in clf.classifier_score(feats, w).collect()
+        }
+        pos = [s for d, s in sc.items() if lab[d] == 1.0]
+        neg = [s for d, s in sc.items() if lab[d] == 0.0]
+        return min(pos), max(neg)
+
+    # unigram bags identical -> scores identical within each pair
+    mn1, mx0 = split_scores(clf.featurize_hashed(docs))
+    assert mn1 <= mx0  # cannot separate
+    mn1b, mx0b = split_scores(clf.featurize_hashed(docs, bigrams=True))
+    assert mx0b < mn1b  # bigram order signal separates
+
+    path = str(tmp_path / "clf_bigram_store")
+    clf.save_classifier(docs, labels, path, bigrams=True)
+    want = {
+        r["doc_id"]: r["score"]
+        for r in clf.classifier_score_against_index(
+            spark, path, docs
+        ).collect()
+    }
+    pos = [s for d, s in want.items() if lab[d] == 1.0]
+    neg = [s for d, s in want.items() if lab[d] == 0.0]
+    assert max(neg) < min(pos)  # the stored flag was replayed
+    got = {
+        r["doc_id"]: r["score"]
+        for r in docs.select(
+            "doc_id",
+            clf.classifier_score_expr(spark, path).alias("score"),
+        ).collect()
+    }
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9
