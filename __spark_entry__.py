@@ -37,20 +37,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # window prescription per VERDICT r11 directive #2): the window keeps
 # the 11-entry veteran spine (reference-parity core that never
 # rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the NINE never-gated
+# session_window_batch watch item), adds the TEN never-gated
 # entries (bpe_token_length_hist, registered after r11's gate ran —
 # the one ledger exception — plus the r12-registered
 # release_audit_summary per directive #6, cluster_quality_reps, and
-# the four classifier queries quality_classifier_scores /
+# the five classifier queries quality_classifier_scores /
 # quality_classifier_eval / quality_classifier_probe_index /
-# quality_classifier_calibration, the star-CC twin
-# connected_components_star_fuzzy, and the temperature mixing
-# temperature_mixture_sample — registering into the CURRENT window
-# so never-gated stays empty after this round's gate), and fills the
-# remaining 30 slots with the STALEST previously-gated cohort: the
-# first 30 (by name) of the 37 entries last gated in r7
-# (anti_join_inactive_customers … semi_join_active_customers —
-# recomputed from the CORRECTNESS_r*.json union this round;
+# quality_classifier_calibration / quality_classifier_bigram_eval,
+# the star-CC twin connected_components_star_fuzzy, and the
+# temperature mixing temperature_mixture_sample — registering into
+# the CURRENT window so never-gated stays empty after this round's
+# gate), and fills the remaining 29 slots with the STALEST
+# previously-gated cohort: the first 29 (by name) of the 37 entries
+# last gated in r7 (anti_join_inactive_customers …
+# segment_frequency_stats — recomputed from
+# the CORRECTNESS_r*.json union this round; semi_join_active_customers,
 # string_functions_parts, text_quality, token_counts,
 # user_event_sequences, window_running_total and
 # winnowing_fingerprint slide to the front of the r13 staleness
@@ -88,7 +89,8 @@ _PRIORITY = (
     "connected_components_star_fuzzy",
     "quality_classifier_calibration",
     "temperature_mixture_sample",
-    # --- stalest refresh: last gated r7 (first 30 by name) ---
+    "quality_classifier_bigram_eval",
+    # --- stalest refresh: last gated r7 (first 29 by name) ---
     "anti_join_inactive_customers",
     "benford_first_digit",
     "column_profile_orders",
@@ -118,7 +120,6 @@ _PRIORITY = (
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "segment_frequency_stats",
-    "semi_join_active_customers",
 )
 
 

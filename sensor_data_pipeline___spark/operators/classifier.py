@@ -430,6 +430,7 @@ def _oracle_parts(
     text_col: str,
     fit_where: str = "TRUE",
     probe_where: str = "TRUE",
+    bigrams: bool = False,
 ) -> "list[str]":
     """The shared CTE chain of the DuckDB twins: featurize, means, w0,
     then ``iters`` unrolled (score, residual, gradient, update) steps
@@ -439,7 +440,9 @@ def _oracle_parts(
     ``fit_where`` restricts the FIT corpus, ``probe_where`` the docs
     the final score pass runs over (the held-out-split shape of
     ``quality_classifier_probe_index``); both default to the whole
-    table."""
+    table. ``bigrams`` mirrors :func:`featurize_hashed`'s flag: the
+    tok CTE additionally unnests adjacent-token bigrams (both parts
+    non-empty — the zip_with guard's exact twin)."""
     lr_lit = repr(float(lr))
     dsum = "CAST(sum(CAST({t} AS DECIMAL(30,10))) AS DOUBLE)"
     fsig = "(0.5 + 0.5 * {s} / (1.0 + abs({s})))"
@@ -454,11 +457,30 @@ def _oracle_parts(
       SELECT {id} AS doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x
       FROM {tbl} WHERE {where}
     )"""
+    if bigrams:
+        tok_tpl = (
+            "{name} AS (\n"
+            "      SELECT {id} AS doc_id,\n"
+            "             unnest(t || [t[i] || ' ' || t[i+1]\n"
+            "                          for i in generate_series(1, len(t)-1)\n"
+            "                          if len(t[i]) > 0 AND len(t[i+1]) > 0])\n"
+            "               AS tk\n"
+            "      FROM (SELECT {id}, string_split({txt}, ' ') AS t\n"
+            "            FROM {tbl} WHERE {where})\n"
+            "    )"
+        )
+    else:
+        tok_tpl = (
+            "{name} AS (\n"
+            "      SELECT {id} AS doc_id, unnest(string_split({txt}, ' ')) AS tk\n"
+            "      FROM {tbl} WHERE {where}\n"
+            "    )"
+        )
     parts = [
-        f"""tokq AS (
-      SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS tk
-      FROM {table} WHERE {fit_where}
-    )""",
+        tok_tpl.format(
+            name="tokq", id=id_col, txt=text_col, tbl=table,
+            where=fit_where,
+        ),
         feats_cte.format(
             name="featsq", salt=salt, nb=n_buckets, tok="tokq",
             id=id_col, tbl=table, where=fit_where,
@@ -521,10 +543,10 @@ def _oracle_parts(
     else:
         probe_feats = "featsp"
         parts.append(
-            f"""tokp AS (
-      SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS tk
-      FROM {table} WHERE {probe_where}
-    )"""
+            tok_tpl.format(
+                name="tokp", id=id_col, txt=text_col, tbl=table,
+                where=probe_where,
+            )
         )
         parts.append(
             feats_cte.format(
@@ -559,10 +581,12 @@ def classifier_scores_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    bigrams: bool = False,
 ) -> str:
     """DuckDB twin of fit-then-score: per-doc (score, label)."""
     parts = _oracle_parts(
-        iters, lr, n_buckets, salt, label_expr, table, id_col, text_col
+        iters, lr, n_buckets, salt, label_expr, table, id_col, text_col,
+        bigrams=bigrams,
     )
     return (
         "WITH\n    "
@@ -583,6 +607,7 @@ def classifier_calibration_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    bigrams: bool = False,
 ) -> str:
     """DuckDB twin of the reliability diagram: decile score bins ×
     (count, mean score, empirical positive rate). Bin assignment is
@@ -590,7 +615,8 @@ def classifier_calibration_oracle_sql(
     in DECIMAL. Defaults track the module constants so a tuned
     hyperparameter moves every classifier oracle together."""
     parts = _oracle_parts(
-        iters, lr, n_buckets, salt, label_expr, table, id_col, text_col
+        iters, lr, n_buckets, salt, label_expr, table, id_col, text_col,
+        bigrams=bigrams,
     )
     return (
         "WITH\n    "
@@ -645,12 +671,14 @@ def classifier_eval_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    bigrams: bool = False,
 ) -> str:
     """DuckDB twin of the bounded confusion summary: one row per
     (label, prediction) cell with count and decimal-exact mean score —
     the review-facing artifact where per-doc scores are corpus-sized."""
     parts = _oracle_parts(
-        iters, lr, n_buckets, salt, label_expr, table, id_col, text_col
+        iters, lr, n_buckets, salt, label_expr, table, id_col, text_col,
+        bigrams=bigrams,
     )
     return (
         "WITH\n    "

@@ -7749,3 +7749,63 @@ def q_temperature_mixture_sample(
     return temperature_sample(
         docs, "source", "doc_id", k_total=300
     ).select("doc_id", "source")
+
+
+def _classifier_bigram_eval_oracle() -> str:
+    from sensor_data_pipeline___spark.operators.classifier import (
+        classifier_eval_oracle_sql,
+    )
+
+    return classifier_eval_oracle_sql(bigrams=True)
+
+
+@_register(
+    "quality_classifier_bigram_eval",
+    # The bigram-featurized classifier, hash-verified cross-engine:
+    # same centered fit and confusion summary as
+    # quality_classifier_eval, but the feature set adds adjacent-token
+    # bigrams (featurize_hashed(bigrams=True) — the fastText-faithful
+    # order-sensitive set; the oracle's tok CTE unnests the same
+    # guarded bigram list, the dsir oracle construction). Proves the
+    # bigram path end-to-end rather than only self-consistent.
+    _classifier_bigram_eval_oracle(),
+)
+def q_quality_classifier_bigram_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.classifier import (
+        classifier_score,
+        featurize_hashed,
+        fit_linear_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = featurize_hashed(docs, bigrams=True)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 150, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("label"),
+    )
+    w = fit_linear_classifier(feats, labels)
+    sc = classifier_score(feats, w).join(
+        labels.withColumnRenamed("label", "_y"), "doc_id"
+    )
+    return (
+        sc.select(
+            F.col("_y").cast("long").alias("label"),
+            (F.col("score") >= 0.5).cast("long").alias("predicted"),
+            "score",
+        )
+        .groupBy("label", "predicted")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(30,10)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_score"),
+        )
+    )
