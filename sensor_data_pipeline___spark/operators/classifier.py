@@ -184,7 +184,17 @@ def fit_linear_classifier(
     and label tables are checkpointed once (re-joined every
     iteration); weights checkpoint per iteration to cut the
     iterative-lineage blowup (the ``pagerank`` posture). ``N`` is the
-    one driver scalar, the watermark class."""
+    one driver scalar, the watermark class.
+
+    CONTRACT: ``feats`` must cover exactly the documents in
+    ``labels`` (every in-repo caller featurizes the labeled set
+    itself). The centering mean ``m`` is ``Σ x / N`` with ``N`` from
+    ``labels`` — feats rows for UNLABELED docs would inflate the
+    numerator but not ``N``, silently skewing ``m`` while the
+    gradient's inner join drops those docs, making fit and score
+    inconsistent. Featurize the labeled subset, not the corpus
+    (advisor r12; a semi-join here would hide the mismatch at a
+    per-fit shuffle cost instead of surfacing the caller bug)."""
     feats = feats.localCheckpoint(eager=True)
     labels = labels.select(
         F.col(id_col), F.col(label_col).cast("double").alias("_y")
@@ -373,30 +383,38 @@ def classifier_score_expr(spark, path: str, text_col: str = "text") -> Column:
     bit-identical (pinned by test). Buckets unseen at fit time carry
     no weight row and contribute 0, exactly like the batch path's
     inner join. A bigram-fit store (meta flag) folds the adjacent-
-    pair grams in a second stateless pass — still zero exchanges."""
+    pair grams in a second stateless pass — still zero exchanges.
+
+    Lookup shape: the weights are baked as an ARRAY literal indexed
+    by bucket (``element_at`` on an array literal is an O(1) indexed
+    read), not a map literal — Spark's ``GetMapValue`` on a
+    ``create_map`` literal is a linear key scan, O(n_buckets) PER
+    TOKEN, which degrades the hot streaming path as bucket counts
+    grow (advisor r12; ~257 comparisons/token at the default 256 was
+    tolerable, 64k-bucket fits would not be). Buckets with no weight
+    row hold an explicit 0.0 — same value the map path's coalesce
+    produced, so scores are bit-identical."""
     n_buckets, salt, bigrams = _load_meta(spark, path)
     rows = spark.read.parquet(path + "/weights").collect()
     bias = 0.0
     c = 0.0
-    pairs: list = []
+    dense = [0.0] * n_buckets
+    # bucket-sorted: c is a float fold, so its summation ORDER is part
+    # of the function's deterministic contract across store re-reads
     for r in sorted(rows, key=lambda r: r["bucket"]):
         c += float(r["m"]) * float(r["w"])
         if int(r["bucket"]) == BIAS_BUCKET:
             bias = float(r["w"])
         else:
-            pairs.extend(
-                (F.lit(int(r["bucket"])), F.lit(float(r["w"])))
-            )
-    wmap = F.create_map(*pairs)
+            dense[int(r["bucket"])] = float(r["w"])
+    warr = F.array(*[F.lit(w) for w in dense])
 
     def _fold(arr: Column) -> Column:
         return F.aggregate(
             arr,
             F.lit(0.0),
             lambda acc, t: acc
-            + F.coalesce(
-                wmap[_bucket(t, salt, n_buckets)], F.lit(0.0)
-            ),
+            + F.element_at(warr, (_bucket(t, salt, n_buckets) + 1).cast("int")),
         )
 
     t = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)

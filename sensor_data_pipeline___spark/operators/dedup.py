@@ -1494,6 +1494,21 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # cap exhausted without a zero-change round: labels are
+        # best-so-far, components may still be split (advisor r12 —
+        # don't let the final select mask a non-converged run); long
+        # diameters should use connected_components_star instead
+        import warnings
+
+        warnings.warn(
+            "connected_components: label propagation did NOT reach a "
+            f"fixpoint within max_iterations={max_iterations}; "
+            "returned components may be over-split (raise "
+            "max_iterations or use connected_components_star)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -1549,15 +1564,28 @@ def connected_components_star(
     )
 
     def _signature(e: DataFrame) -> tuple:
+        # Two INDEPENDENT aggregates of two independent hashes
+        # (xor of h(u,v), decimal sum of h(v,u)) — a same-cardinality
+        # edge-set change would have to collide both simultaneously
+        # (~2^-128) for convergence to fire early; still one bounded
+        # 1-row driver scalar per round (advisor r12 — the
+        # count+single-xor form was a lone 64-bit check)
         row = e.agg(
             F.count("*").alias("n"),
             F.coalesce(
                 F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
             ).alias("h"),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64(F.col("v"), F.col("u")).cast("decimal(30,0)")
+                ),
+                F.lit(0).cast("decimal(30,0)"),
+            ).alias("s"),
         ).collect()[0]
-        return (row["n"], row["h"])
+        return (row["n"], row["h"], row["s"])
 
     sig = None
+    converged = False
     for _ in range(max_iterations):
         # large-star: symmetric neighborhoods; larger neighbors hook
         # onto min(N(u) ∪ {u})
@@ -1593,8 +1621,24 @@ def connected_components_star(
         )
         new_sig = _signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # surface the capped run instead of silently reading off a
+        # not-yet-star edge set as components (advisor r12): at
+        # O(log² n) guaranteed rounds, hitting 50 means something is
+        # deeply wrong with the input, not a tuning matter
+        import warnings
+
+        warnings.warn(
+            "connected_components_star: star-forest fixpoint NOT "
+            f"reached within max_iterations={max_iterations}; "
+            "returned components are best-so-far and may be wrong "
+            "(raise max_iterations)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # fixpoint: edges are the star forest (node → component min);
     # roots (the minima) and singletons map to themselves. The min
     # aggregate also guards the max_iterations-exhausted case: a

@@ -685,3 +685,37 @@ def test_connected_components_star_keeps_self_pair_singletons(spark):
     }
     assert got_star == want
     assert got_prop == want
+
+
+def test_connected_components_warn_on_cap_exhaustion(spark):
+    """Both CC variants surface a capped (possibly wrong) run as a
+    RuntimeWarning instead of silently returning best-so-far labels
+    (advisor r12); a converged run stays silent."""
+    import warnings
+
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # a 12-node path needs ~11 propagation rounds / several star
+    # rounds — max_iterations=1 cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    for fn in (connected_components, connected_components_star):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            fn(pairs, max_iterations=1).collect()
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "fixpoint" in str(w.message).lower()
+            or "max_iterations" in str(w.message)
+            for w in caught
+        ), fn.__name__
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            fn(pairs, max_iterations=40).collect()
+        assert not [
+            w for w in caught if issubclass(w.category, RuntimeWarning)
+        ], fn.__name__
