@@ -61,6 +61,110 @@ def hash_split(
     )
 
 
+def split_leakage_stats(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    split_col: str = "split",
+) -> DataFrame:
+    """``(split_a, split_b, n_pairs, is_leak)`` — how many near-dup
+    pairs straddle split boundaries (VERDICT r12 directive #2): the
+    train/test leakage :func:`hash_split` cannot prevent (it keys on
+    the id, so two DIFFERENT ids with 0.95-Jaccard texts can land on
+    opposite sides) and 8-gram decontamination only partially catches
+    (it needs a verbatim shared gram; paraphrase-level near-dups slip
+    through). ``pairs`` is any near-dup edge set (minhash bands, exact
+    set-similarity, simhash); ``splits`` maps ``id_col`` →
+    ``split_col``. The (a, b) split labels are normalized
+    least/greatest so (train, test) and (test, train) count as one
+    cross-boundary cell; ``is_leak`` flags off-diagonal cells.
+
+    Shape at 100 TB: two equi-joins of the pair list against a narrow
+    (id, split) projection — both shuffle on the id — then a groupBy
+    over a ≤ |splits|² key space (single-digit rows). The pair list is
+    the already-blocked near-dup output, never all-pairs."""
+    sa = splits.select(
+        F.col(id_col).alias(a_col), F.col(split_col).alias("_sa")
+    )
+    sb = splits.select(
+        F.col(id_col).alias(b_col), F.col(split_col).alias("_sb")
+    )
+    return (
+        pairs.select(a_col, b_col)
+        .join(sa, a_col)
+        .join(sb, b_col)
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def cluster_hash_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """CLUSTER-AWARE :func:`hash_split` (VERDICT r12 directive #2):
+    key the md5 split on the near-dup CLUSTER representative instead
+    of the row's own id, so whole clusters land in one split and
+    near-duplicates can never straddle train/test. Components come
+    from the large-star/small-star alternation
+    (``dedup.connected_components_star`` — O(log n) rounds on
+    adversarial chains); a document in no pair keys on its own id,
+    which makes this function degrade EXACTLY to :func:`hash_split`
+    on a pair-free corpus (same salt ⇒ same assignment).
+
+    Adds ``split_key`` (the component min-id, or the own id) and
+    ``split``. Determinism: the star-CC fixpoint is a pure function
+    of the edge set and md5 is engine-stable, so — given a
+    deterministic pair source — split membership replays
+    cross-engine, which is what lets the driver gate HASH-verify
+    whole assignments (the hash_split_sizes precedent, upgraded from
+    sizes to membership).
+
+    Stability caveat, documented not hidden: unlike plain
+    :func:`hash_split`, corpus growth CAN move a row here — a new
+    edge can merge two clusters and change their representative.
+    That is the point (the alternative is leakage), but incremental
+    rebuilds should re-emit affected clusters' rows, not assume
+    per-row immutability.
+
+    Shape: the CC loop's bounded per-round shuffles, then ONE
+    id-keyed left join of the corpus against the (node, component)
+    table (bounded by nodes that appear in a pair), then the narrow
+    md5 projection. No new shuffle class over hash_split + CC."""
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    comp = connected_components_star(pairs, a_col, b_col)
+    keyed = df.join(
+        comp.select(F.col("node").alias(id_col), "component"),
+        id_col,
+        "left",
+    ).withColumn(
+        "split_key", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    b = hash_bucket(F.col("split_key"), salt)
+    t_hi = int(round(train * BUCKETS))
+    v_hi = t_hi + int(round(val * BUCKETS))
+    return keyed.withColumn(
+        "split",
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

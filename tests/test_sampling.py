@@ -194,3 +194,66 @@ def test_thresholds_round_not_truncate(spark):
     )
     joined = split.join(ref.select("id", "want"), "id")
     assert joined.filter(F.col("split") != F.col("want")).count() == 0
+
+
+def test_split_leakage_stats_cells(spark):
+    """Fixture-pinned cell arithmetic: least/greatest normalization
+    folds (train,test)/(test,train) into one cell and is_leak flags
+    exactly the off-diagonal ones."""
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "val")],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.is_leak)
+        for r in sampling.split_leakage_stats(pairs, splits).collect()
+    }
+    assert got == {
+        ("test", "train"): (1, True),
+        ("train", "train"): (1, False),
+        ("test", "val"): (1, True),
+    }
+
+
+def test_cluster_hash_split_whole_clusters(spark):
+    """Every member of a connected component gets the component
+    min-id as split_key (so clusters land whole); pair-free docs key
+    on their own id and match plain hash_split exactly."""
+    docs = spark.range(1, 11).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.split_key, r.split)
+        for r in sampling.cluster_hash_split(docs, pairs).collect()
+    }
+    assert {out[i][0] for i in (1, 2, 3)} == {1}
+    assert {out[i][0] for i in (5, 6)} == {5}
+    assert len({out[i][1] for i in (1, 2, 3)}) == 1
+    assert len({out[i][1] for i in (5, 6)}) == 1
+    plain = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(docs, "doc_id").collect()
+    }
+    for i in (4, 7, 8, 9, 10):
+        assert out[i] == (i, plain[i])
+
+
+def test_cluster_hash_split_no_cross_split_pairs(spark):
+    """The structural claim: after cluster_hash_split, zero near-dup
+    pairs straddle a split boundary (the leakage split_leakage_stats
+    measures for plain hash_split)."""
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    # chain 0-1-2-...-9 plus scattered pairs
+    rows = [(i, i + 1) for i in range(9)] + [(20, 40), (41, 77), (40, 77)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    splits = sampling.cluster_hash_split(docs, pairs).select(
+        "doc_id", "split"
+    )
+    leaks = sampling.split_leakage_stats(pairs, splits).filter(
+        F.col("is_leak")
+    )
+    assert leaks.count() == 0
