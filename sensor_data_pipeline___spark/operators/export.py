@@ -165,7 +165,18 @@ def temperature_quotas(
     quota arithmetic (sqrt, ×, ÷, floor over bit-identical doubles)
     replays bit-identically in ANSI SQL, unlike general ``pow``
     (correctly rounded in neither engine — other τ values are for
-    library use and carry no oracle claim)."""
+    library use and carry no oracle claim).
+
+    Edge contracts (advisor r12): a NULL stratum gets a quota row
+    like any other group (and contributes its ``n^τ`` to the weight
+    total) but :func:`temperature_sample`'s equi-join can never match
+    it — NULL-stratum rows are therefore never sampled while still
+    damping every other stratum's quota; filter NULLs out (or map
+    them to a sentinel) BEFORE calling if they should participate.
+    And because each quota is ``floor()`` with no remainder
+    redistribution, ``Σ quota ≤ k_total`` — the realized sample
+    deliberately undershoots by up to one row per stratum rather
+    than inventing a redistribution policy the caller didn't pick."""
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
     if tau == 0.5:
         wgt = F.sqrt(F.col("n").cast("double"))
@@ -216,7 +227,11 @@ def temperature_sample(
     quota keeps everything (can't happen for τ ≤ 1 with
     k_total ≤ corpus, since quota_s ≤ n_s^τ·Σ⁻¹·k ≤ n_s when
     n_s^(1-τ) ≥ k/Σ — but the window filter is the same either
-    way)."""
+    way). Inherits :func:`temperature_quotas`' edge contracts:
+    NULL-stratum rows are never emitted (the equi-join can't match
+    NULL) yet still damp other quotas, and floor() quotas mean the
+    result can undershoot ``k_total`` by up to one row per stratum
+    — callers must not assume exactly ``k_total`` rows."""
     quotas = temperature_quotas(df, stratum_col, k_total, tau)
     h = _hash_hex(F.col(id_col), salt)
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
@@ -225,6 +240,106 @@ def temperature_sample(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("quota"))
         .drop("quota", "_rn")
+    )
+
+
+def temperature_quotas_tokens(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    budget_total: int,
+    tau: float = 0.5,
+) -> DataFrame:
+    """``(stratum, stratum_tokens, token_quota)`` — the TOKEN-MASS
+    variant of :func:`temperature_quotas` (VERDICT r12 directive #3):
+    pretraining mixes are budgeted in tokens, not documents, so the
+    per-stratum share is ``quota_s = floor(B · T_s^τ / Σ T_s^τ)``
+    where ``T_s = Σ tokens_col`` — τ < 1 upsamples low-token-mass
+    sources relative to their natural share exactly as the doc-count
+    variant does for row counts.
+
+    Cross-engine exactness mirrors :func:`temperature_quotas`:
+    ``T_s`` is an INTEGER sum (exact), ``sqrt`` is IEEE
+    correctly-rounded for τ=0.5, the weight total sums in
+    DECIMAL(30,10), and floor over bit-identical doubles lands on the
+    same integer in every engine. Other τ are library-use, no oracle
+    claim. Output is strata-sized — broadcast material."""
+    counts = df.groupBy(stratum_col).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("stratum_tokens")
+    )
+    if tau == 0.5:
+        wgt = F.sqrt(F.col("stratum_tokens").cast("double"))
+    else:
+        wgt = F.pow(
+            F.col("stratum_tokens").cast("double"), F.lit(float(tau))
+        )
+    weighted = counts.withColumn("_w", wgt)
+    tot = weighted.agg(
+        F.sum(F.col("_w").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("_tw")
+    )
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "stratum_tokens",
+        F.floor(F.lit(float(budget_total)) * F.col("_w") / F.col("_tw"))
+        .cast("long")
+        .alias("token_quota"),
+    )
+
+
+def temperature_sample_tokens(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget_total: int,
+    tau: float = 0.5,
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Token-budgeted temperature mixture (VERDICT r12 directive #3):
+    derive per-stratum TOKEN quotas from the corpus
+    (:func:`temperature_quotas_tokens`), then fill each stratum with
+    its content-smallest md5 hashes — admitting the PREFIX of the
+    hash order whose RUNNING token total (including the candidate)
+    stays ≤ the stratum's quota. A prefix, not a knapsack: the first
+    doc that would overflow the budget cuts the stratum off even if a
+    later, smaller doc would still fit — that keeps the winning set a
+    pure function of (content, salt, quota), stable under corpus
+    reordering, and exactly replayable cross-engine (a best-fit
+    packing would be order-sensitive and engine-specific).
+
+    Requires ``tokens_col ≥ 0`` (the running total must be monotone
+    for the prefix rule to be well-defined); zero-token docs ride
+    along free inside the admitted prefix. Inherits the NULL-stratum
+    and floor()-undershoot contracts of the doc-count variant — and
+    undershoots further by up to one document's tokens per stratum
+    (the cut doc), which is the documented price of prefix
+    determinism.
+
+    Shape: one agg for quotas (strata-sized, broadcast), one
+    stratum-partitioned window carrying a running LONG sum — the
+    same shuffle classes as :func:`temperature_sample` (the window's
+    cumulative state is O(1) per row)."""
+    quotas = temperature_quotas_tokens(
+        df, stratum_col, tokens_col, budget_total, tau
+    )
+    h = _hash_hex(F.col(id_col), salt)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(
+            F.broadcast(quotas.select(stratum_col, "token_quota")),
+            stratum_col,
+        )
+        .withColumn(
+            "_cum", F.sum(F.col(tokens_col).cast("long")).over(w)
+        )
+        .filter(F.col("_cum") <= F.col("token_quota"))
+        .drop("token_quota", "_cum")
     )
 
 

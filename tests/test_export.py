@@ -337,3 +337,93 @@ def test_temperature_sample_is_layout_invariant_and_exact_quota(spark):
 
     per = Counter(s for _, s in got1)
     assert per == quotas
+
+
+def test_temperature_tokens_prefix_semantics(spark):
+    """temperature_sample_tokens admits exactly the md5-hash-order
+    PREFIX whose running token total stays within the stratum's
+    quota — replayed independently in Python (hashlib md5, same
+    salt|id recipe) against the collected quotas."""
+    import hashlib
+
+    from sensor_data_pipeline___spark.operators.export import (
+        temperature_quotas_tokens,
+        temperature_sample_tokens,
+    )
+
+    rows = [
+        (i, "a" if i % 3 else "b", (i * 7) % 50 + 1) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+    budget = 300
+    quotas = {
+        r.source: r.token_quota
+        for r in temperature_quotas_tokens(
+            df, "source", "n_tokens", budget
+        ).collect()
+    }
+    # independent replay of the prefix rule
+    want: set = set()
+    for src in {"a", "b"}:
+        members = sorted(
+            (r for r in rows if r[1] == src),
+            key=lambda r: (
+                hashlib.md5(f"mixture-v1|{r[0]}".encode()).hexdigest(),
+                r[0],
+            ),
+        )
+        cum = 0
+        for doc_id, _, n in members:
+            cum += n
+            if cum > quotas[src]:
+                break
+            want.add(doc_id)
+    got = {
+        r.doc_id
+        for r in temperature_sample_tokens(
+            df, "source", "doc_id", "n_tokens", budget
+        ).collect()
+    }
+    assert got == want
+    # budget respected per stratum, and undershoot is bounded by the
+    # cut document (prefix rule), not arbitrary
+    by_src = (
+        temperature_sample_tokens(df, "source", "doc_id", "n_tokens", budget)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    )
+    for r in by_src:
+        assert r.tok <= quotas[r.source]
+
+
+def test_temperature_tokens_quota_shape(spark):
+    """Token quotas follow (Σ tokens)^0.5 shares: equal token masses →
+    equal quotas; the low-mass stratum gets MORE than its
+    proportional share (τ < 1 upsampling), and Σ quota ≤ budget."""
+    from sensor_data_pipeline___spark.operators.export import (
+        temperature_quotas_tokens,
+    )
+
+    rows = [(i, "big", 100) for i in range(90)] + [
+        (1000 + i, "small", 100) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+    q = {
+        r.source: r.token_quota
+        for r in temperature_quotas_tokens(
+            df, "source", "n_tokens", 1000
+        ).collect()
+    }
+    # masses 9000 vs 1000 → weights 3:1 → ideal shares 750/250, each
+    # floored one short because the shares are binary-inexact
+    # (1000·√9000/(√9000+√1000) = 749.999…) — the documented
+    # floor-undershoot contract
+    assert q == {"big": 749, "small": 249}
+    # proportional would have been 900/100: sqrt lifted 'small' 2.5x
+    assert q["small"] > 100
+    assert sum(q.values()) <= 1000
