@@ -1189,41 +1189,10 @@ def _rankdict_word_encode(
     build equal strings) the two orders can diverge — use
     ``word_encoder="arrow"`` there; duplicate pairs keep their first
     (lowest) rank here."""
-    rank: "dict[tuple[str, str], int]" = {}
-    for i, pair in enumerate(merges):
-        rank.setdefault(pair, i)
+    enc = _make_rankdict_encoder(merges)
 
     def _encode_batches(it):
         import pandas as pd
-
-        def enc(w: str) -> "list[str]":
-            syms = list(w)
-            while len(syms) > 1:
-                best = None
-                for i in range(len(syms) - 1):
-                    rk = rank.get((syms[i], syms[i + 1]))
-                    if rk is not None and (best is None or rk < best):
-                        best = rk
-                if best is None:
-                    break
-                left, right = merges[best]
-                # one full left-to-right pass for the selected rank —
-                # exactly one _merge_fold round
-                out: "list[str]" = []
-                i, n = 0, len(syms)
-                while i < n:
-                    if (
-                        i + 1 < n
-                        and syms[i] == left
-                        and syms[i + 1] == right
-                    ):
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return syms
 
         for pdf in it:
             yield pd.DataFrame(
@@ -1233,6 +1202,131 @@ def _rankdict_word_encode(
     return vocab.mapInPandas(
         _encode_batches, "w string, _wtoks array<string>"
     )
+
+
+def _make_rankdict_encoder(merges: "list[tuple[str, str]]"):
+    """The greedy lowest-rank-pair word encoder as a picklable
+    closure — the shared core of :func:`_rankdict_word_encode` (batch
+    word-cache) and :func:`rankdict_token_count` (streaming row-local).
+    Per-word cost O(passes × word_len), independent of k; valid for
+    WELL-FORMED merge lists (see :func:`_rankdict_word_encode`)."""
+    rank: "dict[tuple[str, str], int]" = {}
+    for i, pair in enumerate(merges):
+        rank.setdefault(pair, i)
+
+    def enc(w: str) -> "list[str]":
+        syms = list(w)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                rk = rank.get((syms[i], syms[i + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best = rk
+            if best is None:
+                break
+            left, right = merges[best]
+            # one full left-to-right pass for the selected rank —
+            # exactly one _merge_fold round
+            out: "list[str]" = []
+            i, n = 0, len(syms)
+            while i < n:
+                if (
+                    i + 1 < n
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    return enc
+
+
+def rankdict_token_count(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    out_col: str = "n_tokens_bpe",
+) -> DataFrame:
+    """Stamp ``out_col`` = the REAL learned-vocabulary BPE token count
+    of ``text_col`` in ONE stateless Arrow pass — the PRODUCTION-k
+    streaming tokenize (VERDICT r12 directive #6). The inline
+    :func:`apply_merge_rounds` plan is k stacked projections: fine at
+    demo k ≤ 64, prohibitive at k ≈ 30k (Catalyst analysis alone
+    creeps superlinear, and the per-row fold cost is linear in k).
+    This instead ships the rank dict in the task closure and encodes
+    per word with the greedy lowest-rank-pair loop — per-word cost
+    independent of k — memoizing word → token count per Arrow
+    partition (a batch's DISTINCT words are far fewer than its word
+    occurrences; the memo is the row-local analogue of the batch
+    word-cache strategy's distinct-word table, bounded by the
+    partition's vocabulary and dropped with the task).
+
+    Streaming-legal: purely row-local and deterministic (no state, no
+    join, no shuffle) — same replay-stability argument as the inline
+    enrichment it replaces at large k. Matches the inline path's
+    semantics exactly for the WELL-FORMED merge lists
+    :func:`save_bpe_vocab` emits (the :func:`_rankdict_word_encode`
+    contract): NULL text → 0 tokens; whitespace runs contribute no
+    empty words; a word of length 1 is one token."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, LongType())]
+    )
+
+    def _batches(it):
+        enc = _make_rankdict_encoder(merges)
+        memo: "dict[str, int]" = {}
+
+        def count(text) -> int:
+            if text is None:
+                return 0
+            tot = 0
+            for w in text.split(" "):
+                if not w:
+                    continue
+                c = memo.get(w)
+                if c is None:
+                    c = len(enc(w))
+                    memo[w] = c
+                tot += c
+            return tot
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = [count(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(_batches, out_schema)
+
+
+def stamp_bpe_token_count(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    out_col: str = "n_tokens_bpe",
+) -> DataFrame:
+    """The tokenize-at-ingest enrichment with the batch encode's auto
+    dispatch brought to streaming: demo-sized merge lists (k ≤ 64)
+    take the pure-JVM inline fold chain (:func:`apply_merge_rounds` —
+    codegen'd, oracle-twinned), production-sized ones the row-local
+    rank-dict Arrow pass (:func:`rankdict_token_count`), whose
+    per-row cost is flat in k. Both are stateless row-local
+    projections, so either is legal on a streaming DataFrame; both
+    stamp the same counts for well-formed (learned) vocabularies
+    (pinned by test)."""
+    if len(merges) <= 64:
+        return (
+            apply_merge_rounds(df, merges, text_col, "_bpe_toks")
+            .withColumn(out_col, F.size("_bpe_toks").cast("long"))
+            .drop("_bpe_toks")
+        )
+    return rankdict_token_count(df, merges, text_col, out_col)
 
 
 def apply_merge_rounds(

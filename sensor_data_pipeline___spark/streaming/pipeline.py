@@ -818,16 +818,15 @@ def corpus_ingest_stream(
     )
     if tokenizer_vocab_path is not None:
         from sensor_data_pipeline___spark.operators.text import (
-            apply_merge_rounds,
             load_bpe_merges,
+            stamp_bpe_token_count,
         )
 
+        # auto dispatch (VERDICT r12 directive #6): inline JVM folds
+        # at demo k, the k-flat row-local rank-dict Arrow pass at
+        # production k — both stateless, streaming-legal projections
         merges = load_bpe_merges(spark, tokenizer_vocab_path)
-        deduped = apply_merge_rounds(
-            deduped, merges, "text", "_bpe_toks"
-        ).withColumn(
-            "n_tokens_bpe", F.size("_bpe_toks").cast("long")
-        ).drop("_bpe_toks")
+        deduped = stamp_bpe_token_count(deduped, merges, "text")
     return (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)
@@ -1115,14 +1114,10 @@ def corpus_neardup_batch_fn(
         clean = survivors
         if tokenizer_merges is not None:
             from sensor_data_pipeline___spark.operators.text import (
-                apply_merge_rounds,
+                stamp_bpe_token_count,
             )
 
-            clean = apply_merge_rounds(
-                clean, tokenizer_merges, "text", "_bpe_toks"
-            ).withColumn(
-                "n_tokens_bpe", F.size("_bpe_toks").cast("long")
-            ).drop("_bpe_toks")
+            clean = stamp_bpe_token_count(clean, tokenizer_merges, "text")
         with overwrite_mode(spark, "dynamic"):
             (
                 clean.withColumn("ingest_batch", F.lit(key))

@@ -435,3 +435,86 @@ def test_rankdict_encoder_duplicate_pair_keeps_first_rank(spark):
     assert got == want
     assert got["abc"] == ["abc"]
     assert got["abab"] == ["ab", "ab"]
+
+
+def test_rankdict_token_count_matches_inline(spark, tmp_path):
+    """The streaming production-k tokenize (rankdict_token_count)
+    stamps the same counts as the inline JVM fold chain for a LEARNED
+    (well-formed) vocabulary, including degenerate rows (NULL text,
+    empty text, whitespace runs, single-char words)."""
+    from sensor_data_pipeline___spark.operators.text import (
+        load_bpe_merges,
+        rankdict_token_count,
+        save_bpe_vocab,
+        stamp_bpe_token_count,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "banana bandana ban banana") for i in range(4)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "vocab")
+    save_bpe_vocab(ref, path, k=5)
+    merges = load_bpe_merges(spark, path)
+    probe = spark.createDataFrame(
+        [
+            (1, "banana ban"),
+            (2, None),
+            (3, ""),
+            (4, "a  banana   x"),
+            (5, "zzz unseen words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_tokens_bpe
+        for r in rankdict_token_count(probe, merges).collect()
+    }
+    want = {
+        r.doc_id: r.n_tokens_bpe
+        for r in stamp_bpe_token_count(probe, merges).collect()
+    }  # k=5 ≤ 64 → inline dispatch
+    assert got == want
+    assert got[2] == 0 and got[3] == 0
+
+
+def test_stamp_bpe_dispatch_large_k(spark):
+    """At k > 64 the dispatcher takes the rank-dict Arrow pass (no
+    k-deep projection chain) and still matches the word-cache arrow
+    encoder's counts for a well-formed synthetic chain vocabulary."""
+    from sensor_data_pipeline___spark.operators._local import local_df
+    from sensor_data_pipeline___spark.operators.text import (
+        _arrow_word_encode,
+        stamp_bpe_token_count,
+    )
+    from pyspark.sql import functions as F
+
+    words = [f"uid{n}" for n in range(200)]
+    seen: set = set()
+    merges: list = []
+    for w in words:
+        for i in range(1, len(w)):
+            p = (w[:i], w[i])
+            if p not in seen:
+                seen.add(p)
+                merges.append(p)
+    assert len(merges) > 64
+    docs = spark.createDataFrame(
+        [(n, f"uid{n} uid{(n * 13) % 200} tok") for n in range(50)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_tokens_bpe
+        for r in stamp_bpe_token_count(docs, merges).collect()
+    }
+    # independent count: arrow word encoder over the distinct words
+    vocab = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    per_word = {
+        r.w: len(r._wtoks)
+        for r in _arrow_word_encode(vocab, merges).collect()
+    }
+    for r in docs.collect():
+        want = sum(per_word[w] for w in r.text.split(" ") if w)
+        assert got[r.doc_id] == want
