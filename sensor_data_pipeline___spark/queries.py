@@ -7809,3 +7809,207 @@ def q_quality_classifier_bigram_eval(
             ).alias("mean_score"),
         )
     )
+
+
+_SIM_EDGES_CTE = """sim_t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ), sim_e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sim_t a JOIN sim_t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+            (len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks))) >= 0.9
+    )"""
+
+_SPLIT_CTE = """spl AS (
+      SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
+                          WHEN b < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5('split-v1' || '|' ||
+                                            CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000 AS b
+            FROM documents)
+    )"""
+
+
+@_register(
+    "split_leakage_stats",
+    # Near-dup pairs straddling split boundaries (VERDICT r12
+    # directive #2, operators/sampling.py:split_leakage_stats): the
+    # train/test leakage hash_split cannot prevent and 8-gram
+    # decontam only partially catches. Edge set = the deterministic
+    # exact-Jaccard prefix-filtered self-join (the
+    # cluster_quality_reps pair source — cross-engine reproducible,
+    # unlike seeded minhash edges); splits = the hash_split md5
+    # buckets (the hash_split_sizes twin). least/greatest normalizes
+    # (train,test)/(test,train) into one cell; is_leak flags
+    # off-diagonal cells.
+    f"""
+    WITH {_SIM_EDGES_CTE},
+    {_SPLIT_CTE}
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (least(sa.split, sb.split) != greatest(sa.split, sb.split))
+             AS is_leak
+    FROM sim_e e
+    JOIN spl sa ON e.u = sa.doc_id
+    JOIN spl sb ON e.v = sb.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_split_leakage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        set_similarity_join,
+    )
+    from sensor_data_pipeline___spark.operators.sampling import (
+        hash_split,
+        split_leakage_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = set_similarity_join(docs, threshold=0.9)
+    splits = hash_split(docs, "doc_id").select("doc_id", "split")
+    return split_leakage_stats(pairs, splits)
+
+
+@_register(
+    "cluster_aware_split",
+    # Cluster-keyed train/val/test assignment (VERDICT r12 directive
+    # #2, operators/sampling.py:cluster_hash_split): the md5 split is
+    # keyed on the near-dup CLUSTER representative (large-star/
+    # small-star CC min-id over the exact-Jaccard edge set) so whole
+    # clusters land in one split — the structural fix for the
+    # leakage split_leakage_stats measures. Docs in no pair key on
+    # their own id (hash_split-identical). Oracle: recursive-CTE
+    # transitive closure + least(self, min(reach)) — the star
+    # fixpoint's exact twin (connected_components_star_fuzzy
+    # precedent) — then the hash_split_sizes md5 bucket on the
+    # component key. WHOLE ASSIGNMENT hash-verified, not just sizes.
+    f"""
+    WITH RECURSIVE {_SIM_EDGES_CTE},
+    edges AS (
+      SELECT u, v FROM sim_e UNION SELECT v, u FROM sim_e
+    ), reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ), comp AS (
+      SELECT u AS node, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    ), keyed AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), kb AS (
+      SELECT doc_id, split_key,
+             CAST(('0x' || substr(md5('split-v1' || '|' ||
+                                      CAST(split_key AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 10000 AS b
+      FROM keyed
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kb
+    """,
+)
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        set_similarity_join,
+    )
+    from sensor_data_pipeline___spark.operators.sampling import (
+        cluster_hash_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = set_similarity_join(docs, threshold=0.9)
+    return cluster_hash_split(docs.select("doc_id"), pairs).select(
+        "doc_id", "split_key", "split"
+    )
+
+
+def _temperature_mixture_tokens_oracle(budget: int = 20000) -> str:
+    from sensor_data_pipeline___spark.operators.text import (
+        _bpe_encode_parts,
+        _bpe_learn_parts,
+    )
+
+    parts = _bpe_learn_parts("documents", 5) + _bpe_encode_parts(
+        "documents", 5
+    )
+    mix = f"""mt AS (
+      SELECT d.doc_id, d.source,
+             CAST(coalesce(len(string_split(e.encoded, ' ')), 0)
+                  AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN encd e USING (doc_id)
+    ), mc AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st
+      FROM mt GROUP BY source
+    ), mtw AS (
+      SELECT CAST(sum(CAST(sqrt(CAST(st AS DOUBLE)) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS tw FROM mc
+    ), mq AS (
+      SELECT source,
+             CAST(floor({float(budget)!r} * sqrt(CAST(st AS DOUBLE))
+                        / (SELECT tw FROM mtw)) AS BIGINT) AS quota
+      FROM mc
+    ), mr AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5('mixture-v1|' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM mt
+    )
+    SELECT mr.doc_id, mr.source, mr.n_tokens
+    FROM mr JOIN mq USING (source) WHERE cum <= quota"""
+    return (
+        "WITH RECURSIVE\n    "
+        + ",\n    ".join(parts)
+        + ",\n    "
+        + mix
+    )
+
+
+@_register(
+    "temperature_mixture_tokens",
+    # TOKEN-BUDGETED temperature mixing (VERDICT r12 directive #3,
+    # operators/export.py:temperature_sample_tokens) composing the
+    # persisted BPE tokenizer: per-source quotas ∝ (Σ n_tokens_bpe)^0.5
+    # where n_tokens_bpe comes from fit-then-encode against the k=5
+    # store (the bpe_encode_k5 lifecycle), filled with each source's
+    # content-smallest md5 hashes while the RUNNING token total stays
+    # within quota (a deterministic prefix, not a knapsack). Exactness:
+    # per-doc BPE counts are hash-gated already (bpe_encode_k5), source
+    # token masses are integer sums, sqrt is IEEE correctly-rounded at
+    # τ=0.5, the weight total sums in DECIMAL, and the cumulative cutoff
+    # compares exact longs — so the WINNING SET replays bit-identically
+    # (oracle: the bpe learn+encode CTE chain + the mixture CTEs).
+    _temperature_mixture_tokens_oracle(),
+)
+def q_temperature_mixture_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.export import (
+        temperature_sample_tokens,
+    )
+    from sensor_data_pipeline___spark.operators.text import (
+        encode_against_vocab,
+        save_bpe_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _run_scoped_store_path(spark, "bpe_mix_vocab", sf_dir)
+    save_bpe_vocab(docs, path, k=5)
+    enc = encode_against_vocab(spark, path, docs).select(
+        "doc_id", "n_tokens"
+    )
+    keyed = docs.select("doc_id", "source").join(enc, "doc_id")
+    return temperature_sample_tokens(
+        keyed, "source", "doc_id", "n_tokens", budget_total=20000
+    ).select("doc_id", "source", "n_tokens")
