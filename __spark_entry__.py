@@ -33,36 +33,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, so ordering is part of the contract. Rows-only (no-oracle)
 # entries ride the local replica harness
 # (tests/test_queries_oracle.py) instead of spending gate slots.
-# Round-12 rotation (standing policy from VERDICT r6 directive #1,
-# window prescription per VERDICT r11 directive #2): the window keeps
-# the 11-entry veteran spine (reference-parity core that never
-# rotates, the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the TEN never-gated
-# entries (bpe_token_length_hist, registered after r11's gate ran —
-# the one ledger exception — plus the r12-registered
-# release_audit_summary per directive #6, cluster_quality_reps, and
-# the five classifier queries quality_classifier_scores /
-# quality_classifier_eval / quality_classifier_probe_index /
-# quality_classifier_calibration / quality_classifier_bigram_eval,
-# the star-CC twin connected_components_star_fuzzy, and the
-# temperature mixing temperature_mixture_sample — registering into
-# the CURRENT window so never-gated stays empty after this round's
-# gate), and fills the remaining 29 slots with the STALEST
-# previously-gated cohort: the first 29 (by name) of the 37 entries
-# last gated in r7 (anti_join_inactive_customers …
-# segment_frequency_stats — recomputed from
-# the CORRECTNESS_r*.json union this round; semi_join_active_customers,
-# string_functions_parts, text_quality, token_counts,
-# user_event_sequences, window_running_total and
-# winnowing_fingerprint slide to the front of the r13 staleness
-# queue behind zorder_curve_stats; text_quality and token_counts
-# stay benched at sf0.1 every round regardless). The r11 window's 39 non-spine
-# entries rotate out. The ledger invariant ("every
-# oracle-backed entry gated at least once") is auditable in
-# GATE_LEDGER.md, regenerated per round by
-# scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
-# local replica harness and scripts/verify_driver.py's full-surface
-# sf0.01 sweep.
+# Round-13 rotation (standing policy from VERDICT r6 directive #1;
+# this round's prescription per VERDICT r12 directives #1–#3): the
+# window keeps the 11-entry veteran spine (reference-parity core that
+# never rotates, the TPC-H flagship, the corpus composite,
+# dedup_exact, the session_window_batch watch item), adds the THREE
+# r13-registered entries (split_leakage_stats, cluster_aware_split,
+# temperature_mixture_tokens — registering into the CURRENT window so
+# the ledger's never-gated list stays empty after this round's gate),
+# then the r13 staleness-queue head (the 8 entries last gated r7:
+# semi_join_active_customers, string_functions_parts, text_quality,
+# token_counts, user_event_sequences, window_running_total,
+# winnowing_fingerprint, zorder_curve_stats), and fills the remaining
+# 28 slots with the first 28 (by name) of the 39 entries last gated
+# r8 (asof_last_purchase … q4_order_priority; the remaining 11 —
+# q6_revenue_change … unigram_lm_scores — slide to the front of the
+# r14 queue). Recomputed from the CORRECTNESS_r*.json union this
+# round. The r12 window's non-spine entries rotate out (all green in
+# r12). The ledger invariant ("every oracle-backed entry gated at
+# least once") is auditable in GATE_LEDGER.md, regenerated per round
+# by scripts/gen_gate_ledger.py. Displaced veterans stay covered by
+# the local replica harness and scripts/verify_driver.py's
+# full-surface sf0.01 sweep.
 _PRIORITY = (
     # reference parity core (SURVEY.md §2) — never rotates out
     "silver_parse",
@@ -77,49 +69,49 @@ _PRIORITY = (
     "corpus_pipeline_stats",
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
-    # --- never-gated: registered after r11's gate ran (ledger
-    # exception) + the r12-registered bounded release-audit read and
-    # quality-argmax cluster representatives ---
-    "bpe_token_length_hist",
-    "release_audit_summary",
-    "cluster_quality_reps",
-    "quality_classifier_scores",
-    "quality_classifier_eval",
-    "quality_classifier_probe_index",
-    "connected_components_star_fuzzy",
-    "quality_classifier_calibration",
-    "temperature_mixture_sample",
-    "quality_classifier_bigram_eval",
-    # --- stalest refresh: last gated r7 (first 29 by name) ---
-    "anti_join_inactive_customers",
-    "benford_first_digit",
-    "column_profile_orders",
-    "content_pattern_profile",
-    "cube_orders",
-    "dedup_exact_stats",
-    "dedup_token_set",
-    "distinct_agg_suppliers",
-    "distinct_projection",
-    "embedding_near_dup",
-    "fingerprint_md5",
-    "hash_stratified_counts",
-    "hourly_tumbling_window",
-    "in_list_filter",
-    "interarrival_histogram",
-    "inverted_index_sample",
-    "iso_multiformat_parse",
-    "lag_daily_power_delta",
-    "lang_distribution",
-    "lang_id_heuristic",
-    "ntile_deciles",
-    "percentile_prices",
-    "psi_value_drift",
-    "q13_customer_distribution",
-    "q14_brand_revenue_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "segment_frequency_stats",
+    # --- r13-registered (gate in the round they land: VERDICT r12
+    # directives #2 and #3) ---
+    "split_leakage_stats",
+    "cluster_aware_split",
+    "temperature_mixture_tokens",
+    # --- staleness queue head: last gated r7 ---
+    "semi_join_active_customers",
+    "string_functions_parts",
+    "text_quality",
+    "token_counts",
+    "user_event_sequences",
+    "window_running_total",
+    "winnowing_fingerprint",
+    "zorder_curve_stats",
+    # --- stalest refresh: last gated r8 (first 28 by name) ---
+    "asof_last_purchase",
+    "asof_next_click",
+    "bloom_semi_join_lineitem",
+    "bpe_merge_candidates",
+    "cohort_retention",
+    "connected_components_fuzzy",
+    "decontam_probe_index",
+    "deterministic_stratified_sample",
+    "dsir_log_weights",
+    "dsir_probe_index",
+    "dsir_resample_top100",
+    "duplicate_ngram_coverage",
+    "equi_depth_histogram",
+    "ewma_daily_value",
+    "fuzzy_name_pairs",
+    "gapfill_forward_fill",
+    "gopher_filter_counts",
+    "hard_negative_mining_indexed_exact",
+    "lsh_bucket_invariants",
+    "minhash_band_invariants",
+    "nation_trade_pagerank",
+    "near_dup_probe_exact",
+    "next_event_training_pairs",
+    "q19_discounted_revenue",
+    "q21_sole_supplier_failed_orders",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
 )
 
 
