@@ -3048,19 +3048,63 @@ def q_segment_frequency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("stratified_sample_counts")  # rows-only: Spark-seeded RNG
+@_register(
+    "stratified_sample_counts",
+    # Upgraded rows-only → oracle-backed via the accuracy-contract
+    # boolean-pinning trick (approx_distinct_accuracy /
+    # cms_heavy_hitters precedent; VERDICT r11 #7 / r12 #8): the
+    # seeded Bernoulli sample SIZE is Spark-RNG-specific (no SQL twin
+    # can replay it), but its CONTRACT is oracle-checkable — the
+    # exact stratum totals must match bit-for-bit, and the sampled
+    # count must sit inside the 4-sigma binomial envelope around
+    # frac·n (sd = sqrt(n·frac·(1−frac)); 4σ is stable for a correct
+    # sampler across testdata regenerations and Spark RNG changes,
+    # where a tight band could legitimately flip) and inside [0, n].
+    # The oracle asserts the booleans TRUE and recomputes the exact
+    # totals from the same table.
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS bounds_ok, TRUE AS within_4sigma
+    FROM documents GROUP BY lang
+    """,
+)
 def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded per-stratum Bernoulli sample sizes by language — reproducible
-    within Spark (fixed seed) but engine-specific, hence no SQL oracle."""
+    """Seeded per-stratum Bernoulli sampleBy, pinned by its statistical
+    contract: exact stratum sizes + envelope booleans (see oracle
+    comment). The raw ``n_sampled`` stays test-observable but is not
+    hashed — it is engine-specific by nature."""
     from sensor_data_pipeline___spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents")
     langs = [r.lang for r in docs.select("lang").distinct().collect()]
     frac = {lang: 0.5 for lang in langs}
-    return (
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    sampled = (
         sampling.stratified_sample(docs, "lang", frac, seed=42)
         .groupBy("lang")
-        .agg(F.count("*").alias("n_sampled"))
+        .agg(F.count("*").alias("_n_sampled"))
+    )
+    sd = F.sqrt(F.col("n_docs") * F.lit(0.5) * F.lit(0.5))
+    return (
+        totals.join(sampled, "lang", "left")
+        .withColumn(
+            "_n_sampled", F.coalesce(F.col("_n_sampled"), F.lit(0))
+        )
+        .select(
+            "lang",
+            "n_docs",
+            (
+                (F.col("_n_sampled") >= 0)
+                & (F.col("_n_sampled") <= F.col("n_docs"))
+            ).alias("bounds_ok"),
+            (
+                F.abs(
+                    F.col("_n_sampled")
+                    - F.lit(0.5) * F.col("n_docs")
+                )
+                <= F.lit(4.0) * sd
+            ).alias("within_4sigma"),
+        )
     )
 
 
@@ -8013,3 +8057,307 @@ def q_temperature_mixture_tokens(
     return temperature_sample_tokens(
         keyed, "source", "doc_id", "n_tokens", budget_total=20000
     ).select("doc_id", "source", "n_tokens")
+
+
+@_register(
+    "cluster_split_leakage",
+    # The structural guarantee of cluster_hash_split, hash-verified
+    # cross-engine (r13): split_leakage_stats recomputed over the
+    # CLUSTER-KEYED split must contain only diagonal (is_leak=false)
+    # cells — both endpoints of every near-dup pair share a component,
+    # hence a split_key, hence a split. The oracle derives each
+    # endpoint's split from the recursive-closure component key and
+    # groups the same cells; a single off-diagonal row on either side
+    # breaks the hash. Complements the unit test with an
+    # engine-independent replay of the whole chain
+    # (edges → components → keyed md5 split → leakage cells).
+    f"""
+    WITH RECURSIVE {_SIM_EDGES_CTE},
+    edges AS (
+      SELECT u, v FROM sim_e UNION SELECT v, u FROM sim_e
+    ), reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ), comp AS (
+      SELECT u AS node, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    ), spl AS (
+      SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
+                          WHEN b < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+      FROM (SELECT d.doc_id,
+                   CAST(('0x' || substr(md5('split-v1' || '|' ||
+                            CAST(coalesce(c.component, d.doc_id)
+                                 AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000 AS b
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (least(sa.split, sb.split) != greatest(sa.split, sb.split))
+             AS is_leak
+    FROM sim_e e
+    JOIN spl sa ON e.u = sa.doc_id
+    JOIN spl sb ON e.v = sb.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cluster_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        set_similarity_join,
+    )
+    from sensor_data_pipeline___spark.operators.sampling import (
+        cluster_hash_split,
+        split_leakage_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = set_similarity_join(docs, threshold=0.9)
+    splits = cluster_hash_split(docs.select("doc_id"), pairs).select(
+        "doc_id", "split"
+    )
+    return split_leakage_stats(pairs, splits)
+
+
+def _corpus_pipeline_tokens_oracle(budget: int = 15000) -> str:
+    from sensor_data_pipeline___spark.operators.text import (
+        _bpe_encode_parts,
+        _bpe_learn_parts,
+    )
+
+    parts = _bpe_learn_parts("documents", 5) + _bpe_encode_parts(
+        "documents", 5
+    )
+    body = f"""nt AS (
+      SELECT d.doc_id, d.lang,
+             CAST(coalesce(len(string_split(e.encoded, ' ')), 0)
+                  AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN encd e USING (doc_id)
+    ), dd AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ), qq AS (
+      SELECT doc_id, lang, text FROM dd
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 90
+        AND length(replace(text, ' ', ''))
+            / len(string_split(text, ' '))::DOUBLE <= 10.0
+    ), qt AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM qq
+    ), qe AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM qt a JOIN qt b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+            (len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks))) >= 0.9
+    ), edges AS (
+      SELECT u, v FROM qe UNION SELECT v, u FROM qe
+    ), reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ), comp AS (
+      SELECT u AS node, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    ), spl AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT q.doc_id, q.lang, q.text,
+                   CAST(('0x' || substr(md5('split-v1' || '|' ||
+                            CAST(coalesce(c.component, q.doc_id)
+                                 AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000 AS b
+            FROM qq q LEFT JOIN comp c ON q.doc_id = c.node)
+    ), train AS (SELECT * FROM spl WHERE split = 'train'
+    ), test AS (SELECT * FROM spl WHERE split = 'test'
+    ), trg AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM train),
+           unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ), teg AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+      FROM (SELECT string_split(lower(text), ' ') AS w FROM test),
+           unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ), clean AS (
+      SELECT * FROM train WHERE doc_id NOT IN (
+        SELECT DISTINCT doc_id FROM trg JOIN teg USING (g))
+    ), cm AS (
+      SELECT c.doc_id, c.lang, nt.n_tokens
+      FROM clean c JOIN nt ON c.doc_id = nt.doc_id
+    ), mc AS (
+      SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS st
+      FROM cm GROUP BY lang
+    ), mtw AS (
+      SELECT CAST(sum(CAST(sqrt(CAST(st AS DOUBLE)) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS tw FROM mc
+    ), mq2 AS (
+      SELECT lang,
+             CAST(floor({float(budget)!r} * sqrt(CAST(st AS DOUBLE))
+                        / (SELECT tw FROM mtw)) AS BIGINT) AS quota
+      FROM mc
+    ), mr AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5('mixture-v1|' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM cm
+    ), mixed AS (
+      SELECT mr.doc_id FROM mr JOIN mq2 USING (lang)
+      WHERE cum <= quota
+    )
+    SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM nt
+    UNION ALL SELECT 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(nt.n_tokens) AS BIGINT)
+      FROM dd JOIN nt USING (doc_id)
+    UNION ALL SELECT 'quality', CAST(count(*) AS BIGINT),
+           CAST(sum(nt.n_tokens) AS BIGINT)
+      FROM qq JOIN nt USING (doc_id)
+    UNION ALL SELECT 'cluster_split_train', CAST(count(*) AS BIGINT),
+           CAST(sum(nt.n_tokens) AS BIGINT)
+      FROM train JOIN nt USING (doc_id)
+    UNION ALL SELECT 'decontaminated', CAST(count(*) AS BIGINT),
+           CAST(sum(nt.n_tokens) AS BIGINT)
+      FROM clean JOIN nt USING (doc_id)
+    UNION ALL SELECT 'token_mixture', CAST(count(*) AS BIGINT),
+           CAST(sum(nt.n_tokens) AS BIGINT)
+      FROM mixed JOIN nt USING (doc_id)"""
+    return (
+        "WITH RECURSIVE\n    "
+        + ",\n    ".join(parts)
+        + ",\n    "
+        + body
+    )
+
+
+@_register(
+    "corpus_pipeline_tokens",
+    # The r13 END-TO-END composition (the corpus_pipeline_stats
+    # posture, upgraded with this round's pieces): raw → exact dedup
+    # (min-id rep per md5(text)) → quality gate → CLUSTER-AWARE
+    # train/test split (near-dup components from the exact-Jaccard
+    # edge set key the md5 split, so near-dups can never straddle the
+    # boundary — the leakage fix measured by split_leakage_stats) →
+    # 8-gram decontamination of train against the held-out test side →
+    # BPE-tokenized TOKEN-BUDGETED temperature mixture (quotas ∝
+    # (Σ n_tokens_bpe)^0.5, cumulative prefix fill). Per-stage doc
+    # count AND token mass — the unit a pretraining budget is actually
+    # tracked in. Every stage deterministic; DuckDB replays the whole
+    # chain (BPE learn+encode CTEs + recursive closure + md5 splits +
+    # gram join + quota/prefix arithmetic) and the stage rows
+    # hash-match. Pins that the r13 operators COMPOSE with the
+    # established pipeline without new shuffle classes.
+    _corpus_pipeline_tokens_oracle(),
+)
+def q_corpus_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape per stage (beyond corpus_pipeline_stats): the
+    cluster split adds the star-CC bounded per-round shuffles over the
+    blocked pair list plus one id-keyed left join; the token mixture
+    adds one strata-sized quota agg (broadcast) and one
+    stratum-partitioned running-sum window. Encode is the word-cache
+    path's distinct-word table + join-back. localCheckpoints cut the
+    six stage-count branches from replaying upstream stages."""
+    from sensor_data_pipeline___spark.operators.dedup import (
+        _zipped_windows,
+        set_similarity_join,
+    )
+    from sensor_data_pipeline___spark.operators.export import (
+        temperature_sample_tokens,
+    )
+    from sensor_data_pipeline___spark.operators.sampling import (
+        cluster_hash_split,
+    )
+    from sensor_data_pipeline___spark.operators.text import (
+        encode_against_vocab,
+        save_bpe_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    path = _run_scoped_store_path(spark, "bpe_cpt", sf_dir)
+    save_bpe_vocab(docs, path, k=5)
+    enc = (
+        encode_against_vocab(spark, path, docs)
+        .select("doc_id", "n_tokens")
+        .localCheckpoint(eager=True)
+    )
+    reps = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "text"), F.col("doc_id")
+            ).alias("_r")
+        )
+        .select("_r.doc_id", "_r.lang", "_r.text")
+        .localCheckpoint(eager=True)
+    )
+    toks = F.split(F.col("text"), " ")
+    ntok = F.size(toks)
+    atl = F.length(F.regexp_replace(F.col("text"), " ", "")) / ntok.cast(
+        "double"
+    )
+    quality = reps.filter(
+        (ntok >= 20) & (ntok <= 90) & (atl <= 10.0)
+    ).localCheckpoint(eager=True)
+    pairs = set_similarity_join(quality, threshold=0.9)
+    labeled = cluster_hash_split(quality, pairs).localCheckpoint(
+        eager=True
+    )
+    train = labeled.filter(F.col("split") == "train")
+    test = labeled.filter(F.col("split") == "test")
+
+    n = 8
+    wl = F.split(F.lower("text"), " ", -1)
+    gram_hashes = F.transform(
+        _zipped_windows(wl, n),
+        lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)]),
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.explode(gram_hashes).alias("g")
+        ).distinct()
+
+    te_g = grams(test).select("g").distinct()
+    contaminated = (
+        grams(train).join(te_g, "g", "left_semi").select("doc_id").distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    keyed = clean.select("doc_id", "lang").join(enc, "doc_id")
+    mixed = temperature_sample_tokens(
+        keyed, "lang", "doc_id", "n_tokens", budget_total=15000
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id")
+            .join(enc, "doc_id")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .select(
+                F.lit(name).alias("stage"), "n_docs", "n_tokens"
+            )
+        )
+
+    return (
+        stage("raw", docs)
+        .unionAll(stage("exact_dedup", reps))
+        .unionAll(stage("quality", quality))
+        .unionAll(stage("cluster_split_train", train))
+        .unionAll(stage("decontaminated", clean))
+        .unionAll(stage("token_mixture", mixed))
+    )
