@@ -378,3 +378,22 @@ def test_bpe_word_cache_arrow_plan_shape(spark, tmp_path):
     n_exch = sum(1 for o in ops if o in ("Exchange", "BroadcastExchange"))
     assert n_exch <= 5, (ops, plan)
     assert "BroadcastExchange" in ops, plan
+
+
+def test_round13_additions_plan_shapes(spark):
+    """r13 operators keep the shapes their docstrings claim:
+    temperature_sample_tokens broadcasts its strata-sized quota table
+    (never shuffles the corpus against it); the split-leakage /
+    cluster-split chain plans no cartesian product (the pair source
+    is the blocked set-similarity join, the rest is id-keyed
+    equi-joins); cluster_aware_split's md5 projection stays off the
+    SinglePartition path."""
+    df = QUERIES["temperature_mixture_tokens"](spark, SF)
+    plan = explain.formatted_plan(df)
+    assert explain.broadcast_join_count(df) >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+    for name in ("split_leakage_stats", "cluster_aware_split"):
+        df = QUERIES[name](spark, SF)
+        plan = explain.formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
