@@ -37,19 +37,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round's prescription per VERDICT r12 directives #1–#3): the
 # window keeps the 11-entry veteran spine (reference-parity core that
 # never rotates, the TPC-H flagship, the corpus composite,
-# dedup_exact, the session_window_batch watch item), adds the THREE
-# r13-registered entries (split_leakage_stats, cluster_aware_split,
-# temperature_mixture_tokens — registering into the CURRENT window so
-# the ledger's never-gated list stays empty after this round's gate),
-# then the r13 staleness-queue head (the 8 entries last gated r7:
-# semi_join_active_customers, string_functions_parts, text_quality,
-# token_counts, user_event_sequences, window_running_total,
-# winnowing_fingerprint, zorder_curve_stats), and fills the remaining
-# 28 slots with the first 28 (by name) of the 39 entries last gated
-# r8 (asof_last_purchase … q4_order_priority; the remaining 11 —
-# q6_revenue_change … unigram_lm_scores — slide to the front of the
-# r14 queue). Recomputed from the CORRECTNESS_r*.json union this
-# round. The r12 window's non-spine entries rotate out (all green in
+# dedup_exact, the session_window_batch watch item), adds the SIX
+# entries whose oracle surface is new this round
+# (split_leakage_stats, cluster_aware_split,
+# temperature_mixture_tokens, cluster_split_leakage,
+# stratified_sample_counts upgraded rows-only → oracle-backed, and
+# the corpus_pipeline_tokens composite — registering into the
+# CURRENT window so the ledger's never-gated list stays empty after
+# this round's gate), then the r13 staleness-queue head (the 8
+# entries last gated r7: semi_join_active_customers,
+# string_functions_parts, text_quality, token_counts,
+# user_event_sequences, window_running_total, winnowing_fingerprint,
+# zorder_curve_stats), and fills the remaining 25 slots with the
+# first 25 (by name) of the 39 entries last gated r8
+# (asof_last_purchase … q21_sole_supplier_failed_orders; the
+# remaining 14 — q2_min_cost_supplier … unigram_lm_scores — slide
+# to the front of the r14 queue; q3_top_revenue_orders stays benched
+# at sf0.1 every round regardless). Recomputed from the
+# CORRECTNESS_r*.json union this round. The r12 window's non-spine entries rotate out (all green in
 # r12). The ledger invariant ("every oracle-backed entry gated at
 # least once") is auditable in GATE_LEDGER.md, regenerated per round
 # by scripts/gen_gate_ledger.py. Displaced veterans stay covered by
@@ -70,10 +75,19 @@ _PRIORITY = (
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
     # --- r13-registered (gate in the round they land: VERDICT r12
-    # directives #2 and #3) ---
+    # directives #2 and #3; cluster_split_leakage is the cross-engine
+    # zero-leak replay of the cluster-keyed split, taking the 50th
+    # slot — q4_order_priority slides to the r14 queue front) ---
     "split_leakage_stats",
     "cluster_aware_split",
     "temperature_mixture_tokens",
+    "cluster_split_leakage",
+    # rows-only → oracle-backed this round (accuracy-contract
+    # booleans); gates with the other r13 registrations
+    "stratified_sample_counts",
+    # the r13 end-to-end composition (cluster-aware split +
+    # token-budgeted mixture in the corpus_pipeline_stats posture)
+    "corpus_pipeline_tokens",
     # --- staleness queue head: last gated r7 ---
     "semi_join_active_customers",
     "string_functions_parts",
@@ -109,9 +123,6 @@ _PRIORITY = (
     "next_event_training_pairs",
     "q19_discounted_revenue",
     "q21_sole_supplier_failed_orders",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_order_priority",
 )
 
 

@@ -121,6 +121,16 @@ BENCH_QUERIES = [
     # output-not-engine reason set_similarity_pairs is excluded; it
     # stays oracle-gated at sf0.01.
     "quality_classifier_eval",
+    # round-13 addition: the token-budgeted persisted-tokenizer
+    # mixture (BPE k=5 fit + encode + token-mass quotas + cumulative
+    # prefix fill — the full lifecycle rides one number like
+    # bpe_encode_k5's). NOT split_leakage_stats / cluster_aware_split /
+    # cluster_split_leakage / corpus_pipeline_tokens: all consume the
+    # exact-Jaccard pair list, quadratic on this synthetic corpus at
+    # sf0.1 (the set_similarity_pairs exclusion reason); they stay
+    # oracle-gated at sf0.01, and the streaming/cluster machinery they
+    # compose is benched via its own tracks.
+    "temperature_mixture_tokens",
 ]
 
 
