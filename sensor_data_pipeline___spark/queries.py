@@ -8361,3 +8361,119 @@ def q_corpus_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("decontaminated", clean))
         .unionAll(stage("token_mixture", mixed))
     )
+
+
+@_register(
+    "minhash_accuracy_contract",
+    # The seeded-LSH family's accuracy CONTRACT as an oracle row (r13;
+    # the approx_distinct_accuracy boolean-pinning trick applied to
+    # minhash_near_dup, whose pair SET is hash-seeded and engine-
+    # specific — the reason minhash_near_dup/minhash_cluster_stats are
+    # rows-only): the EXACT 3-shingle-Jaccard ground truth is
+    # deterministic and SQL-expressible, so the oracle recomputes the
+    # n_exact_pairs denominator bit-for-bit and pins the two claims
+    # TRUE that a correct LSH must satisfy with huge margin —
+    # precision: every reported pair (est_jaccard ≥ 0.8 over 64
+    # hashes, σ ≈ 0.05) has TRUE shingle-Jaccard ≥ 0.5 (a 6σ floor);
+    # recall: ≥ 70% of true J ≥ 0.95 pairs are recovered (8×8 band
+    # detection probability at J = 0.95 is ≈ 0.9998). Floors are
+    # deliberately loose: they flip on a broken implementation, not on
+    # a testdata regeneration or a hash-seed change.
+    """
+    WITH sh AS (
+      SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+               for i in generate_series(1, len(w)-2)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 3
+    ), ex AS (
+      SELECT len(list_intersect(a.s, b.s)) * 1.0 /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS precision_floor_ok,
+           TRUE AS recall_floor_ok
+    FROM ex WHERE j >= 0.95
+    """,
+)
+def q_minhash_accuracy_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        _zipped_windows,
+        minhash_near_dup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # exact ground truth over the operator's own shingle space (word
+    # 3-grams, distinct), blocked by shared shingle — complete for any
+    # J > 0 pair, so certainly for the J ≥ 0.95 denominator
+    toks = F.split(F.col("text"), r"\s+")
+    sh = F.array_distinct(
+        F.transform(
+            _zipped_windows(toks, 3),
+            lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]),
+        )
+    )
+    dsh = (
+        docs.select("doc_id", sh.alias("s"))
+        .filter(F.size("s") > 0)
+        .localCheckpoint(eager=True)
+    )
+    sizes = dsh.select("doc_id", F.size("s").alias("n"))
+    exd = dsh.select("doc_id", F.explode("s").alias("g"))
+    inter = (
+        exd.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(exd.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("_na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("_i")
+                / (F.col("_na") + F.col("_nb") - F.col("_i"))
+            ).alias("j"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lsh = minhash_near_dup(docs).select("doc_a", "doc_b")
+    # a reported pair absent from truth shares no shingle → true j=0
+    rep = lsh.join(truth, ["doc_a", "doc_b"], "left").select(
+        F.coalesce("j", F.lit(0.0)).alias("j")
+    )
+    prec = rep.agg(
+        F.coalesce(F.min(F.col("j") >= 0.5), F.lit(True)).alias("_p")
+    )
+    exact = truth.filter(F.col("j") >= 0.95)
+    hits = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(F.broadcast(hits.agg(F.count("*").alias("_nh"))))
+        .crossJoin(F.broadcast(prec))
+        .select(
+            "n_exact_pairs",
+            F.col("_p").alias("precision_floor_ok"),
+            F.when(F.col("n_exact_pairs") == 0, F.lit(True))
+            .otherwise(
+                F.col("_nh")
+                >= F.lit(0.7) * F.col("n_exact_pairs")
+            )
+            .alias("recall_floor_ok"),
+        )
+    )
