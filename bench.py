@@ -212,6 +212,7 @@ def bench_corpus_ingest(
     n_files: int = 8,
     tokenizer_vocab_path: "str | None" = None,
     key_prefix: str = "corpus_ingest",
+    classifier_path: "str | None" = None,
 ) -> dict[str, float]:
     """Streaming corpus ingest throughput (VERDICT r5 directive #5):
     the ``corpus_ingest_stream`` path — JSONL drop → quality gate →
@@ -261,6 +262,10 @@ def bench_corpus_ingest(
             os.path.join(td, "ckpt"),
             max_files_per_trigger=1,
             tokenizer_vocab_path=tokenizer_vocab_path,
+            classifier_path=classifier_path,
+            # threshold 0 admits everything: the arm measures the
+            # stateless scoring enrichment's cost, not admission change
+            min_quality_score=0.0,
         )
         q.awaitTermination(300)
         done = [
@@ -365,6 +370,40 @@ def bench_corpus_ingest_tokenized_k32768(spark) -> dict[str, float]:
             spark,
             tokenizer_vocab_path=vocab,
             key_prefix="corpus_ingest_tok_k32768",
+        )
+
+
+def bench_corpus_ingest_classified(spark, sf_dir: str) -> dict[str, float]:
+    """The learned-quality-gate arm of :func:`bench_corpus_ingest`
+    (r13): same drop and stream, plus a persisted classifier composed
+    in as the admission gate ahead of the dedup state
+    (``classifier_path`` → ``classifier_score_expr``, the zero-
+    exchange array-literal projection). Threshold 0 so every row is
+    still admitted — the arm prices the scoring enrichment itself
+    against the base track, the same isolation the k=5 tokenizer arm
+    gives the tokenize enrichment. Store fit on the sf documents
+    outside the measured window."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline___spark.operators import classifier as C
+    from sensor_data_pipeline___spark.sources import readers
+
+    docs = readers.table(spark, "documents", sf_dir)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 150, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("label"),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "clf")
+        C.save_classifier(docs, labels, path)
+        return bench_corpus_ingest(
+            spark,
+            classifier_path=path,
+            key_prefix="corpus_ingest_clf",
         )
 
 
@@ -706,6 +745,10 @@ def main() -> None:
         result.update(bench_classifier_score_warm(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001 — record, keep going
         errors["classifier_score_warm"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        result.update(bench_corpus_ingest_classified(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001 — record, keep going
+        errors["corpus_ingest_clf"] = f"{type(exc).__name__}: {exc}"[:300]
     try:
         result.update(bench_bpe_encode_warm(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001 — record, keep going

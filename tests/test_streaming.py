@@ -1381,3 +1381,64 @@ def test_corpus_ingest_stream_classifier_gate(spark, dirs, tmp_path):
         spark, store, out.select("doc_id", "text")
     ).collect()[0]["score"]
     assert abs(got[1] - batch) < 1e-9
+
+
+def test_corpus_ingest_stream_tokenizes_production_k(spark, dirs, tmp_path):
+    """A > 64-merge store flips the tokenize-at-ingest enrichment onto
+    the rank-dict Arrow pass (stamp_bpe_token_count dispatch — the
+    inline fold chain's plan is linear in k and prohibitive at
+    production k): streamed counts must still be IDENTICAL to the
+    batch encode_against_vocab over the same docs, and the quality
+    gate still runs before tokenization."""
+    from sensor_data_pipeline___spark.operators import text as T
+    from sensor_data_pipeline___spark.operators._local import local_df
+
+    # well-formed synthetic prefix-chain merges over the streamed
+    # vocabulary (the bpe_encode_scale_check --synthetic-ks
+    # construction) — > 64 so the dispatcher takes the rankdict path
+    words = [f"tok{i}" for i in range(200)] + ["end"]
+    seen: set = set()
+    merges: list = []
+    for w in words:
+        for i in range(1, len(w)):
+            p = (w[:i], w[i])
+            if p not in seen:
+                seen.add(p)
+                merges.append(p)
+    assert len(merges) > 64
+    vocab = str(tmp_path / "bpe_vocab_bigk")
+    rows = [
+        (rank, left, right, 0)
+        for rank, (left, right) in enumerate(merges, start=1)
+    ]
+    local_df(
+        spark, rows, "merge_rank int, left string, right string, n long"
+    ).coalesce(1).write.mode("overwrite").parquet(vocab + "/merges")
+
+    text = " ".join(f"tok{i % 200}" for i in range(24)) + " end"
+    ts = "2024-01-01T00:00:00Z"
+    _drop_jsonl(
+        dirs,
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "text": text, "lang": "en", "source": "s1", "fetched_at": ts},
+            {"doc_id": 2, "text": JUNK_SHORT, "lang": "en", "source": "s1", "fetched_at": ts},
+        ],
+    )
+    q = sp.corpus_ingest_stream(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"],
+        tokenizer_vocab_path=vocab,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(dirs["out"])
+    got = {r.doc_id: r.n_tokens_bpe for r in out.collect()}
+    assert set(got) == {1}
+    batch = {
+        r.doc_id: r.n_tokens
+        for r in T.encode_against_vocab(
+            spark, vocab, out.select("doc_id", "text")
+        ).collect()
+    }
+    assert got == batch
+    # the chain merges fully fold each tokN word -> one token per word
+    assert got[1] == 25
