@@ -81,12 +81,27 @@ ITERS = 8
 LR = 2.0
 
 
-def _bucket(col: Column, salt: str, n_buckets: int) -> Column:
-    """First 32 bits of md5(salt|value), mod ``n_buckets`` — identical
-    to ``dsir._bucket`` / ``sampling.hash_bucket`` (md5, not xxhash64,
-    so bucket membership is ANSI-replayable)."""
-    h = F.md5(F.concat_ws("|", F.lit(salt), col))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+def _bucket(
+    col: Column, salt: str, n_buckets: int, hash_kind: str = "md5"
+) -> Column:
+    """Token → bucket. ``"md5"`` (default): first 32 bits of
+    md5(salt|value) mod ``n_buckets`` — identical to ``dsir._bucket``
+    / ``sampling.hash_bucket``, ANSI-replayable, what every
+    oracle-gated query uses. ``"xxhash64"``: pmod(xxhash64(salt,
+    value), n_buckets) — measured ~1.6× faster per-token on the
+    scoring fold (SCALING.md r13), the knob for the hot streaming
+    ingest gate where cross-engine replay isn't needed; carries no
+    oracle claim. Fit and score must use the SAME kind — the
+    persisted store records it in ``meta/`` so the probe paths can
+    never mismatch."""
+    if hash_kind == "md5":
+        h = F.md5(F.concat_ws("|", F.lit(salt), col))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+        )
+    if hash_kind == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(salt), col), F.lit(n_buckets))
+    raise ValueError(f"unknown hash_kind: {hash_kind!r}")
 
 
 def _fast_sigmoid(s: Column) -> Column:
@@ -113,6 +128,7 @@ def featurize_hashed(
     n_buckets: int = N_BUCKETS,
     salt: str = SALT,
     bigrams: bool = False,
+    hash_kind: str = "md5",
 ) -> DataFrame:
     """``(id, bucket, x)`` — x = the count of the document's
     whitespace tokens hashing into ``bucket``, plus the constant bias
@@ -149,7 +165,10 @@ def featurize_hashed(
     toks = docs.select(F.col(id_col), F.explode(grams).alias("_tk"))
     counts = (
         toks.select(
-            id_col, _bucket(F.col("_tk"), salt, n_buckets).alias("bucket")
+            id_col,
+            _bucket(F.col("_tk"), salt, n_buckets, hash_kind).alias(
+                "bucket"
+            ),
         )
         .groupBy(id_col, "bucket")
         .agg(F.count("*").cast("double").alias("x"))
@@ -307,6 +326,7 @@ def save_classifier(
     n_buckets: int = N_BUCKETS,
     salt: str = SALT,
     bigrams: bool = False,
+    hash_kind: str = "md5",
 ) -> None:
     """Fit the classifier ONCE on a labeled reference corpus and
     persist it: ``weights/`` (the (bucket, m, w) table —
@@ -321,18 +341,19 @@ def save_classifier(
 
     _META_CACHE.pop(path, None)
     feats = featurize_hashed(
-        docs, text_col, id_col, n_buckets, salt, bigrams=bigrams
+        docs, text_col, id_col, n_buckets, salt, bigrams=bigrams,
+        hash_kind=hash_kind,
     )
     w = fit_linear_classifier(feats, labels, iters, lr, id_col=id_col)
     w.coalesce(1).write.mode("overwrite").parquet(path + "/weights")
     local_df(
         docs.sparkSession,
-        [(n_buckets, salt, bool(bigrams))],
-        "n_buckets int, salt string, bigrams boolean",
+        [(n_buckets, salt, bool(bigrams), str(hash_kind))],
+        "n_buckets int, salt string, bigrams boolean, hash_kind string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
-def _load_meta(spark, path: str) -> "tuple[int, str, bool]":
+def _load_meta(spark, path: str) -> "tuple[int, str, bool, str]":
     if path not in _META_CACHE:
         r = spark.read.parquet(path + "/meta").first()
         d = r.asDict()
@@ -341,6 +362,8 @@ def _load_meta(spark, path: str) -> "tuple[int, str, bool]":
             str(d["salt"]),
             # stores written before the flag existed are unigram
             bool(d.get("bigrams", False)),
+            # stores written before the column existed are md5
+            str(d.get("hash_kind") or "md5"),
         )
     return _META_CACHE[path]
 
@@ -358,10 +381,11 @@ def classifier_score_against_index(
     :func:`classifier_score` over the in-memory fit (pinned equal by
     test); per batch: one scan + broadcast join + one partial-agg
     shuffle."""
-    n_buckets, salt, bigrams = _load_meta(spark, path)
+    n_buckets, salt, bigrams, hash_kind = _load_meta(spark, path)
     w = spark.read.parquet(path + "/weights")
     feats = featurize_hashed(
-        docs, text_col, id_col, n_buckets, salt, bigrams=bigrams
+        docs, text_col, id_col, n_buckets, salt, bigrams=bigrams,
+        hash_kind=hash_kind,
     )
     return classifier_score(feats, w, id_col)
 
@@ -393,8 +417,12 @@ def classifier_score_expr(spark, path: str, text_col: str = "text") -> Column:
     grow (advisor r12; ~257 comparisons/token at the default 256 was
     tolerable, 64k-bucket fits would not be). Buckets with no weight
     row hold an explicit 0.0 — same value the map path's coalesce
-    produced, so scores are bit-identical."""
-    n_buckets, salt, bigrams = _load_meta(spark, path)
+    produced, so scores are bit-identical.
+
+    The per-token hash replays the store's recorded ``hash_kind``
+    (md5 default; the xxhash64 variant measured ~1.6× faster on this
+    fold — the streaming ingest-gate knob, SCALING.md r13)."""
+    n_buckets, salt, bigrams, hash_kind = _load_meta(spark, path)
     rows = spark.read.parquet(path + "/weights").collect()
     bias = 0.0
     c = 0.0
@@ -414,7 +442,10 @@ def classifier_score_expr(spark, path: str, text_col: str = "text") -> Column:
             arr,
             F.lit(0.0),
             lambda acc, t: acc
-            + F.element_at(warr, (_bucket(t, salt, n_buckets) + 1).cast("int")),
+            + F.element_at(
+                warr,
+                (_bucket(t, salt, n_buckets, hash_kind) + 1).cast("int"),
+            ),
         )
 
     t = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)

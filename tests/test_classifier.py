@@ -304,3 +304,57 @@ def test_bigram_features_separate_order_swapped_docs(spark, tmp_path):
     }
     for d in want:
         assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_xxhash_kind_self_consistent_and_distinct(spark, tmp_path):
+    """hash_kind="xxhash64" (the r13 streaming-gate perf knob, ~1.6x
+    faster per-token than md5 on the scoring fold): the store records
+    the kind in meta, BOTH probe paths replay it (batch index probe
+    bit-equal to an in-memory xx fit; the row-local expression within
+    float-order tolerance and still zero exchanges), and the model
+    still learns — while an md5-fit store yields different bucket
+    assignments (the kinds are genuinely different hash spaces, so a
+    mismatch would be a real bug the meta exists to prevent)."""
+    from sensor_data_pipeline___spark.plans.explain import exchange_count
+
+    docs, labels = _docs_df(spark), _labels_df(spark)
+    path = str(tmp_path / "clf_store_xx")
+    clf.save_classifier(docs, labels, path, hash_kind="xxhash64")
+
+    feats = clf.featurize_hashed(docs, hash_kind="xxhash64")
+    w = clf.fit_linear_classifier(feats, labels)
+    want = {
+        r["doc_id"]: r["score"]
+        for r in clf.classifier_score(feats, w).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in clf.classifier_score_against_index(
+            spark, path, docs
+        ).collect()
+    }
+    assert got == want  # bit-equal: the store replays hash_kind
+
+    scored = docs.select(
+        "doc_id", clf.classifier_score_expr(spark, path).alias("score")
+    )
+    assert exchange_count(scored) == 0
+    expr_scores = {r["doc_id"]: r["score"] for r in scored.collect()}
+    for did in want:
+        assert abs(expr_scores[did] - want[did]) < 1e-9
+
+    # different hash space than md5 (bucket assignment differs)
+    md5_feats = clf.featurize_hashed(docs)
+    xx_set = {
+        (r["doc_id"], r["bucket"]) for r in feats.collect()
+    }
+    md5_set = {
+        (r["doc_id"], r["bucket"]) for r in md5_feats.collect()
+    }
+    assert xx_set != md5_set
+
+    # rejects unknown kinds loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        clf.featurize_hashed(docs, hash_kind="sha1").collect()
