@@ -1659,6 +1659,80 @@ def connected_components_star(
     )
 
 
+def connected_components_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, component) after merging NEW edges into an existing
+    component labeling — recomputing only the components the new
+    edges touch (r13): the incremental-maintenance shape a persisted
+    near-dup index needs at 100 TB, where each ingest batch yields a
+    bounded set of new pairs and re-running CC over the whole corpus
+    (``connected_components_star`` from scratch) would be O(corpus)
+    per batch.
+
+    Correctness rests on the star-contraction invariant: an existing
+    labeling IS a star forest (node → component), and the connected
+    components of (star edges ∪ new edges) equal those of
+    (original edges ∪ new edges) — stars preserve exactly the old
+    connectivity. So:
+
+    1. ``touched`` components = labels of the new edges' endpoints;
+    2. the SUBGRAPH = star edges of nodes in touched components
+       ∪ the new edges (endpoints never labeled before enter here);
+    3. :func:`connected_components_star` on the subgraph (the old
+       components are pre-collapsed stars, so the alternation
+       converges in a couple of rounds regardless of the ORIGINAL
+       graph's shape);
+    4. untouched components pass through unchanged.
+
+    Component ids stay canonical (min node id of the merged
+    component — the global min is reachable through the star edges),
+    so the output is exactly what a full recompute over all edges
+    would produce, pinned by property test against the batch variant.
+
+    Cost: two id-keyed semi/anti joins over the label table plus the
+    star rounds over the AFFECTED subgraph only — O(new edges +
+    affected cluster sizes) per batch, independent of corpus size.
+    """
+    ends = (
+        new_pairs.select(F.col(a_col).alias("node"))
+        .union(new_pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    touched_comps = (
+        labels.join(ends, "node", "left_semi")
+        .select("component")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    affected = labels.join(
+        touched_comps, "component", "left_semi"
+    ).localCheckpoint(eager=True)
+    star_edges = affected.filter(
+        F.col("node") != F.col("component")
+    ).select(F.col("node").alias(a_col), F.col("component").alias(b_col))
+    # self-pairs keep singleton/never-labeled endpoints present even
+    # if no new edge survives dedup (mirrors the batch variant's
+    # nodes-from-raw-pairs contract)
+    singletons = affected.filter(
+        F.col("node") == F.col("component")
+    ).select(F.col("node").alias(a_col), F.col("node").alias(b_col))
+    sub = star_edges.union(singletons).union(
+        new_pairs.select(a_col, b_col)
+    )
+    sub_cc = connected_components_star(
+        sub, a_col, b_col, max_iterations=max_iterations
+    )
+    untouched = labels.join(touched_comps, "component", "left_anti")
+    return untouched.select("node", "component").union(
+        sub_cc.select("node", "component")
+    )
+
+
 def cluster_representatives(
     docs: DataFrame,
     pairs: DataFrame,

@@ -8477,3 +8477,43 @@ def q_minhash_accuracy_contract(
             .alias("recall_floor_ok"),
         )
     )
+
+
+@_register(
+    "connected_components_incremental_fuzzy",
+    # Incremental CC maintenance, hash-verified end-to-end (r13,
+    # operators/dedup.py:connected_components_incremental): the fuzzy
+    # edge set is split deterministically in two (md5 parity of
+    # name_a), batch 1 is clustered from scratch (star CC), batch 2 is
+    # merged INCREMENTALLY — only components touched by new edges are
+    # re-clustered (their labels re-enter as star edges, the
+    # connectivity-preserving contraction), untouched components pass
+    # through. The result must equal the full recompute over ALL
+    # edges, so the oracle is the SAME recursive-CTE transitive
+    # closure the batch variants gate against — one label off and the
+    # hash breaks. The O(new edges + affected clusters) maintenance
+    # shape a persisted near-dup index needs per ingest batch at
+    # 100 TB.
+    _CC_FUZZY_ORACLE,
+)
+def q_connected_components_incremental_fuzzy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components_incremental,
+        connected_components_star,
+    )
+
+    pairs = QUERIES["fuzzy_name_pairs"](spark, sf_dir).select(
+        "name_a", "name_b"
+    )
+    parity = (
+        F.conv(F.substring(F.md5("name_a"), 1, 8), 16, 10).cast("long")
+        % 2
+    )
+    batch1 = pairs.filter(parity == 0)
+    batch2 = pairs.filter(parity == 1)
+    labels1 = connected_components_star(batch1, "name_a", "name_b")
+    return connected_components_incremental(
+        labels1, batch2, "name_a", "name_b"
+    )

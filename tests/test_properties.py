@@ -725,3 +725,44 @@ def test_connected_components_warn_on_cap_exhaustion(spark):
         assert not [
             w for w in caught if issubclass(w.category, RuntimeWarning)
         ], fn.__name__
+
+
+def test_connected_components_incremental_matches_full(spark):
+    """Incremental CC maintenance == full recompute on the union edge
+    set, across the interesting regimes: a new edge MERGING two old
+    components, a brand-new never-labeled node attaching, an old
+    component left completely untouched, and a new isolated pair."""
+    from sensor_data_pipeline___spark.operators.dedup import (
+        connected_components_incremental,
+        connected_components_star,
+    )
+
+    batch1 = [
+        (1, 2), (2, 3),          # comp {1,2,3}
+        (10, 11),                # comp {10,11}
+        (20, 21), (21, 22),      # comp {20,21,22} — stays untouched
+        (30, 30),                # singleton via self-pair
+    ]
+    batch2 = [
+        (3, 10),                 # merges {1,2,3} with {10,11}
+        (11, 40),                # new node 40 attaches
+        (50, 51),                # brand-new isolated pair
+        (30, 52),                # singleton grows
+    ]
+    p1 = spark.createDataFrame(batch1, "doc_a long, doc_b long")
+    p2 = spark.createDataFrame(batch2, "doc_a long, doc_b long")
+    labels1 = connected_components_star(p1)
+    incr = {
+        r.node: r.component
+        for r in connected_components_incremental(labels1, p2).collect()
+    }
+    full = {
+        r.node: r.component
+        for r in connected_components_star(p1.union(p2)).collect()
+    }
+    assert incr == full
+    # the untouched component passed through by identity (still keyed
+    # to its old min), and the merged one re-keyed to the global min
+    assert incr[22] == 20
+    assert incr[40] == 1 and incr[11] == 1
+    assert incr[51] == 50 and incr[52] == 30
