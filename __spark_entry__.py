@@ -37,24 +37,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round's prescription per VERDICT r12 directives #1–#3): the
 # window keeps the 11-entry veteran spine (reference-parity core that
 # never rotates, the TPC-H flagship, the corpus composite,
-# dedup_exact, the session_window_batch watch item), adds the SEVEN
+# dedup_exact, the session_window_batch watch item), adds the EIGHT
 # entries whose oracle surface is new this round
 # (split_leakage_stats, cluster_aware_split,
 # temperature_mixture_tokens, cluster_split_leakage,
 # stratified_sample_counts upgraded rows-only → oracle-backed, the
-# corpus_pipeline_tokens composite, and the minhash_accuracy_contract
-# boolean-pinned LSH precision/recall floors — registering into the
+# corpus_pipeline_tokens composite, the minhash_accuracy_contract
+# boolean-pinned LSH precision/recall floors, and the
+# connected_components_incremental_fuzzy maintenance twin —
+# registering into the
 # CURRENT window so the ledger's never-gated list stays empty after
 # this round's gate), then the r13 staleness-queue head (the 8
 # entries last gated r7: semi_join_active_customers,
 # string_functions_parts, text_quality, token_counts,
 # user_event_sequences, window_running_total, winnowing_fingerprint,
-# zorder_curve_stats), and fills the remaining 24 slots with the
-# first 24 (by name) of the 39 entries last gated r8
-# (asof_last_purchase … q19_discounted_revenue; the remaining 15 —
-# q21_sole_supplier_failed_orders … unigram_lm_scores — slide to the
-# front of the r14 queue; q3_top_revenue_orders stays benched at
-# sf0.1 every round regardless). Recomputed from the
+# zorder_curve_stats), and fills the remaining 23 slots with the
+# first 23 (by name) of the 39 entries last gated r8
+# (asof_last_purchase … next_event_training_pairs; the remaining 16
+# — q19_discounted_revenue … unigram_lm_scores — slide to the front
+# of the r14 queue; q3_top_revenue_orders stays benched at sf0.1
+# every round regardless). Recomputed from the
 # CORRECTNESS_r*.json union this round. The r12 window's non-spine entries rotate out (all green in
 # r12). The ledger invariant ("every oracle-backed entry gated at
 # least once") is auditable in GATE_LEDGER.md, regenerated per round
@@ -90,6 +92,8 @@ _PRIORITY = (
     # the seeded-LSH accuracy contract (precision/recall floors vs the
     # exact shingle-Jaccard ground truth, boolean-pinned)
     "minhash_accuracy_contract",
+    # incremental CC maintenance vs the full-closure oracle
+    "connected_components_incremental_fuzzy",
     # --- staleness queue head: last gated r7 ---
     "semi_join_active_customers",
     "string_functions_parts",
@@ -99,7 +103,7 @@ _PRIORITY = (
     "window_running_total",
     "winnowing_fingerprint",
     "zorder_curve_stats",
-    # --- stalest refresh: last gated r8 (first 24 by name) ---
+    # --- stalest refresh: last gated r8 (first 23 by name) ---
     "asof_last_purchase",
     "asof_next_click",
     "bloom_semi_join_lineitem",
@@ -123,7 +127,6 @@ _PRIORITY = (
     "nation_trade_pagerank",
     "near_dup_probe_exact",
     "next_event_training_pairs",
-    "q19_discounted_revenue",
 )
 
 
