@@ -551,6 +551,27 @@ def next_event_training_pairs(
     )
 
 
+def _exact_clusters(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Exact-dup cluster decomposition shared by the release-audit
+    family: ``(hashed, clusters, reps)`` where ``hashed`` is the input
+    plus its ``_h = md5(text)`` content key, ``clusters`` is one row
+    per distinct text ``(_h, _keeper=min(id), _csize=count)``, and
+    ``reps`` is the min-id representative row per cluster (original
+    columns plus ``_h``/``_keeper``/``_csize``). Callers are expected
+    to have NULL-normalized ``text_col`` already (md5(NULL) is NULL
+    and would drop the doc from the equi-join)."""
+    hashed = docs.withColumn("_h", F.md5(F.col(text_col)))
+    clusters = hashed.groupBy("_h").agg(
+        F.min(id_col).alias("_keeper"), F.count("*").alias("_csize")
+    )
+    reps = hashed.join(clusters, "_h").filter(
+        F.col(id_col) == F.col("_keeper")
+    )
+    return hashed, clusters, reps
+
+
 def release_audit(
     docs: DataFrame,
     bench_docs: DataFrame,
@@ -581,19 +602,32 @@ def release_audit(
     SMALLER id — the keep-first rule, so exactly one doc of an
     otherwise-clean near-dup cluster survives), else ``kept``.
 
-    Scale shape: pure composition of already-audited pieces — the
-    content-hash groupBy (map-side combined), the narrow quality
-    projection, the benchmark-sized attribution join, the pigeonhole-
-    blocked near-dup self-join — stitched by LEFT joins keyed on
-    ``id_col``. No new shuffle class; the audit costs what its gates
-    already cost.
+    Scale shape (reworked r14, VERDICT r13 directive #3): the simhash
+    near-dup gate and the contamination attribution run over the
+    EXACT-DUP REPRESENTATIVES — one doc per content hash, the
+    ``dedup_pipeline`` exact-first precedent — and per-doc stats are
+    rejoined through the content-hash group. The previous shape fed
+    raw docs to the pair generators, so a mass-duplicate cluster of c
+    copies materialized C(c,2) simhash pairs (measured ×30-replication
+    exponent 0.89/1.09 — quadratic-output regime); at crawl scale,
+    boilerplate mass-dups are the norm. The rejoin is EXACT, not an
+    approximation: fingerprints and gram sets are pure functions of
+    the text, so within a cluster every doc has hamming 0 to every
+    other (all are mutual near-dups) and identical attribution, and
+    cross-cluster pair structure is all-or-nothing per cluster pair —
+    ``n_near_dups(d) = (csize-1) + Σ neighbor-cluster csize`` and
+    ``has_smaller(d) = (d > keeper) OR (min neighbor rep < d)`` (a
+    cluster's min id IS its rep). Pair volume drops from O(Σc²) to
+    O(distinct-text pairs); everything else is linear scans and
+    hash-keyed joins.
 
     ``precomputed_attribution`` (optional) supplies the
-    ``contamination_attribution`` pair table from an enclosing
-    computation that also needs it (the shared-scan posture of
-    :func:`release_audit_summary` — VERDICT r12 #7); it must have
-    been built with the SAME normalization and geometry this function
-    would use. Default None computes it internally."""
+    ``contamination_attribution`` pair table OVER THE REPRESENTATIVES
+    from an enclosing computation that also needs it (the shared-scan
+    posture of :func:`release_audit_summary` — VERDICT r12 #7); it
+    must have been built over this function's own representative set
+    (min-id per md5(text) after NULL→'' normalization) with the same
+    geometry. Default None computes it internally."""
     from sensor_data_pipeline___spark.operators.decontam import (
         contamination_attribution,
     )
@@ -613,14 +647,9 @@ def release_audit(
     docs = docs.withColumn(
         text_col, F.coalesce(F.col(text_col), F.lit(""))
     )
-    keepers = docs.groupBy(F.md5(text_col).alias("_h")).agg(
-        F.min(id_col).alias("_keeper")
-    )
-    exact = docs.select(F.col(id_col), F.md5(text_col).alias("_h")).join(
-        keepers, "_h"
-    ).select(
-        id_col, (F.col(id_col) != F.col("_keeper")).alias("exact_dup")
-    )
+    hashed, clusters, reps = _exact_clusters(docs, text_col, id_col)
+    # per-doc spine: (id, _keeper, _csize) — exact_dup falls out of it
+    spine = hashed.select(id_col, "_h").join(clusters, "_h").drop("_h")
     quality = gopher_quality_flags(
         docs,
         text_col,
@@ -632,10 +661,12 @@ def release_audit(
         precomputed_attribution
         if precomputed_attribution is not None
         else contamination_attribution(
-            docs, bench_docs, n, text_col, id_col, bench_id_col,
+            reps.select(id_col, text_col),
+            bench_docs, n, text_col, id_col, bench_id_col,
             key=gram_key,
         )
     )
+    # rep-level attribution, rejoined per doc via the cluster keeper
     attr = (
         attr_pairs
         .groupBy(id_col)
@@ -643,45 +674,65 @@ def release_audit(
             F.count_distinct(bench_id_col).alias("n_benchmarks_hit"),
             F.sum("n_shared_grams").alias("n_shared_grams"),
         )
+        .withColumnRenamed(id_col, "_keeper")
     )
-    pairs = simhash_near_dup_exact(docs, text_col, id_col, max_hamming)
-    nd = (
+    # rep-level near-dup structure: pairs among DISTINCT texts only
+    pairs = simhash_near_dup_exact(
+        reps.select(id_col, text_col), text_col, id_col, max_hamming
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("_rep"), F.col("doc_b").alias("_nbr")
+    ).unionAll(
         pairs.select(
-            F.col("doc_a").alias(id_col), F.col("doc_b").alias("_p")
+            F.col("doc_b").alias("_rep"), F.col("doc_a").alias("_nbr")
         )
-        .unionAll(
-            pairs.select(
-                F.col("doc_b").alias(id_col), F.col("doc_a").alias("_p")
-            )
+    )
+    nbr = (
+        edges.join(
+            clusters.select(
+                F.col("_keeper").alias("_nbr"),
+                F.col("_csize").alias("_nbr_csize"),
+            ),
+            "_nbr",
         )
-        .groupBy(id_col)
+        .groupBy("_rep")
         .agg(
-            F.count("*").alias("n_near_dups"),
-            F.max(F.col("_p") < F.col(id_col)).alias("_has_smaller"),
+            F.sum("_nbr_csize").alias("_nbr_mass"),
+            F.min("_nbr").alias("_nbr_min"),
         )
+        .withColumnRenamed("_rep", "_keeper")
     )
     out = (
-        exact.join(quality, id_col)
-        .join(attr, id_col, "left")
-        .join(nd, id_col, "left")
+        spine.join(quality, id_col)
+        .join(attr, "_keeper", "left")
+        .join(nbr, "_keeper", "left")
     )
     n_bench = F.coalesce(F.col("n_benchmarks_hit"), F.lit(0)).cast("long")
+    # partners = cluster siblings (hamming 0) + all members of
+    # neighboring clusters; a smaller-id partner exists iff the doc is
+    # not its cluster's keeper, or some neighbor rep (= that cluster's
+    # min id) is smaller
+    n_near = (
+        F.col("_csize") - F.lit(1) + F.coalesce(F.col("_nbr_mass"), F.lit(0))
+    )
+    has_smaller = (F.col(id_col) > F.col("_keeper")) | F.coalesce(
+        F.col("_nbr_min") < F.col(id_col), F.lit(False)
+    )
+    exact_dup = (F.col(id_col) != F.col("_keeper")).alias("exact_dup")
     return out.select(
         id_col,
         "n_tokens",
-        "exact_dup",
+        exact_dup,
         "quality_ok",
         n_bench.alias("n_benchmarks_hit"),
         F.coalesce(F.col("n_shared_grams"), F.lit(0))
         .cast("long")
         .alias("n_shared_grams"),
-        F.coalesce(F.col("n_near_dups"), F.lit(0))
-        .cast("long")
-        .alias("n_near_dups"),
-        F.when(F.col("exact_dup"), "exact_dup")
+        n_near.cast("long").alias("n_near_dups"),
+        F.when(F.col(id_col) != F.col("_keeper"), "exact_dup")
         .when(~F.col("quality_ok"), "quality")
         .when(n_bench > 0, "contaminated")
-        .when(F.coalesce(F.col("_has_smaller"), F.lit(False)), "near_dup")
+        .when(has_smaller, "near_dup")
         .otherwise("kept")
         .alias("drop_reason"),
     )
@@ -713,11 +764,15 @@ def release_audit_summary(
       NULL — token mass is a candidate-side notion).
 
     Output is gate-outcomes + benchmark-suite-sized — KB where the
-    per-doc audit is TB. Scale shape: the per-doc audit's own cost
-    (its gates, unchanged) plus one extra benchmark-keyed gram join
-    for the attribution breakdown (benchmark side is suite-sized and
-    broadcast, as in ``decontam.contamination_attribution``) and two
-    tiny aggregations.
+    per-doc audit is TB. Scale shape (reworked r14 with
+    :func:`release_audit`): the benchmark breakdown's attribution also
+    runs over the exact-dup REPRESENTATIVES, with each rep's hits
+    weighted by its cluster size on the way into the per-benchmark
+    aggregate — exact, because every copy of a text shares the rep's
+    gram set, so ``n_docs = Σ csize`` over touched clusters and
+    ``n_shared_grams = Σ csize × rep_grams``. The previous shape
+    exploded grams for every duplicate copy (×30-replication exponent
+    1.09 — the r13 verdict's weak flag).
 
     Shared-scan adjudication (VERDICT r12 #7, measured r13): an
     eager-``localCheckpoint`` attribution table fed to both consumers
@@ -726,9 +781,11 @@ def release_audit_summary(
     4.7 s) — the materialization job costs more than the duplicated
     gram explode+join it saves at any scale where the audit runs as
     one action, so the one-pass variant is deliberately NOT taken
-    here. :func:`release_audit` still accepts
-    ``precomputed_attribution`` for enclosing pipelines that already
-    persist the pair table (where the write is sunk cost)."""
+    here (and the duplicated half is now rep-sized, cheaper than the
+    r13 adjudication's). :func:`release_audit` still accepts
+    ``precomputed_attribution`` (rep-level pairs) for enclosing
+    pipelines that already persist the pair table (where the write is
+    sunk cost)."""
     from sensor_data_pipeline___spark.operators.decontam import (
         contamination_attribution,
     )
@@ -756,20 +813,31 @@ def release_audit_summary(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
     )
-    # same NULL-text normalization as release_audit, so the benchmark
-    # breakdown reconciles against the drop_reason section's grams
+    # same NULL-text normalization and representative construction as
+    # release_audit, so the benchmark breakdown reconciles against the
+    # drop_reason section's grams
     cand = docs.withColumn(
         text_col, F.coalesce(F.col(text_col), F.lit(""))
     )
+    _, clusters, reps = _exact_clusters(cand, text_col, id_col)
     by_bench = (
         contamination_attribution(
-            cand, bench_docs, n, text_col, id_col, bench_id_col,
+            reps.select(id_col, text_col),
+            bench_docs, n, text_col, id_col, bench_id_col,
             key=gram_key,
+        )
+        .join(
+            clusters.select(
+                F.col("_keeper").alias(id_col), "_csize"
+            ),
+            id_col,
         )
         .groupBy(bench_id_col)
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_shared_grams").alias("n_shared_grams"),
+            F.sum("_csize").alias("n_docs"),
+            F.sum(F.col("_csize") * F.col("n_shared_grams")).alias(
+                "n_shared_grams"
+            ),
         )
         .select(
             F.lit("benchmark").alias("section"),
