@@ -1733,6 +1733,170 @@ def connected_components_incremental(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted component labeling (maintained by the streaming near-dup loop)
+# ---------------------------------------------------------------------------
+
+
+def _read_cc_rows(spark, path: str) -> DataFrame:
+    """Schema-explicit read of a :func:`save_cc_labels` store's RAW
+    delta rows (base + per-batch appends; a node can have several rows
+    across generations — resolve with :func:`read_cc_labels`)."""
+    node_t = spark.read.parquet(path + "/meta").first()["node_type"]
+    return spark.read.schema(
+        f"node {node_t}, component {node_t}, ingest_key string"
+    ).parquet(resolve_current(path) + "/labels")
+
+
+def save_cc_labels(
+    spark,
+    path: str,
+    labels: DataFrame,
+    node_col: str = "node",
+    component_col: str = "component",
+) -> None:
+    """Initialize the persisted (node → component) labeling a streaming
+    near-dup loop maintains incrementally (VERDICT r13 directive #4):
+    the label store lives beside the minhash index, each ingest batch
+    folds its newly discovered pairs in via
+    :func:`cc_labels_update` (O(new edges + affected clusters), the
+    :func:`connected_components_incremental` shape), and consumers —
+    ``sampling.cluster_hash_split`` above all — read the maintained
+    table instead of re-running full star-CC over the pair index per
+    call.
+
+    Layout: ``labels/`` hive-partitioned by ``ingest_key`` ('base' for
+    this seed write, ``b<batch>`` per streaming append), ``meta/``
+    recording the node type (version-invariant, top level). Same
+    versioned-root + CURRENT-pointer protocol as the minhash store;
+    :func:`cc_labels_compact` folds accumulated deltas.
+
+    Cold start: pass an EMPTY frame with the right schema (the
+    streaming loop's usual bootstrap, as with ``save_minhash_index``).
+    """
+    retire_current(path)
+    lab = labels.select(
+        F.col(node_col).alias("node"),
+        F.col(component_col).alias("component"),
+    ).withColumn("ingest_key", F.lit("base"))
+    # STATIC overwrite: a fresh save replaces the WHOLE store (see
+    # save_minhash_index — dynamic would leave stale batch partitions)
+    with overwrite_mode(spark, "static"):
+        lab.write.mode("overwrite").partitionBy("ingest_key").parquet(
+            path + "/labels"
+        )
+    node_t = dict(labels.dtypes)[node_col]
+    local_df(spark, [(node_t,)], "node_type string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/meta")
+
+
+def read_cc_labels(spark, path: str) -> DataFrame:
+    """(node, component) resolved across base + per-batch deltas.
+
+    The LATEST label per node is simply the MINIMUM across its rows:
+    components only ever MERGE (edges are only added), a merge
+    relabels every member to the merged component's min node id — so
+    a node's label sequence is strictly decreasing — and a dead
+    component id can never be re-issued (the node bearing that id now
+    sits in a component with a smaller min). No generation column, no
+    window: resolution is one groupBy-min over the label rows."""
+    return (
+        _read_cc_rows(spark, path)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def cc_labels_update(
+    spark,
+    path: str,
+    new_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    ingest_key: "str | None" = None,
+    max_iterations: int = 50,
+) -> None:
+    """Fold a batch of NEW edges into a :func:`save_cc_labels` store —
+    the persisted form of :func:`connected_components_incremental`:
+    only the components the new edges touch are re-clustered, and the
+    batch writes a DELTA partition holding just the affected nodes'
+    new labels (O(new edges + affected cluster sizes) written per
+    batch; untouched labels are never rewritten — min-resolution in
+    :func:`read_cc_labels` supersedes their rows lazily).
+
+    The touched/affected selection works on raw delta rows without a
+    global resolve pass: a touched component is some endpoint's LATEST
+    label (min over that endpoint's rows — endpoint-sized work), and
+    any row claiming a LIVE component is current (a merge relabels all
+    members in the same delta, so stale rows only ever point at dead
+    component ids, which cannot be some node's latest).
+
+    ``ingest_key`` gives the same effectively-once replay contract as
+    ``minhash_index_append``: the delta lands under its own partition
+    via dynamic overwrite, so a crash-replay REPLACES its earlier
+    attempt (and recomputing against a store that already absorbed
+    that attempt is idempotent — re-merging merged components is a
+    no-op). ``None`` appends under 'adhoc' (one-shot batch use)."""
+    rows = _read_cc_rows(spark, path).select("node", "component")
+    ends = (
+        new_pairs.select(F.col(a_col).alias("node"))
+        .union(new_pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    touched = (
+        rows.join(ends, "node", "left_semi")
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+        .select("component")
+        .distinct()
+    )
+    affected = (
+        rows.join(touched, "component", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    star = affected.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(a_col), F.col("component").alias(b_col)
+    )
+    singles = affected.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias(a_col), F.col("node").alias(b_col)
+    )
+    sub = star.union(singles).union(new_pairs.select(a_col, b_col))
+    sub_cc = connected_components_star(
+        sub, a_col, b_col, max_iterations=max_iterations
+    )
+    delta = sub_cc.select("node", "component").withColumn(
+        "ingest_key", F.lit(ingest_key or "adhoc")
+    )
+    mode = "overwrite" if ingest_key is not None else "append"
+    # DYNAMIC, pinned: a replay overwrites only its own partition
+    with overwrite_mode(spark, "dynamic"):
+        delta.write.mode(mode).partitionBy("ingest_key").parquet(
+            resolve_current(path) + "/labels"
+        )
+
+
+def cc_labels_compact(spark, path: str) -> str:
+    """Fold a label store's accumulated delta partitions into one
+    resolved 'base' generation (the small-files maintenance tick, same
+    versioned-root + atomic CURRENT swap and the same single-writer
+    quiesce contract as :func:`minhash_index_compact`). Returns the
+    new generation root."""
+    resolved = read_cc_labels(spark, path).withColumn(
+        "ingest_key", F.lit("base")
+    )
+    new_root = next_generation(path)
+    # STATIC: the target vN may be a stale generation dir (see
+    # minhash_index_compact)
+    with overwrite_mode(spark, "static"):
+        resolved.coalesce(1).write.mode("overwrite").partitionBy(
+            "ingest_key"
+        ).parquet(new_root + "/labels")
+    swap_current(path, new_root)
+    return new_root
+
+
 def cluster_representatives(
     docs: DataFrame,
     pairs: DataFrame,

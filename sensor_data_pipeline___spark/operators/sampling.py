@@ -165,6 +165,49 @@ def cluster_hash_split(
     )
 
 
+def cluster_hash_split_from_labels(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    component_col: str = "component",
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """:func:`cluster_hash_split` keyed off an ALREADY-MAINTAINED
+    (node, component) labeling instead of re-running star-CC over the
+    pair set per call (VERDICT r13 directive #4): the streaming
+    near-dup loop keeps the labeling current per ingest batch
+    (``dedup.cc_labels_update`` — O(new edges + affected clusters)),
+    so at split time the CC work is already paid and this is ONE
+    id-keyed left join plus the narrow md5 projection. Pass
+    ``dedup.read_cc_labels(spark, path)`` as ``labels``.
+
+    Same assignment semantics as :func:`cluster_hash_split` given the
+    labeling a full recompute would produce (which the maintained
+    store is — gated by ``cc_labels_maintained_fuzzy``): rows absent
+    from ``labels`` key on their own id, so a pair-free corpus
+    degrades exactly to :func:`hash_split`."""
+    keyed = df.join(
+        labels.select(
+            F.col(node_col).alias(id_col),
+            F.col(component_col).alias("_component"),
+        ),
+        id_col,
+        "left",
+    ).withColumn(
+        "split_key", F.coalesce(F.col("_component"), F.col(id_col))
+    ).drop("_component")
+    b = hash_bucket(F.col("split_key"), salt)
+    t_hi = int(round(train * BUCKETS))
+    v_hi = t_hi + int(round(val * BUCKETS))
+    return keyed.withColumn(
+        "split",
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

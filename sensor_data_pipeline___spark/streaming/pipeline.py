@@ -913,6 +913,7 @@ def corpus_neardup_batch_fn(
     lm_band_fractions: "dict | None" = None,
     lm_salt: str = "ccnet-band-v1",
     tokenizer_merges: "list[tuple[str, str]] | None" = None,
+    cc_labels_path: "str | None" = None,
 ):
     """The foreachBatch body for :func:`corpus_ingest_stream_neardup`,
     exposed so tests can drive crash-replay directly (the
@@ -1007,6 +1008,26 @@ def corpus_neardup_batch_fn(
     clean store: a row-local stateless projection after every gate,
     so dropped docs are never tokenized and replay-stability is
     untouched.
+
+    ``cc_labels_path`` (optional, r14 — VERDICT r13 directive #4)
+    maintains a persisted (node, component) labeling beside the
+    minhash index: every batch's discovered pairs (cross probe hits ∪
+    batch-internal pairs) are folded into the
+    :func:`dedup.save_cc_labels` store via
+    :func:`dedup.cc_labels_update` — O(new edges + affected clusters)
+    per batch — so ``sampling.cluster_hash_split_from_labels`` can key
+    split assignment off ``dedup.read_cc_labels`` instead of re-running
+    full star-CC over the accumulated pair set per call. The labeling
+    covers every doc that ever appeared in a pair (kept OR dropped:
+    a dropped near-dup's cluster membership is exactly what a split
+    audit later asks about); pair-free docs are absent and key on
+    their own id downstream. The update is batch-keyed (same
+    effectively-once replay contract as the index append) and its
+    input pairs are replay-deterministic (self-key-excluded probe),
+    so the maintained labels equal a full recompute over all
+    discovered pairs — pinned by the ``cc_labels_maintained_fuzzy``
+    gate query and the streaming soak test. Bootstrap alongside the
+    index: ``save_cc_labels`` on an empty frame.
     """
     from sensor_data_pipeline___spark.operators import decontam, dedup
 
@@ -1049,27 +1070,30 @@ def corpus_neardup_batch_fn(
         num_hashes, bands, shingle_n = dedup._load_minhash_meta(
             spark, index_path
         )
-        cross = (
-            dedup.near_dup_against_index(
-                spark, index_path, batch,
-                jaccard_threshold=jaccard_threshold,
-                max_bucket=max_bucket,
-                precomputed_sig=sig,
-                exclude_ingest_key=key,
-            )
-            .select(F.col("new_id").alias("doc_id"))
-            .distinct()
+        cross_pairs = dedup.near_dup_against_index(
+            spark, index_path, batch,
+            jaccard_threshold=jaccard_threshold,
+            max_bucket=max_bucket,
+            precomputed_sig=sig,
+            exclude_ingest_key=key,
         )
-        internal = (
-            dedup.minhash_near_dup(
-                batch, num_hashes=num_hashes, bands=bands,
-                shingle_n=shingle_n,
-                jaccard_threshold=jaccard_threshold,
-                max_bucket=max_bucket, precomputed_sig=sig,
-            )
-            .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
-            .distinct()
+        internal_pairs = dedup.minhash_near_dup(
+            batch, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n,
+            jaccard_threshold=jaccard_threshold,
+            max_bucket=max_bucket, precomputed_sig=sig,
         )
+        if cc_labels_path is not None:
+            # the pair frames feed TWO consumers (drop set + label
+            # maintenance): materialize once so the probe isn't re-run
+            cross_pairs = cross_pairs.localCheckpoint(eager=True)
+            internal_pairs = internal_pairs.localCheckpoint(eager=True)
+        cross = cross_pairs.select(
+            F.col("new_id").alias("doc_id")
+        ).distinct()
+        internal = internal_pairs.select(
+            F.greatest("doc_a", "doc_b").alias("doc_id")
+        ).distinct()
         drop = cross.unionByName(internal).distinct()
         survivors = batch.join(
             drop, "doc_id", "left_anti"
@@ -1105,6 +1129,19 @@ def corpus_neardup_batch_fn(
             spark, index_path, fresh, ingest_key=key,
             precomputed_sig=surv_sig,
         )
+        if cc_labels_path is not None:
+            # fold this batch's discovered pairs into the maintained
+            # component labeling (see docstring) — batch-keyed delta,
+            # replay replaces its own earlier attempt
+            dedup.cc_labels_update(
+                spark,
+                cc_labels_path,
+                cross_pairs.select(
+                    F.col("new_id").alias("doc_a"),
+                    F.col("corpus_id").alias("doc_b"),
+                ).unionByName(internal_pairs.select("doc_a", "doc_b")),
+                ingest_key=key,
+            )
         # DYNAMIC, pinned: a replay overwrites only its own
         # ingest_batch partition (see operators/_writes.py)
         from sensor_data_pipeline___spark.operators._writes import (
@@ -1158,6 +1195,7 @@ def corpus_ingest_stream_neardup(
     tokenizer_vocab_path: "str | None" = None,
     classifier_path: "str | None" = None,
     min_quality_score: float = 0.0,
+    cc_labels_path: "str | None" = None,
 ):
     """:func:`corpus_ingest_stream` with the persisted minhash index
     composed in (VERDICT r7 directive #4): the stream's exact dedup
@@ -1219,6 +1257,7 @@ def corpus_ingest_stream_neardup(
                 lm_band_fractions=lm_band_fractions,
                 lm_salt=lm_salt,
                 tokenizer_merges=tokenizer_merges,
+                cc_labels_path=cc_labels_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -520,3 +520,59 @@ def test_simhash_exact_blocking_equals_brute_force_both_modes(spark):
     }
     assert got64 <= brute(fps64, 3)
     assert {(0, 1000, 0), (1, 1001, 0), (2, 1002, 0)} <= got64
+
+
+def test_cc_labels_store_lifecycle_replay_and_compact(spark, tmp_path):
+    """save_cc_labels / cc_labels_update / read_cc_labels /
+    cc_labels_compact (r14): (1) batched updates resolve to the full
+    star-CC recompute over all edges; (2) replaying an update under
+    the same ingest_key is a no-op on the resolved labels (the
+    effectively-once contract the streaming loop relies on); (3)
+    compaction folds the deltas without changing resolution and later
+    updates keep working against the new generation."""
+    from sensor_data_pipeline___spark.operators import dedup
+
+    path = str(tmp_path / "cc")
+    dedup.save_cc_labels(
+        spark, path,
+        spark.createDataFrame([], "node long, component long"),
+    )
+    b0 = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    # b1 merges the two b0 components and introduces a fresh one
+    b1 = spark.createDataFrame(
+        [(2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    dedup.cc_labels_update(spark, path, b0, ingest_key="b0")
+    dedup.cc_labels_update(spark, path, b1, ingest_key="b1")
+    resolved = lambda: sorted(
+        map(tuple, dedup.read_cc_labels(spark, path).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            dedup.connected_components_star(b0.union(b1)).collect(),
+        )
+    )
+    assert resolved() == want
+    assert want == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)]
+
+    # replay b1 (crash-after-write): resolved labels unchanged
+    dedup.cc_labels_update(spark, path, b1, ingest_key="b1")
+    assert resolved() == want
+
+    # compact: resolution unchanged, one base partition
+    dedup.cc_labels_compact(spark, path)
+    assert resolved() == want
+    raw = dedup._read_cc_rows(spark, path)
+    assert raw.select("ingest_key").distinct().collect()[0][0] == "base"
+    assert raw.count() == len(want)
+
+    # post-compact update against the new generation still works and
+    # merges across compacted components
+    b2 = spark.createDataFrame([(4, 10)], "doc_a long, doc_b long")
+    dedup.cc_labels_update(spark, path, b2, ingest_key="b2")
+    assert resolved() == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (10, 1), (11, 1),
+    ]

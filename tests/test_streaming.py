@@ -561,6 +561,95 @@ def test_corpus_ingest_stream_neardup_probe_drop_append(spark, dirs):
         assert inc == fs, sub
 
 
+def test_corpus_neardup_stream_maintains_cc_labels(spark, dirs):
+    """VERDICT r13 directive #4: the streaming near-dup loop with
+    ``cc_labels_path`` composed in maintains a persisted (node,
+    component) labeling that — after N streamed batches — equals the
+    full star-CC recompute over every pair the loop discovered
+    (cross probe hits ∪ batch-internal pairs, kept AND dropped docs),
+    and ``cluster_hash_split_from_labels`` over the maintained store
+    assigns exactly what ``cluster_hash_split`` over those pairs
+    would."""
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.operators.sampling import (
+        cluster_hash_split,
+        cluster_hash_split_from_labels,
+    )
+
+    idx = os.path.join(dirs["wh"], "mh_index")
+    lab = os.path.join(dirs["wh"], "cc_labels")
+    seed = spark.createDataFrame(
+        [(1000 + i, " ".join(_corpus_words(i))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    dedup.save_minhash_index(seed, idx)
+    dedup.save_cc_labels(
+        spark,
+        lab,
+        spark.createDataFrame([], "node long, component long"),
+    )
+
+    # batch 1: internal pair (31, 32); cross pair (33, seed 1002)
+    w7, w8, w9 = _corpus_words(7), _corpus_words(8), _corpus_words(9)
+    _drop_jsonl(dirs, "b1.jsonl", [
+        _mk_doc(30, w7),
+        _mk_doc(31, w9),
+        _mk_doc(32, w9[:-1] + ["changed"]),
+        _mk_doc(33, _corpus_words(2)[:-1] + ["tweak"]),
+    ])
+    q = sp.corpus_ingest_stream_neardup(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], idx,
+        cc_labels_path=lab,
+    )
+    q.awaitTermination(120)
+    # batch 2: cross pair (40, admitted 31); fresh 41; cross pair
+    # (42, seed 1002) — merging into 33's component
+    _drop_jsonl(dirs, "b2.jsonl", [
+        _mk_doc(40, w9[:-1] + ["other"]),
+        _mk_doc(41, w8),
+        _mk_doc(42, _corpus_words(2)[:-1] + ["tweak2"]),
+    ])
+    q = sp.corpus_ingest_stream_neardup(
+        spark, dirs["drop"], dirs["out"], dirs["ckpt"], idx,
+        cc_labels_path=lab,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, dedup.read_cc_labels(spark, lab).collect())
+    )
+    discovered = spark.createDataFrame(
+        [(31, 32), (33, 1002), (31, 40), (42, 1002)],
+        "doc_a long, doc_b long",
+    )
+    want = sorted(
+        map(
+            tuple,
+            dedup.connected_components_star(discovered).collect(),
+        )
+    )
+    assert got == want
+    assert got == [
+        (31, 31), (32, 31), (33, 33), (40, 31), (42, 33), (1002, 33),
+    ]
+
+    # split assignment off the maintained store == off the pair set
+    corpus = spark.createDataFrame(
+        [(i,) for i in (30, 31, 32, 33, 40, 41, 42, 1002)], "doc_id long"
+    )
+    via_labels = {
+        (r.doc_id, r.split_key, r.split)
+        for r in cluster_hash_split_from_labels(
+            corpus, dedup.read_cc_labels(spark, lab)
+        ).collect()
+    }
+    via_pairs = {
+        (r.doc_id, r.split_key, r.split)
+        for r in cluster_hash_split(corpus, discovered).collect()
+    }
+    assert via_labels == via_pairs
+
+
 def test_corpus_neardup_batch_replay_is_effectively_once(spark, dirs):
     """The probe→drop→append loop under at-least-once foreachBatch:
     replaying a batch (same batch_id) after its first attempt fully
