@@ -33,9 +33,13 @@ Why this shape survives 100 TB:
 - the final selection is ``orderBy(key).limit(k)`` (TakeOrdered — a
   per-partition top-k then a k-row driver merge), never a global sort.
 
-All hashing is md5 (not xxhash64) so bucket membership itself is
-bit-identical in DuckDB and hash-verifiable by the driver gate — the
-documented trade of ``operators/sampling.py``.
+Bucket hashing defaults to md5 (not xxhash64) so bucket membership
+itself is bit-identical in DuckDB and hash-verifiable by the driver
+gate — the documented trade of ``operators/sampling.py``. The persisted
+store additionally takes ``hash_kind="xxhash64"`` for the hot streaming
+ingest probe (r14; the ``classifier`` precedent — the kind is recorded
+in the store meta so fit and probe can never mismatch, and the
+oracle-gated queries stay on md5).
 """
 
 from __future__ import annotations
@@ -53,11 +57,26 @@ N_BUCKETS = 10_000
 _U32 = 4_294_967_296.0  # 2^32: md5's first 8 hex chars as a uniform
 
 
-def _bucket(col: Column, salt: str, n_buckets: int) -> Column:
-    """First 32 bits of md5(salt|value), mod ``n_buckets`` — the same
-    cross-engine bucket construction as ``sampling.hash_bucket``."""
-    h = F.md5(F.concat_ws("|", F.lit(salt), col))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+def _bucket(
+    col: Column, salt: str, n_buckets: int, hash_kind: str = "md5"
+) -> Column:
+    """Gram → bucket. ``"md5"`` (default): first 32 bits of
+    md5(salt|value) mod ``n_buckets`` — the cross-engine construction
+    of ``sampling.hash_bucket``, what every oracle-gated query uses.
+    ``"xxhash64"``: pmod(xxhash64(salt, value), n_buckets) — one JVM
+    hash pass instead of a 128-bit digest + string slice, the knob for
+    the hot streaming ingest probe (the ``classifier._bucket``
+    precedent, measured 2.3×/5.5× there — SCALING.md r13); carries no
+    oracle claim. Fit and probe must use the SAME kind — the persisted
+    store records it in ``meta/`` so they can never mismatch."""
+    if hash_kind == "md5":
+        h = F.md5(F.concat_ws("|", F.lit(salt), col))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+        )
+    if hash_kind == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(salt), col), F.lit(n_buckets))
+    raise ValueError(f"unknown hash_kind: {hash_kind!r}")
 
 
 def hashed_ngram_buckets(
@@ -66,6 +85,7 @@ def hashed_ngram_buckets(
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
     salt: str = "dsir-v1",
+    hash_kind: str = "md5",
 ) -> DataFrame:
     """(id, bucket) — one row per gram OCCURRENCE: the document's
     unigrams plus adjacent bigrams, hashed into ``n_buckets``.
@@ -87,7 +107,8 @@ def hashed_ngram_buckets(
     return docs.select(
         F.col(id_col), F.explode(F.concat(t, bigrams)).alias("_g")
     ).select(
-        id_col, _bucket(F.col("_g"), salt, n_buckets).alias("bucket")
+        id_col,
+        _bucket(F.col("_g"), salt, n_buckets, hash_kind).alias("bucket"),
     )
 
 
@@ -99,6 +120,7 @@ def dsir_log_weights(
     n_buckets: int = N_BUCKETS,
     smoothing: float = 1.0,
     salt: str = "dsir-v1",
+    hash_kind: str = "md5",
 ) -> DataFrame:
     """(id, log_weight, n_grams) for every raw document.
 
@@ -118,8 +140,12 @@ def dsir_log_weights(
     twice (once for its distribution, once for scoring) — at 100 TB
     cache nothing, scan twice.
     """
-    rf = hashed_ngram_buckets(raw, text_col, id_col, n_buckets, salt)
-    tf = hashed_ngram_buckets(target, text_col, id_col, n_buckets, salt)
+    rf = hashed_ngram_buckets(
+        raw, text_col, id_col, n_buckets, salt, hash_kind
+    )
+    tf = hashed_ngram_buckets(
+        target, text_col, id_col, n_buckets, salt, hash_kind
+    )
     tcnt = tf.groupBy("bucket").agg(F.count("*").alias("_ct"))
     rcnt = rf.groupBy("bucket").agg(F.count("*").alias("_cr"))
     totals = tcnt.agg(F.sum("_ct").alias("_tt")).crossJoin(
@@ -221,6 +247,7 @@ def save_dsir_index(
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
     salt: str = "dsir-v1",
+    hash_kind: str = "md5",
 ) -> None:
     """Fit the DSIR scorer ONCE and persist it: the target and
     raw-reference hashed-ngram bucket counts (sparse — observed buckets
@@ -233,15 +260,26 @@ def save_dsir_index(
 
     ``raw_sample`` estimates the denominator distribution; at 100 TB
     fit it on a hash-sampled slice of the raw corpus (the estimate
-    needs gram coverage, not the full corpus)."""
+    needs gram coverage, not the full corpus).
+
+    ``hash_kind`` (r14, VERDICT r13 directive #6): the gram-bucket
+    hash — ``"md5"`` (default) for cross-engine oracle replay,
+    ``"xxhash64"`` for the hot streaming ingest gate (the
+    ``classifier.save_classifier`` precedent). Recorded in ``meta/``;
+    :func:`dsir_weights_against_index` replays the recorded kind, so
+    fit and probe can never mismatch."""
     _META_CACHE.pop(path, None)
     from sensor_data_pipeline___spark.operators import _probe_cache
     from sensor_data_pipeline___spark.operators._local import local_df
 
     _probe_cache.invalidate(path)  # counts are rewritten under this root
 
-    tf = hashed_ngram_buckets(target, text_col, id_col, n_buckets, salt)
-    rf = hashed_ngram_buckets(raw_sample, text_col, id_col, n_buckets, salt)
+    tf = hashed_ngram_buckets(
+        target, text_col, id_col, n_buckets, salt, hash_kind
+    )
+    rf = hashed_ngram_buckets(
+        raw_sample, text_col, id_col, n_buckets, salt, hash_kind
+    )
     counts = (
         tf.groupBy("bucket")
         .agg(F.count("*").alias("ct"))
@@ -268,8 +306,16 @@ def save_dsir_index(
     )
     meta = local_df(
         target.sparkSession,
-        [(n_buckets, salt, int(totals["tt"]), int(totals["tr"]))],
-        "n_buckets int, salt string, tt long, tr long",
+        [
+            (
+                n_buckets,
+                salt,
+                int(totals["tt"]),
+                int(totals["tr"]),
+                str(hash_kind),
+            )
+        ],
+        "n_buckets int, salt string, tt long, tr long, hash_kind string",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
@@ -277,8 +323,14 @@ def save_dsir_index(
 def _load_dsir_meta(spark, path: str) -> tuple:
     if path not in _META_CACHE:
         r = spark.read.parquet(path + "/meta").first()
+        d = r.asDict()
         _META_CACHE[path] = (
-            int(r["n_buckets"]), str(r["salt"]), int(r["tt"]), int(r["tr"])
+            int(r["n_buckets"]),
+            str(r["salt"]),
+            int(r["tt"]),
+            int(r["tr"]),
+            # absent in pre-r14 stores, which are all md5
+            str(d.get("hash_kind") or "md5"),
         )
     return _META_CACHE[path]
 
@@ -307,10 +359,12 @@ def dsir_weights_against_index(
     never refits."""
     from sensor_data_pipeline___spark.operators import _probe_cache
 
-    n_buckets, salt, tt, tr = _load_dsir_meta(spark, path)
+    n_buckets, salt, tt, tr, hash_kind = _load_dsir_meta(spark, path)
     sb = smoothing * n_buckets
     const = float(math.log((tr + sb) / (tt + sb)))
-    feats = hashed_ngram_buckets(docs, text_col, id_col, n_buckets, salt)
+    feats = hashed_ngram_buckets(
+        docs, text_col, id_col, n_buckets, salt, hash_kind
+    )
     counts = _probe_cache.immutable_read(
         spark, path, "counts", "bucket bigint, ct bigint, cr bigint"
     )

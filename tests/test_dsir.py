@@ -233,3 +233,52 @@ def test_streaming_dsir_gate_filters_offtarget_docs(spark, tmp_path):
     snap = sorted(map(tuple, spark.read.parquet(out).collect()))
     fn(batch, 0)
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == snap
+
+
+def test_persisted_index_xxhash64_kind_recorded_and_replayed(
+    spark, tmp_path
+):
+    """The r14 hash_kind knob (classifier precedent): a store saved
+    with hash_kind='xxhash64' records the kind in meta, the probe
+    replays it (weights equal the in-memory twin featurized with the
+    same kind — fit/probe can never mismatch), and the bucket space
+    genuinely differs from md5's (the knob does something). md5-kind
+    stores keep carrying the oracle; pre-r14 meta without the column
+    resolves to md5."""
+    docs = readers.table(spark, "documents", SF)
+    target = docs.filter(F.col("lang") == "en")
+    path = str(tmp_path / "dsir_xx")
+    dsir.save_dsir_index(target, docs, path, hash_kind="xxhash64")
+    assert dsir._load_dsir_meta(spark, path)[4] == "xxhash64"
+
+    got = {
+        r.doc_id: (r.log_weight, r.n_grams)
+        for r in dsir.dsir_weights_against_index(
+            spark, path, docs
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.log_weight, r.n_grams)
+        for r in dsir.dsir_log_weights(
+            docs, target, hash_kind="xxhash64"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][1] == want[did][1]
+        assert abs(got[did][0] - want[did][0]) < 1e-9
+
+    # distinct bucket spaces: same doc, different bucket multisets
+    sample = docs.limit(5)
+    b_md5 = sorted(
+        (r.doc_id, r.bucket)
+        for r in dsir.hashed_ngram_buckets(sample).collect()
+    )
+    b_xx = sorted(
+        (r.doc_id, r.bucket)
+        for r in dsir.hashed_ngram_buckets(
+            sample, hash_kind="xxhash64"
+        ).collect()
+    )
+    assert len(b_md5) == len(b_xx)  # same gram count either way
+    assert b_md5 != b_xx
