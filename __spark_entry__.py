@@ -33,36 +33,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, so ordering is part of the contract. Rows-only (no-oracle)
 # entries ride the local replica harness
 # (tests/test_queries_oracle.py) instead of spending gate slots.
-# Round-13 rotation (standing policy from VERDICT r6 directive #1;
-# this round's prescription per VERDICT r12 directives #1–#3): the
-# window keeps the 11-entry veteran spine (reference-parity core that
-# never rotates, the TPC-H flagship, the corpus composite,
-# dedup_exact, the session_window_batch watch item), adds the EIGHT
-# entries whose oracle surface is new this round
-# (split_leakage_stats, cluster_aware_split,
-# temperature_mixture_tokens, cluster_split_leakage,
-# stratified_sample_counts upgraded rows-only → oracle-backed, the
-# corpus_pipeline_tokens composite, the minhash_accuracy_contract
-# boolean-pinned LSH precision/recall floors, and the
-# connected_components_incremental_fuzzy maintenance twin —
-# registering into the
-# CURRENT window so the ledger's never-gated list stays empty after
-# this round's gate), then the r13 staleness-queue head (the 8
-# entries last gated r7: semi_join_active_customers,
-# string_functions_parts, text_quality, token_counts,
-# user_event_sequences, window_running_total, winnowing_fingerprint,
-# zorder_curve_stats), and fills the remaining 23 slots with the
-# first 23 (by name) of the 39 entries last gated r8
-# (asof_last_purchase … next_event_training_pairs; the remaining 16
-# — q19_discounted_revenue … unigram_lm_scores — slide to the front
-# of the r14 queue; q3_top_revenue_orders stays benched at sf0.1
-# every round regardless). Recomputed from the
-# CORRECTNESS_r*.json union this round. The r12 window's non-spine entries rotate out (all green in
-# r12). The ledger invariant ("every oracle-backed entry gated at
-# least once") is auditable in GATE_LEDGER.md, regenerated per round
-# by scripts/gen_gate_ledger.py. Displaced veterans stay covered by
-# the local replica harness and scripts/verify_driver.py's
-# full-surface sf0.01 sweep.
+# Round-14 rotation (standing policy from VERDICT r6 directive #1;
+# this round per VERDICT r13 directive #2): the window keeps the
+# 11-entry veteran spine (reference-parity core that never rotates,
+# the TPC-H flagship, the corpus composite, dedup_exact, the
+# session_window_batch watch item), adds the EIGHT entries whose
+# oracle surface is new or changed this round —
+# cc_labels_maintained_fuzzy (the persisted maintained-labeling
+# lifecycle, new), dedup_pipeline_stats + cluster_stats_exact
+# (rows-only → oracle-backed via the exact-Jaccard pair source,
+# VERDICT r13 #7), minhash_accuracy_contract (oracle shingle space
+# realigned to \s+ per advisor r13), split_leakage_stats +
+# cluster_split_leakage (left-join 'unknown' audit semantics per
+# advisor r13), release_audit + release_audit_summary (Spark side
+# reworked to exact-dup representatives, VERDICT r13 #3 — unchanged
+# output, re-gated on principle) — then the r14 staleness-queue head
+# (the 16 entries last gated r8: q19_discounted_revenue …
+# unigram_lm_scores), and fills the remaining 15 slots with the
+# first 15 (by name) of the 39 entries last gated r10
+# (approx_distinct_accuracy … pit_join_click_version; the rest slide
+# to the front of the r15 queue). Recomputed from the
+# CORRECTNESS_r*.json union this round; the r13 window's non-spine
+# entries rotate out (all green in r13). The ledger invariant
+# ("every oracle-backed entry gated at least once") is auditable in
+# GATE_LEDGER.md, regenerated per round by
+# scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
+# local replica harness and scripts/verify_driver.py's full-surface
+# sf0.01 sweep.
 _PRIORITY = (
     # reference parity core (SURVEY.md §2) — never rotates out
     "silver_parse",
@@ -77,56 +74,50 @@ _PRIORITY = (
     "corpus_pipeline_stats",
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
-    # --- r13-registered (gate in the round they land: VERDICT r12
-    # directives #2 and #3, plus this round's additional surfaces) ---
-    "split_leakage_stats",
-    "cluster_aware_split",
-    "temperature_mixture_tokens",
-    "cluster_split_leakage",
-    # rows-only → oracle-backed this round (accuracy-contract
-    # booleans); gates with the other r13 registrations
-    "stratified_sample_counts",
-    # the r13 end-to-end composition (cluster-aware split +
-    # token-budgeted mixture in the corpus_pipeline_stats posture)
-    "corpus_pipeline_tokens",
-    # the seeded-LSH accuracy contract (precision/recall floors vs the
-    # exact shingle-Jaccard ground truth, boolean-pinned)
+    # --- r14 new/changed oracle surface (gate in the round they
+    # land/change) ---
+    "cc_labels_maintained_fuzzy",
+    "dedup_pipeline_stats",
+    "cluster_stats_exact",
     "minhash_accuracy_contract",
-    # incremental CC maintenance vs the full-closure oracle
-    "connected_components_incremental_fuzzy",
-    # --- staleness queue head: last gated r7 ---
-    "semi_join_active_customers",
-    "string_functions_parts",
-    "text_quality",
-    "token_counts",
-    "user_event_sequences",
-    "window_running_total",
-    "winnowing_fingerprint",
-    "zorder_curve_stats",
-    # --- stalest refresh: last gated r8 (first 23 by name) ---
-    "asof_last_purchase",
-    "asof_next_click",
-    "bloom_semi_join_lineitem",
-    "bpe_merge_candidates",
-    "cohort_retention",
-    "connected_components_fuzzy",
-    "decontam_probe_index",
-    "deterministic_stratified_sample",
-    "dsir_log_weights",
-    "dsir_probe_index",
-    "dsir_resample_top100",
-    "duplicate_ngram_coverage",
-    "equi_depth_histogram",
-    "ewma_daily_value",
-    "fuzzy_name_pairs",
-    "gapfill_forward_fill",
-    "gopher_filter_counts",
-    "hard_negative_mining_indexed_exact",
-    "lsh_bucket_invariants",
-    "minhash_band_invariants",
-    "nation_trade_pagerank",
-    "near_dup_probe_exact",
-    "next_event_training_pairs",
+    "split_leakage_stats",
+    "cluster_split_leakage",
+    "release_audit",
+    "release_audit_summary",
+    # --- staleness queue head: last gated r8 (the 16 the r13 window
+    # couldn't fit) ---
+    "q19_discounted_revenue",
+    "q21_sole_supplier_failed_orders",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q6_revenue_change",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_profit",
+    "segment_dedup_text",
+    "semantic_dedup_exact",
+    "set_except_all_customers",
+    "set_intersect_all_customers",
+    "trigram_repetition",
+    "trim_duplicate_ngrams_text",
+    "unigram_lm_scores",
+    # --- next-stalest refresh: last gated r10 (first 15 by name) ---
+    "approx_distinct_accuracy",
+    "approx_percentile_accuracy",
+    "band_stratified_admission",
+    "bpe_merges_k5",
+    "char_entropy_quality",
+    "chunk_documents_stats",
+    "cms_heavy_hitters",
+    "contamination_attribution",
+    "gapfill_linear_interp",
+    "hll_distinct_rollup",
+    "m4_downsample",
+    "mad_outliers",
+    "multimodal_binary_meta",
+    "pack_sequences",
+    "pit_join_click_version",
 )
 
 

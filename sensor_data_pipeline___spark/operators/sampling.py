@@ -81,23 +81,33 @@ def split_leakage_stats(
     least/greatest so (train, test) and (test, train) count as one
     cross-boundary cell; ``is_leak`` flags off-diagonal cells.
 
+    Endpoints MISSING from ``splits`` surface as an ``'unknown'``
+    split cell (advisor r13): an inner join would silently drop such
+    pairs, and a leakage AUDIT that under-reports (can claim zero
+    leaks) on an incomplete split table is worse than useless —
+    incomplete coverage now fails loudly as visible 'unknown' rows
+    (flagged ``is_leak`` against every real split: unassigned
+    near-dup mass is unaccounted risk, the conservative read).
+
     Shape at 100 TB: two equi-joins of the pair list against a narrow
     (id, split) projection — both shuffle on the id — then a groupBy
-    over a ≤ |splits|² key space (single-digit rows). The pair list is
-    the already-blocked near-dup output, never all-pairs."""
+    over a ≤ (|splits|+1)² key space (single-digit rows). The pair
+    list is the already-blocked near-dup output, never all-pairs."""
     sa = splits.select(
         F.col(id_col).alias(a_col), F.col(split_col).alias("_sa")
     )
     sb = splits.select(
         F.col(id_col).alias(b_col), F.col(split_col).alias("_sb")
     )
+    la = F.coalesce(F.col("_sa"), F.lit("unknown"))
+    lb = F.coalesce(F.col("_sb"), F.lit("unknown"))
     return (
         pairs.select(a_col, b_col)
-        .join(sa, a_col)
-        .join(sb, b_col)
+        .join(sa, a_col, "left")
+        .join(sb, b_col, "left")
         .select(
-            F.least("_sa", "_sb").alias("split_a"),
-            F.greatest("_sa", "_sb").alias("split_b"),
+            F.least(la, lb).alias("split_a"),
+            F.greatest(la, lb).alias("split_b"),
         )
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("n_pairs"))

@@ -82,6 +82,34 @@ def _run_scoped_store_path(spark: SparkSession, name: str, sf_dir: str) -> str:
     )
 
 
+# Shared oracle CTEs (defined early — f-string oracles evaluate at
+# registration time, and the first consumer now sits mid-module):
+# the deterministic exact-Jaccard (t=0.9) edge set over single-space
+# distinct tokens (the set_similarity_join convention) and the
+# hash_split md5 bucket assignment.
+_SIM_EDGES_CTE = """sim_t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ), sim_e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sim_t a JOIN sim_t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+            (len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks))) >= 0.9
+    )"""
+
+_SPLIT_CTE = """spl AS (
+      SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
+                          WHEN b < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5('split-v1' || '|' ||
+                                            CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000 AS b
+            FROM documents)
+    )"""
+
+
 def _epoch(col) -> "F.Column":
     """Fractional-seconds epoch that is legal on BOTH timestamp flavors.
 
@@ -1626,23 +1654,54 @@ def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dedup_pipeline_stats", None)
+@_register(
+    "dedup_pipeline_stats",
+    # End-to-end corpus-cleaning summary, upgraded rows-only →
+    # oracle-backed (r14, VERDICT r13 directive #7): exact dedup →
+    # near-dup pairs over the surviving representatives (the pipeline
+    # order documented in operators/dedup.py — exact first keeps the
+    # pair stage's buckets meaningful). The gated configuration runs
+    # the EXACT-Jaccard verification pair source (set_similarity_join,
+    # t=0.9 — deterministic, ANSI-replayable) so all three stage
+    # counts hash-verify; the LSH-estimate configuration
+    # (minhash_near_dup, the dedup_pipeline default) carries the same
+    # composition with seeded signatures and is covered by
+    # minhash_accuracy_contract + the corpus_neardup bench track.
+    """
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ), rt AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM reps
+    ), re AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM rt a JOIN rt b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+            (len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks))) >= 0.9
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM reps)
+             AS n_representatives,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents)
+             - (SELECT CAST(count(*) AS BIGINT) FROM reps)
+             AS n_exact_dup_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM re) AS n_near_dup_pairs
+    """,
+)
 def q_dedup_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # End-to-end corpus-cleaning summary: exact dedup → MinHash near-dup
-    # over representatives (the pipeline order documented in
-    # operators/dedup.py — exact first keeps LSH buckets meaningful).
-    # Engine-seeded hashing → rows-only; the exact half is hash-checked
-    # separately by dedup_exact_stats.
-    from sensor_data_pipeline___spark.operators.dedup import dedup_pipeline
+    from sensor_data_pipeline___spark.operators.dedup import (
+        exact_dedup,
+        set_similarity_join,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    reps, groups, pairs = dedup_pipeline(docs)
+    groups = exact_dedup(docs)
+    reps = docs.join(groups.select("doc_id"), "doc_id", "left_semi")
+    pairs = set_similarity_join(reps, threshold=0.9)
     return (
-        reps.agg(F.count("*").alias("n_representatives"))
-        .crossJoin(
-            groups.agg(
-                F.sum(F.col("n_copies") - 1).alias("n_exact_dup_rows"),
-            )
+        groups.agg(
+            F.count("*").alias("n_representatives"),
+            F.sum(F.col("n_copies") - 1).alias("n_exact_dup_rows"),
         )
         .crossJoin(pairs.agg(F.count("*").alias("n_near_dup_pairs")))
     )
@@ -3108,22 +3167,48 @@ def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("minhash_cluster_stats")  # rows-only: seeded-hash pair source
-def q_minhash_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → connected components → dedup-group stats: the
-    full clustering path of the dedup pipeline (pairwise LSH output is
-    not directly actionable; groups are). Rows-only because the edge set
-    derives from seeded minhash signatures (no cross-engine SQL twin);
-    component correctness is pinned against a union-find reference in
-    tests/test_properties.py."""
+@_register(
+    "cluster_stats_exact",
+    # Near-dup pairs → connected components → dedup-group stats (the
+    # full clustering path of the dedup pipeline: pairwise output is
+    # not directly actionable, groups are), upgraded to oracle-backed
+    # over the EXACT-Jaccard pair source (r14, VERDICT r13 directive
+    # #7 — replaces the rows-only minhash_cluster_stats, whose seeded
+    # edge set had no SQL twin): components from the star-CC
+    # alternation over set_similarity_join (t=0.9) edges, oracle = the
+    # recursive-CTE transitive closure (the cluster_aware_split
+    # pattern), cluster-size stats over the labels. Minhash-sourced
+    # clustering stays covered by minhash_accuracy_contract (pair
+    # quality) + connected_components_fuzzy (CC machinery).
+    f"""
+    WITH RECURSIVE {_SIM_EDGES_CTE},
+    edges AS (
+      SELECT u, v FROM sim_e UNION SELECT v, u FROM sim_e
+    ), reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ), comp AS (
+      SELECT u AS node, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    ), sizes AS (
+      SELECT component, count(*) AS n_docs FROM comp GROUP BY component
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_docs) AS BIGINT) AS docs_clustered,
+           CAST(max(n_docs) AS BIGINT) AS max_cluster
+    FROM sizes
+    """,
+)
+def q_cluster_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators.dedup import (
-        connected_components,
-        minhash_near_dup,
+        connected_components_star,
+        set_similarity_join,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup(docs)
-    comp = connected_components(pairs)
+    pairs = set_similarity_join(docs, threshold=0.9)
+    comp = connected_components_star(pairs)
     sizes = comp.groupBy("component").agg(F.count("*").alias("n_docs"))
     return sizes.agg(
         F.count("*").alias("n_clusters"),
@@ -7855,29 +7940,6 @@ def q_quality_classifier_bigram_eval(
     )
 
 
-_SIM_EDGES_CTE = """sim_t AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-      FROM documents
-    ), sim_e AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM sim_t a JOIN sim_t b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
-            (len(a.toks) + len(b.toks)
-             - len(list_intersect(a.toks, b.toks))) >= 0.9
-    )"""
-
-_SPLIT_CTE = """spl AS (
-      SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
-                          WHEN b < 9000 THEN 'val'
-                          ELSE 'test' END AS split
-      FROM (SELECT doc_id,
-                   CAST(('0x' || substr(md5('split-v1' || '|' ||
-                                            CAST(doc_id AS VARCHAR)),
-                                        1, 8)) AS BIGINT) % 10000 AS b
-            FROM documents)
-    )"""
-
-
 @_register(
     "split_leakage_stats",
     # Near-dup pairs straddling split boundaries (VERDICT r12
@@ -7889,18 +7951,25 @@ _SPLIT_CTE = """spl AS (
     # unlike seeded minhash edges); splits = the hash_split md5
     # buckets (the hash_split_sizes twin). least/greatest normalizes
     # (train,test)/(test,train) into one cell; is_leak flags
-    # off-diagonal cells.
+    # off-diagonal cells. LEFT joins + coalesce('unknown') mirror the
+    # operator's loud-failure contract for endpoints missing from the
+    # split table (advisor r13) — full coverage here, so no 'unknown'
+    # row at this SF, but the semantics are pinned either way.
     f"""
     WITH {_SIM_EDGES_CTE},
     {_SPLIT_CTE}
-    SELECT least(sa.split, sb.split) AS split_a,
-           greatest(sa.split, sb.split) AS split_b,
+    SELECT least(coalesce(sa.split, 'unknown'),
+                 coalesce(sb.split, 'unknown')) AS split_a,
+           greatest(coalesce(sa.split, 'unknown'),
+                    coalesce(sb.split, 'unknown')) AS split_b,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           (least(sa.split, sb.split) != greatest(sa.split, sb.split))
-             AS is_leak
+           (least(coalesce(sa.split, 'unknown'),
+                  coalesce(sb.split, 'unknown'))
+            != greatest(coalesce(sa.split, 'unknown'),
+                        coalesce(sb.split, 'unknown'))) AS is_leak
     FROM sim_e e
-    JOIN spl sa ON e.u = sa.doc_id
-    JOIN spl sb ON e.v = sb.doc_id
+    LEFT JOIN spl sa ON e.u = sa.doc_id
+    LEFT JOIN spl sb ON e.v = sb.doc_id
     GROUP BY 1, 2
     """,
 )
@@ -8379,11 +8448,18 @@ def q_corpus_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # detection probability at J = 0.95 is ≈ 0.9998). Floors are
     # deliberately loose: they flip on a broken implementation, not on
     # a testdata regeneration or a hash-seed change.
+    # NOTE the tokenizer is regexp '\\s+', NOT string_split(text, ' '):
+    # the operator's shingle space (dedup._shingles) splits on
+    # whitespace RUNS, and the Spark-side ground truth below matches
+    # it — a single-space oracle split would diverge (and break the
+    # gate hash) on any text with consecutive whitespace/tabs/newlines
+    # after a testdata regeneration (advisor r13).
     """
     WITH sh AS (
       SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
                for i in generate_series(1, len(w)-2)]) AS s
-      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+            FROM documents)
       WHERE len(w) >= 3
     ), ex AS (
       SELECT len(list_intersect(a.s, b.s)) * 1.0 /

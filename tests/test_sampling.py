@@ -218,6 +218,28 @@ def test_split_leakage_stats_cells(spark):
     }
 
 
+def test_split_leakage_stats_surfaces_uncovered_endpoints(spark):
+    """Advisor r13: pairs whose endpoints are missing from the split
+    table must NOT vanish from the audit — they surface as an
+    'unknown' split cell (flagged is_leak against real splits), so an
+    incomplete split table fails loudly instead of shrinking the
+    leak count to zero."""
+    splits = spark.createDataFrame(
+        [(1, "train")], "doc_id long, split string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.is_leak)
+        for r in sampling.split_leakage_stats(pairs, splits).collect()
+    }
+    assert got == {
+        ("train", "unknown"): (1, True),
+        ("unknown", "unknown"): (1, False),
+    }
+
+
 def test_cluster_hash_split_whole_clusters(spark):
     """Every member of a connected component gets the component
     min-id as split_key (so clusters land whole); pair-free docs key
