@@ -80,6 +80,15 @@ def main() -> None:
         "(compact_after_keys=N, so roughly every tick compacts) — the "
         "in-loop index-maintenance soak",
     )
+    ap.add_argument(
+        "--cc-labels",
+        action="store_true",
+        help="neardup/hygiene/full: maintain the persisted (node, "
+        "component) label store from each batch's discovered pairs "
+        "(r14 — prices the per-batch cc_labels_update tick against "
+        "the same soak without it, and asserts the dropped plants "
+        "are co-labeled with their bases)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -346,6 +355,15 @@ def main() -> None:
             idx = os.path.join(td, "mh_index")
             seed = spark.createDataFrame([], "doc_id long, text string")
             dedup.save_minhash_index(seed, idx)  # cold start
+            ccx = None
+            if args.cc_labels:
+                ccx = os.path.join(td, "cc_labels")
+                dedup.save_cc_labels(
+                    spark, ccx,
+                    spark.createDataFrame(
+                        [], "node long, component long"
+                    ),
+                )
             dix = None
             if args.mode in ("hygiene", "full"):
                 dix = os.path.join(td, "decontam_index")
@@ -454,6 +472,7 @@ def main() -> None:
                     if lmx is not None
                     else None
                 ),
+                cc_labels_path=ccx,
             )
         else:
             q = sp.corpus_ingest_stream(
@@ -591,6 +610,57 @@ def main() -> None:
                 extra["n_planted_band_violations"] = n_band
                 extra["band_violations_in_store"] = 0
                 extra["store_band_counts"] = band_counts
+            if args.cc_labels:
+                # the maintained labeling's soak invariants (the exact
+                # == full-recompute claim is unit-tested and gate-
+                # checked; here we assert consistency at volume):
+                # (1) resolution is unique per node; (2) the labeling
+                # is a valid star forest (every component id labels
+                # itself); (3) every DROPPED plant is co-labeled with
+                # its base — the pair that killed it is in the store
+                lab = dedup.read_cc_labels(spark, ccx).localCheckpoint(
+                    eager=True
+                )
+                n_nodes = lab.count()
+                assert lab.select("node").distinct().count() == n_nodes
+                roots = lab.select(
+                    F.col("component").alias("node")
+                ).distinct()
+                bad_roots = roots.join(
+                    lab.filter(F.col("node") == F.col("component")),
+                    "node",
+                    "left_anti",
+                ).count()
+                assert bad_roots == 0, bad_roots
+                dropped = (
+                    gen.filter("planted")
+                    .select("doc_id")
+                    .join(store.select("doc_id"), "doc_id", "left_anti")
+                )
+                pl = lab.select(
+                    F.col("node").alias("doc_id"),
+                    F.col("component").alias("_cp"),
+                )
+                bl = lab.select(
+                    (F.col("node") + dpf).alias("doc_id"),
+                    F.col("component").alias("_cb"),
+                )
+                mis = (
+                    dropped.join(pl, "doc_id", "left")
+                    .join(bl, "doc_id", "left")
+                    .filter(
+                        F.col("_cp").isNull()
+                        | F.col("_cb").isNull()
+                        | (F.col("_cp") != F.col("_cb"))
+                    )
+                    .count()
+                )
+                assert mis == 0, f"{mis} dropped plants not co-labeled"
+                extra["cc_labels_nodes"] = n_nodes
+                extra["cc_labels_components"] = lab.select(
+                    "component"
+                ).distinct().count()
+                extra["cc_labels_dropped_plants_colabeled"] = True
             if args.maintenance_every:
                 import glob as _glob
 

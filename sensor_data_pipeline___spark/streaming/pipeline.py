@@ -779,7 +779,7 @@ def corpus_ingest_stream(
     ``classifier_path`` (optional) composes a persisted learned
     quality classifier (``operators/classifier.py:save_classifier``)
     in as an admission gate ahead of the dedup state — docs are
-    stamped with ``quality_score`` (a stateless map-literal
+    stamped with ``quality_score`` (a stateless array-literal
     projection, :func:`classifier_score_expr`) and dropped under
     ``min_quality_score`` (see
     :func:`_gated_deduped_corpus_stream`).
@@ -1026,8 +1026,9 @@ def corpus_neardup_batch_fn(
     input pairs are replay-deterministic (self-key-excluded probe),
     so the maintained labels equal a full recompute over all
     discovered pairs — pinned by the ``cc_labels_maintained_fuzzy``
-    gate query and the streaming soak test. Bootstrap alongside the
-    index: ``save_cc_labels`` on an empty frame.
+    gate query and
+    ``test_corpus_neardup_stream_maintains_cc_labels``. Bootstrap
+    alongside the index: ``save_cc_labels`` on an empty frame.
     """
     from sensor_data_pipeline___spark.operators import decontam, dedup
 
@@ -1166,6 +1167,16 @@ def corpus_neardup_batch_fn(
             dedup.minhash_maintenance(
                 spark, index_path, **(maintenance_kwargs or {})
             )
+            if cc_labels_path is not None:
+                # fold the label store's accumulated per-batch deltas
+                # (the update's store scan grows with delta-partition
+                # COUNT via file-open overhead, the same small-files
+                # term the band store pays — measured in SCALING.md
+                # r14). Replay-safe across the swap: a replayed
+                # update re-writes identical (node, component) rows
+                # under its key in the new generation, and
+                # min-resolution is unaffected by duplicates.
+                dedup.cc_labels_compact(spark, cc_labels_path)
 
     return process_batch
 
@@ -1218,10 +1229,12 @@ def corpus_ingest_stream_neardup(
     store is immutable for the stream's lifetime).
     ``classifier_path`` + ``min_quality_score`` add the learned
     quality-classifier gate ahead of the dedup state (stateless
-    map-literal projection — see :func:`corpus_ingest_stream`),
+    array-literal projection — see :func:`corpus_ingest_stream`),
     making the full stack: heuristic gate → learned gate → exact
     dedup (state) → decontamination → DSIR → LM bands → near-dup →
-    clean store.
+    clean store. ``cc_labels_path`` additionally maintains the
+    persisted (node, component) labeling from each batch's discovered
+    near-dup pairs (see :func:`corpus_neardup_batch_fn`).
 
     Bootstrap: build the index first (``save_minhash_index`` on the
     seed corpus, or on an EMPTY frame of the right schema for a cold

@@ -397,3 +397,35 @@ def test_round13_additions_plan_shapes(spark):
         df = QUERIES[name](spark, SF)
         plan = explain.formatted_plan(df)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_round14_additions_plan_shapes(spark):
+    """r14 operators keep the shapes their docstrings claim: the
+    rep-level release_audit plans no cartesian product (every stitch
+    is a hash-keyed equi/left join; the simhash pair join is
+    segment-blocked), and the maintained-labels split variant is one
+    id-keyed left join plus the md5 projection — no CC rounds, no
+    cartesian."""
+    df = QUERIES["release_audit"](spark, SF)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+    from sensor_data_pipeline___spark.operators.sampling import (
+        cluster_hash_split_from_labels,
+    )
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    labels = spark.createDataFrame(
+        [(5, 1), (6, 1)], "node long, component long"
+    )
+    out = cluster_hash_split_from_labels(docs, labels)
+    plan = explain.formatted_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    # exactly ONE join node in the whole plan — the id-keyed left join
+    # of corpus against labels (equi: SMJ at corpus scale / broadcast
+    # under AQE when the label table is small); crucially NO iterative
+    # CC rounds — that work was paid at maintenance time
+    import re as _re
+
+    join_nodes = _re.findall(r"^\(\d+\) \w*Join\w*", plan, _re.M)
+    assert len(join_nodes) == 1, (join_nodes, plan)
