@@ -421,7 +421,7 @@ def bench_classifier_score_warm(spark, sf_dir: str) -> dict[str, float]:
     carries the 8-iteration GD fit lifecycle every call; THIS is the
     number that predicts the streaming ingest-gate cost — store
     pre-built via ``save_classifier`` outside the window, measure the
-    zero-exchange map-literal scoring expression
+    zero-exchange array-literal scoring expression
     (``classifier_score_expr``) over the sf documents (3 reps, min —
     the ``bpe_encode_warm`` precedent). The aggregate sink forces
     per-row evaluation without billing row transfer."""

@@ -225,7 +225,7 @@ def test_store_probe_matches_in_memory_fit(spark, tmp_path):
 
 
 def test_score_expr_matches_batch_path(spark, tmp_path):
-    """The row-local map-literal scoring expression (the streaming /
+    """The row-local array-literal scoring expression (the streaming /
     serving variant) agrees with the batch broadcast-join path to
     float-order tolerance, scores every row including zero-token
     docs, and plans as a pure projection — zero exchanges."""
