@@ -37,10 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round per VERDICT r13 directive #2): the window keeps the
 # 11-entry veteran spine (reference-parity core that never rotates,
 # the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the EIGHT entries whose
+# session_window_batch watch item), adds the NINE entries whose
 # oracle surface is new or changed this round —
 # cc_labels_maintained_fuzzy (the persisted maintained-labeling
-# lifecycle, new), dedup_pipeline_stats + cluster_stats_exact
+# lifecycle, new), cluster_split_from_labels (the maintained-store
+# split consumer, new — same closure oracle as cluster_aware_split),
+# dedup_pipeline_stats + cluster_stats_exact
 # (rows-only → oracle-backed via the exact-Jaccard pair source,
 # VERDICT r13 #7), minhash_accuracy_contract (oracle shingle space
 # realigned to \s+ per advisor r13), split_leakage_stats +
@@ -49,10 +51,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # reworked to exact-dup representatives, VERDICT r13 #3 — unchanged
 # output, re-gated on principle) — then the r14 staleness-queue head
 # (the 16 entries last gated r8: q19_discounted_revenue …
-# unigram_lm_scores), and fills the remaining 15 slots with the
-# first 15 (by name) of the 39 entries last gated r10
-# (approx_distinct_accuracy … pit_join_click_version; the rest slide
-# to the front of the r15 queue). Recomputed from the
+# unigram_lm_scores), and fills the remaining 14 slots with the
+# first 14 (by name) of the 39 entries last gated r10
+# (approx_distinct_accuracy … pack_sequences; the rest, from
+# pit_join_click_version on, slide to the front of the r15 queue). Recomputed from the
 # CORRECTNESS_r*.json union this round; the r13 window's non-spine
 # entries rotate out (all green in r13). The ledger invariant
 # ("every oracle-backed entry gated at least once") is auditable in
@@ -77,6 +79,7 @@ _PRIORITY = (
     # --- r14 new/changed oracle surface (gate in the round they
     # land/change) ---
     "cc_labels_maintained_fuzzy",
+    "cluster_split_from_labels",
     "dedup_pipeline_stats",
     "cluster_stats_exact",
     "minhash_accuracy_contract",
@@ -117,7 +120,6 @@ _PRIORITY = (
     "mad_outliers",
     "multimodal_binary_meta",
     "pack_sequences",
-    "pit_join_click_version",
 )
 
 

@@ -7988,20 +7988,13 @@ def q_split_leakage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_stats(pairs, splits)
 
 
-@_register(
-    "cluster_aware_split",
-    # Cluster-keyed train/val/test assignment (VERDICT r12 directive
-    # #2, operators/sampling.py:cluster_hash_split): the md5 split is
-    # keyed on the near-dup CLUSTER representative (large-star/
-    # small-star CC min-id over the exact-Jaccard edge set) so whole
-    # clusters land in one split — the structural fix for the
-    # leakage split_leakage_stats measures. Docs in no pair key on
-    # their own id (hash_split-identical). Oracle: recursive-CTE
-    # transitive closure + least(self, min(reach)) — the star
-    # fixpoint's exact twin (connected_components_star_fuzzy
-    # precedent) — then the hash_split_sizes md5 bucket on the
-    # component key. WHOLE ASSIGNMENT hash-verified, not just sizes.
-    f"""
+# The cluster-keyed split assignment's full oracle: recursive-CTE
+# transitive closure over the exact-Jaccard edges + least(self,
+# min(reach)) component ids — the star fixpoint's exact twin — then
+# the hash_split md5 bucket on the component key. Shared by BOTH
+# split producers (recompute-per-call and maintained-store): they
+# must produce the identical whole assignment.
+_CLUSTER_SPLIT_ORACLE = f"""
     WITH RECURSIVE {_SIM_EDGES_CTE},
     edges AS (
       SELECT u, v FROM sim_e UNION SELECT v, u FROM sim_e
@@ -8027,7 +8020,20 @@ def q_split_leakage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN b < 9000 THEN 'val'
                 ELSE 'test' END AS split
     FROM kb
-    """,
+    """
+
+
+@_register(
+    "cluster_aware_split",
+    # Cluster-keyed train/val/test assignment (VERDICT r12 directive
+    # #2, operators/sampling.py:cluster_hash_split): the md5 split is
+    # keyed on the near-dup CLUSTER representative (large-star/
+    # small-star CC min-id over the exact-Jaccard edge set) so whole
+    # clusters land in one split — the structural fix for the
+    # leakage split_leakage_stats measures. Docs in no pair key on
+    # their own id (hash_split-identical). WHOLE ASSIGNMENT
+    # hash-verified (oracle above), not just sizes.
+    _CLUSTER_SPLIT_ORACLE,
 )
 def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators.dedup import (
@@ -8042,6 +8048,59 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_hash_split(docs.select("doc_id"), pairs).select(
         "doc_id", "split_key", "split"
     )
+
+
+@_register(
+    "cluster_split_from_labels",
+    # The MAINTAINED-STORE split consumer, hash-verified end-to-end
+    # (r14, the close of VERDICT r13 directive #4's loop): the exact
+    # pair set is folded into a cold-start persisted CC label store in
+    # two deterministic batches (md5 parity of doc_a — the streaming
+    # loop's per-batch cc_labels_update shape), then the WHOLE split
+    # assignment is produced by cluster_hash_split_from_labels off
+    # read_cc_labels — ONE id-keyed join at split time, zero CC
+    # rounds. The oracle is the SAME closure + md5 bucket as
+    # cluster_aware_split: the maintained store must yield the
+    # byte-identical assignment the per-call recompute yields, or the
+    # hash breaks.
+    _CLUSTER_SPLIT_ORACLE,
+)
+def q_cluster_split_from_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sensor_data_pipeline___spark.operators.dedup import (
+        cc_labels_update,
+        read_cc_labels,
+        save_cc_labels,
+        set_similarity_join,
+    )
+    from sensor_data_pipeline___spark.operators.sampling import (
+        cluster_hash_split_from_labels,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = set_similarity_join(docs, threshold=0.9).select(
+        "doc_a", "doc_b"
+    )
+    parity = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_a").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    path = _run_scoped_store_path(spark, "cc_split_labels", sf_dir)
+    save_cc_labels(
+        spark,
+        path,
+        spark.createDataFrame([], "node long, component long"),
+    )
+    for i in range(2):
+        cc_labels_update(
+            spark, path, pairs.filter(parity == i), ingest_key=f"b{i}"
+        )
+    return cluster_hash_split_from_labels(
+        docs.select("doc_id"), read_cc_labels(spark, path)
+    ).select("doc_id", "split_key", "split")
 
 
 def _temperature_mixture_tokens_oracle(budget: int = 20000) -> str:
