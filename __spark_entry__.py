@@ -45,9 +45,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_pipeline_stats + cluster_stats_exact
 # (rows-only → oracle-backed via the exact-Jaccard pair source,
 # VERDICT r13 #7), minhash_accuracy_contract (oracle shingle space
-# realigned to \s+ per advisor r13), split_leakage_stats +
-# cluster_split_leakage (left-join 'unknown' audit semantics per
-# advisor r13), release_audit + release_audit_summary (Spark side
+# realigned to \s+ per advisor r13), split_leakage_stats (left-join
+# 'unknown' audit semantics per advisor r13) + cluster_split_leakage
+# (re-gated because it runs through the changed shared operator; its
+# own oracle keeps inner joins — the cluster split covers every doc,
+# so no 'unknown' cell can arise there), release_audit +
+# release_audit_summary (Spark side
 # reworked to exact-dup representatives, VERDICT r13 #3 — unchanged
 # output, re-gated on principle) — then the r14 staleness-queue head
 # (the 16 entries last gated r8: q19_discounted_revenue …
@@ -105,7 +108,7 @@ _PRIORITY = (
     "trigram_repetition",
     "trim_duplicate_ngrams_text",
     "unigram_lm_scores",
-    # --- next-stalest refresh: last gated r10 (first 15 by name) ---
+    # --- next-stalest refresh: last gated r10 (first 14 by name) ---
     "approx_distinct_accuracy",
     "approx_percentile_accuracy",
     "band_stratified_admission",

@@ -90,6 +90,11 @@ def main() -> None:
         "are co-labeled with their bases)",
     )
     args = ap.parse_args()
+    if args.cc_labels and args.mode not in ("neardup", "hygiene", "full"):
+        ap.error(
+            f"--cc-labels requires --mode neardup|hygiene|full "
+            f"(got {args.mode!r}); it would be silently ignored"
+        )
 
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F

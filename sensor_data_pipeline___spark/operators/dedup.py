@@ -1738,11 +1738,21 @@ def connected_components_incremental(
 # ---------------------------------------------------------------------------
 
 
+#: path -> node type — version-invariant per save, cached driver-side
+#: like the minhash geometry / DSIR meta caches (the per-micro-batch
+#: update would otherwise pay a meta parquet read + collect per call)
+_CC_META_CACHE: dict = {}
+
+
 def _read_cc_rows(spark, path: str) -> DataFrame:
     """Schema-explicit read of a :func:`save_cc_labels` store's RAW
     delta rows (base + per-batch appends; a node can have several rows
     across generations — resolve with :func:`read_cc_labels`)."""
-    node_t = spark.read.parquet(path + "/meta").first()["node_type"]
+    if path not in _CC_META_CACHE:
+        _CC_META_CACHE[path] = str(
+            spark.read.parquet(path + "/meta").first()["node_type"]
+        )
+    node_t = _CC_META_CACHE[path]
     return spark.read.schema(
         f"node {node_t}, component {node_t}, ingest_key string"
     ).parquet(resolve_current(path) + "/labels")
@@ -1775,6 +1785,7 @@ def save_cc_labels(
     streaming loop's usual bootstrap, as with ``save_minhash_index``).
     """
     retire_current(path)
+    _CC_META_CACHE.pop(path, None)  # a fresh save may change the type
     lab = labels.select(
         F.col(node_col).alias("node"),
         F.col(component_col).alias("component"),
