@@ -33,34 +33,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, so ordering is part of the contract. Rows-only (no-oracle)
 # entries ride the local replica harness
 # (tests/test_queries_oracle.py) instead of spending gate slots.
-# Round-14 rotation (standing policy from VERDICT r6 directive #1;
-# this round per VERDICT r13 directive #2): the window keeps the
+# Round-15 rotation (standing policy from VERDICT r6 directive #1;
+# this round per VERDICT r14 directive #1): the window keeps the
 # 11-entry veteran spine (reference-parity core that never rotates,
 # the TPC-H flagship, the corpus composite, dedup_exact, the
-# session_window_batch watch item), adds the NINE entries whose
-# oracle surface is new or changed this round —
-# cc_labels_maintained_fuzzy (the persisted maintained-labeling
-# lifecycle, new), cluster_split_from_labels (the maintained-store
-# split consumer, new — same closure oracle as cluster_aware_split),
-# dedup_pipeline_stats + cluster_stats_exact
-# (rows-only → oracle-backed via the exact-Jaccard pair source,
-# VERDICT r13 #7), minhash_accuracy_contract (oracle shingle space
-# realigned to \s+ per advisor r13), split_leakage_stats (left-join
-# 'unknown' audit semantics per advisor r13) + cluster_split_leakage
-# (re-gated because it runs through the changed shared operator; its
-# own oracle keeps inner joins — the cluster split covers every doc,
-# so no 'unknown' cell can arise there), release_audit +
-# release_audit_summary (Spark side
-# reworked to exact-dup representatives, VERDICT r13 #3 — unchanged
-# output, re-gated on principle) — then the r14 staleness-queue head
-# (the 16 entries last gated r8: q19_discounted_revenue …
-# unigram_lm_scores), and fills the remaining 14 slots with the
-# first 14 (by name) of the 39 entries last gated r10
-# (approx_distinct_accuracy … pack_sequences; the rest, from
-# pit_join_click_version on, slide to the front of the r15 queue). Recomputed from the
-# CORRECTNESS_r*.json union this round; the r13 window's non-spine
-# entries rotate out (all green in r13). The ledger invariant
-# ("every oracle-backed entry gated at least once") is auditable in
+# session_window_batch watch item), re-gates the TWO entries whose
+# operator surface changes this round — cc_labels_maintained_fuzzy
+# (its lifecycle runs through cc_labels_update, which gains
+# node-pruned store reads per VERDICT r14 directive #3) and
+# split_leakage_stats (gains the 'uncovered' audit flag per advisor
+# r14) — then drains the staleness queue: ALL 25 entries last gated
+# r10 (pit_join_click_version … window_topk_orders, the remainder the
+# r14 window couldn't fit) and the first 12 (by name) of the 38
+# entries last gated r11 (ann_topk_ivf_exact …
+# embedding_quantization_stats; the rest, from
+# full_outer_click_purchase on, head the r16 queue). Recomputed from
+# the CORRECTNESS_r*.json union this round (see the last-gated
+# histogram in GATE_LEDGER.md); the r14 window's non-spine entries
+# rotate out (all green in r14). The ledger invariant ("every
+# oracle-backed entry gated at least once") is auditable in
 # GATE_LEDGER.md, regenerated per round by
 # scripts/gen_gate_ledger.py. Displaced veterans stay covered by the
 # local replica harness and scripts/verify_driver.py's full-surface
@@ -79,50 +70,48 @@ _PRIORITY = (
     "corpus_pipeline_stats",
     "dedup_exact",
     "session_window_batch",  # r5 bench watch item — keep it gated
-    # --- r14 new/changed oracle surface (gate in the round they
-    # land/change) ---
+    # --- r15 changed operator surface (gate in the round it changes)
     "cc_labels_maintained_fuzzy",
-    "cluster_split_from_labels",
-    "dedup_pipeline_stats",
-    "cluster_stats_exact",
-    "minhash_accuracy_contract",
     "split_leakage_stats",
-    "cluster_split_leakage",
-    "release_audit",
-    "release_audit_summary",
-    # --- staleness queue head: last gated r8 (the 16 the r13 window
-    # couldn't fit) ---
-    "q19_discounted_revenue",
-    "q21_sole_supplier_failed_orders",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_order_priority",
-    "q6_revenue_change",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
-    "segment_dedup_text",
-    "semantic_dedup_exact",
-    "set_except_all_customers",
-    "set_intersect_all_customers",
-    "trigram_repetition",
-    "trim_duplicate_ngrams_text",
-    "unigram_lm_scores",
-    # --- next-stalest refresh: last gated r10 (first 14 by name) ---
-    "approx_distinct_accuracy",
-    "approx_percentile_accuracy",
-    "band_stratified_admission",
-    "bpe_merges_k5",
-    "char_entropy_quality",
-    "chunk_documents_stats",
-    "cms_heavy_hitters",
-    "contamination_attribution",
-    "gapfill_linear_interp",
-    "hll_distinct_rollup",
-    "m4_downsample",
-    "mad_outliers",
-    "multimodal_binary_meta",
-    "pack_sequences",
+    # --- staleness queue: last gated r10 (all 25 remaining) ---
+    "pit_join_click_version",
+    "pivot_daily_avg",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q22_idle_rich_customers",
+    "q5_region_revenue",
+    "range_join_purchase_clicks",
+    "redaction_stats",
+    "rolling_median_power",
+    "rollup_lineitem",
+    "scd2_purchase_values",
+    "sessionization",
+    "set_similarity_pairs",
+    "simhash_near_dup_exact",
+    "similarity_topk",
+    "snapshot_diff_orders",
+    "sql_api_nation_revenue",
+    "tfidf_top_terms",
+    "time_weighted_avg",
+    "train_test_contamination",
+    "unigram_lm_band_assign",
+    "unpivot_charges",
+    "variant_props_extract",
+    "weighted_sample_docs",
+    "window_topk_orders",
+    # --- next-stalest refresh: last gated r11 (first 12 by name) ---
+    "ann_topk_ivf_exact",
+    "ann_topk_lsh_exact",
+    "bpe_encode_k5",
+    "collapse_repeat_tokens",
+    "conditional_boolean_aggs",
+    "corr_regression_returnflag",
+    "daily_new_vs_returning",
+    "duplicated_gram_fraction",
+    "embedding_centroid_norm",
+    "embedding_component_stats",
+    "embedding_dim_variance",
+    "embedding_quantization_stats",
 )
 
 
