@@ -11,11 +11,18 @@ per-query scaling exponent ``log(t_k / t_1) / log(k)``.
 Odd document replicas get a per-replica text suffix so the scaled
 corpus contains both exact and near duplicates — the dedup operators
 see a realistic mixture rather than a degenerate all-identical one.
+``--doc-replica-mode exact`` (r15, VERDICT r14 directive #5) drops
+the suffix so EVERY document replica is an exact copy — the
+best-case corpus for the representative-decomposed release audit
+(distinct-text count stays constant as k grows), isolating whether
+its cost is truly flat in the copy count rather than merely
+sub-linear on the mixed corpus.
 
 Usage::
 
     python scripts/scale_sweep.py [--factor 10] [--reps 2] \
-        [--src /root/testdata/sf0.1] [--work /tmp/spark_scale_sweep]
+        [--src /root/testdata/sf0.1] [--work /tmp/spark_scale_sweep] \
+        [--doc-replica-mode mixed|exact]
 
 Writes one JSON line to stdout (markdown table to stderr) so it can be
 piped straight into the SCALING.md round table.
@@ -59,7 +66,13 @@ _SCALED = {
 _COPIED = ["region", "nation"]
 
 
-def build_scaled(spark: SparkSession, src: str, dst: str, k: int) -> None:
+def build_scaled(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    k: int,
+    doc_replica_mode: str = "mixed",
+) -> None:
     os.makedirs(dst, exist_ok=True)
     for name in _COPIED:
         shutil.copy(f"{src}/{name}.parquet", f"{dst}/{name}.parquet")
@@ -73,8 +86,9 @@ def build_scaled(spark: SparkSession, src: str, dst: str, k: int) -> None:
             rep = rep.withColumn(
                 key, F.col(key) + F.col("_rep").cast("long") * _STRIDE
             )
-        if name == "documents":
+        if name == "documents" and doc_replica_mode == "mixed":
             # odd replicas: near-duplicates; even replicas: exact dups
+            # ('exact' mode skips this — all replicas verbatim copies)
             rep = rep.withColumn(
                 "text",
                 F.when(
@@ -128,6 +142,13 @@ def main() -> None:
         "--queries", nargs="*", default=None,
         help="subset of BENCH_QUERIES to sweep (default: all)",
     )
+    ap.add_argument(
+        "--doc-replica-mode", choices=("mixed", "exact"),
+        default="mixed",
+        help="'exact': every document replica is a verbatim copy "
+        "(mass-dup best case for the rep-decomposed audit); "
+        "'mixed' (default): odd replicas get a near-dup suffix",
+    )
     args = ap.parse_args()
     names = args.queries or BENCH_QUERIES
     unknown = [n for n in names if n not in QUERIES]
@@ -135,9 +156,13 @@ def main() -> None:
         ap.error(f"not registered: {unknown}")
 
     spark = get_spark("scale-sweep")
-    scaled_dir = os.path.join(args.work, f"x{args.factor}")
+    suffix = "" if args.doc_replica_mode == "mixed" else "-exactdup"
+    scaled_dir = os.path.join(args.work, f"x{args.factor}{suffix}")
     if not os.path.exists(os.path.join(scaled_dir, "_DONE")):
-        build_scaled(spark, args.src, scaled_dir, args.factor)
+        build_scaled(
+            spark, args.src, scaled_dir, args.factor,
+            args.doc_replica_mode,
+        )
         open(os.path.join(scaled_dir, "_DONE"), "w").close()
 
     t1 = run_set(spark, args.src, args.reps, names)

@@ -73,6 +73,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators._caches import BoundedCache
+
 _DEC = "decimal(30,10)"
 N_BUCKETS = 256
 SALT = "qclf-v1"
@@ -312,7 +314,7 @@ def classifier_score(
     )
 
 
-_META_CACHE: "dict[str, tuple[int, str]]" = {}
+_META_CACHE: "dict[str, tuple[int, str]]" = BoundedCache()
 
 
 def save_classifier(

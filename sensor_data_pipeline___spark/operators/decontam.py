@@ -54,12 +54,13 @@ from sensor_data_pipeline___spark.operators._writes import (
     swap_current,
 )
 from sensor_data_pipeline___spark.operators.dedup import _zipped_windows
+from sensor_data_pipeline___spark.operators._caches import BoundedCache
 
 #: path -> (n, key). Gram geometry is immutable for a store's lifetime
 #: (only a fresh save_contamination_index changes it, which invalidates
 #: here) — the per-batch ingest loop shouldn't pay a driver job
 #: re-reading the one-row meta parquet every trigger.
-_META_CACHE: dict = {}
+_META_CACHE: dict = BoundedCache()
 
 
 def _gram_exprs(text_col: str, n: int, key: str) -> F.Column:

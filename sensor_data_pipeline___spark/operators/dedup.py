@@ -34,6 +34,7 @@ from sensor_data_pipeline___spark.operators._writes import (
     retire_current,
     swap_current,
 )
+from sensor_data_pipeline___spark.operators._caches import BoundedCache
 
 # ---------------------------------------------------------------------------
 # Exact
@@ -497,7 +498,7 @@ def _load_sig_manifest(root: str):
 #: resolved generation root -> parsed manifest (or None when the
 #: generation predates manifests). Generations are immutable, so the
 #: cache can never serve stale entries; fresh saves pop their root.
-_MANIFEST_CACHE: dict = {}
+_MANIFEST_CACHE: dict = BoundedCache()
 
 
 def _load_band_manifest(root: str):
@@ -551,7 +552,7 @@ def _manifest_select_files(root: str, keys) -> "tuple[list, int] | None":
 #: save_minhash_index changes it, and that invalidates below) — so the
 #: per-batch ingest loop shouldn't pay a driver job re-reading the
 #: one-row meta parquet three times per trigger (sign, probe, append).
-_META_CACHE: dict = {}
+_META_CACHE: dict = BoundedCache()
 
 
 def _load_minhash_meta(spark, path: str) -> tuple:
@@ -1741,7 +1742,7 @@ def connected_components_incremental(
 #: path -> node type — version-invariant per save, cached driver-side
 #: like the minhash geometry / DSIR meta caches (the per-micro-batch
 #: update would otherwise pay a meta parquet read + collect per call)
-_CC_META_CACHE: dict = {}
+_CC_META_CACHE: dict = BoundedCache()
 
 
 def _read_cc_rows(spark, path: str) -> DataFrame:
@@ -1758,12 +1759,104 @@ def _read_cc_rows(spark, path: str) -> DataFrame:
     ).parquet(resolve_current(path) + "/labels")
 
 
+def _write_cc_manifest(root: str) -> None:
+    """Footer-stats manifest of a CC label store generation's ``base``
+    files — per file, [min, max] on BOTH ``node`` and ``component`` —
+    read back by :func:`cc_labels_update`'s selective path
+    (``prune_max_nodes``) so the per-batch endpoint lookup and
+    affected-members fetch open only the base files whose ranges can
+    contain a key, instead of scanning the whole store (VERDICT r14
+    directive #3 — the same footer-manifest cure as the minhash band
+    store). Base files are range-partitioned and sorted by ``node`` at
+    save/compact, so node intervals are tight and disjoint; component
+    intervals are whatever the footer says (conservative — a
+    mega-cluster widens the ranges of the files holding its members,
+    degrading pruning there but never correctness). Same all-or-nothing
+    + drop-stale contract as :func:`_write_band_manifest`: on stats
+    failure, write NOTHING and remove any previous incarnation so
+    updates fall back to the full scan."""
+    import json
+
+    try:
+        node_stats = dict(_base_file_stats(root + "/labels", "node"))
+        comp_stats = dict(_base_file_stats(root + "/labels", "component"))
+    except _ManifestUnavailable:
+        _fsio.remove(root + "/labels_manifest.json")
+        _MANIFEST_CACHE.pop((root, "cc"), None)
+        return
+    entries = [
+        {
+            "file": rel,
+            "nmin": ns[0],
+            "nmax": ns[1],
+            "cmin": comp_stats[rel][0],
+            "cmax": comp_stats[rel][1],
+        }
+        for rel, ns in node_stats.items()
+        if rel in comp_stats
+    ]
+    _fsio.write_text_atomic(
+        root + "/labels_manifest.json", json.dumps({"files": entries})
+    )
+    _MANIFEST_CACHE.pop((root, "cc"), None)  # see _write_band_manifest
+
+
+def _load_cc_manifest(root: str):
+    key = (root, "cc")
+    if key not in _MANIFEST_CACHE:
+        import json
+
+        p = root + "/labels_manifest.json"
+        if not _fsio.exists(p):
+            _MANIFEST_CACHE[key] = None
+        else:
+            _MANIFEST_CACHE[key] = json.loads(_fsio.read_text(p))["files"]
+    return _MANIFEST_CACHE[key]
+
+
+def _cc_select_base_files(root: str, keys, field: str):
+    """Absolute paths of the generation's base label files whose
+    [min, max] on ``field`` ('node' or 'component') can contain one of
+    ``keys``, per the footer manifest — or None when the generation has
+    no manifest. Exhaustive containment checks (not binary search), as
+    in :func:`_manifest_select_files`: correct for overlapping
+    intervals too."""
+    man = _load_cc_manifest(root)
+    if man is None:
+        return None
+    lo_k, hi_k = ("nmin", "nmax") if field == "node" else ("cmin", "cmax")
+    return [
+        os.path.join(root, "labels", e["file"])
+        for e in man
+        if any(e[lo_k] <= k <= e[hi_k] for k in keys)
+    ]
+
+
+def _cc_sorted_base(spark, lab: DataFrame, rows_per_file: int) -> DataFrame:
+    """Range-partition + sort a base label frame by ``node`` so each
+    written file covers a tight, disjoint node interval (what makes the
+    manifest's node pruning selective). File count targets
+    ``rows_per_file`` from a metadata-cheap raw count; range
+    partitioning samples the frame, acceptable at save/compact cadence
+    (both already pay O(store)). The eager ``localCheckpoint``
+    materializes the (possibly expensive) upstream ONCE for the three
+    passes this costs (count, range sampling, write); blocks are
+    GC-freed with the frame."""
+    lab = lab.localCheckpoint(eager=True)
+    n_rows = lab.count()
+    n_files = max(1, -(-n_rows // max(1, rows_per_file)))
+    return lab.repartitionByRange(n_files, "node").sortWithinPartitions(
+        "node"
+    )
+
+
 def save_cc_labels(
     spark,
     path: str,
     labels: DataFrame,
     node_col: str = "node",
     component_col: str = "component",
+    rows_per_file: int = 4_000_000,
 ) -> None:
     """Initialize the persisted (node → component) labeling a streaming
     near-dup loop maintains incrementally (VERDICT r13 directive #4):
@@ -1793,13 +1886,14 @@ def save_cc_labels(
     # STATIC overwrite: a fresh save replaces the WHOLE store (see
     # save_minhash_index — dynamic would leave stale batch partitions)
     with overwrite_mode(spark, "static"):
-        lab.write.mode("overwrite").partitionBy("ingest_key").parquet(
-            path + "/labels"
-        )
+        _cc_sorted_base(spark, lab, rows_per_file).write.mode(
+            "overwrite"
+        ).partitionBy("ingest_key").parquet(path + "/labels")
     node_t = dict(labels.dtypes)[node_col]
     local_df(spark, [(node_t,)], "node_type string").coalesce(
         1
     ).write.mode("overwrite").parquet(path + "/meta")
+    _write_cc_manifest(path)
 
 
 def read_cc_labels(spark, path: str) -> DataFrame:
@@ -1827,6 +1921,7 @@ def cc_labels_update(
     b_col: str = "doc_b",
     ingest_key: "str | None" = None,
     max_iterations: int = 50,
+    prune_max_nodes: int = 0,
 ) -> None:
     """Fold a batch of NEW edges into a :func:`save_cc_labels` store —
     the persisted form of :func:`connected_components_incremental`:
@@ -1848,13 +1943,60 @@ def cc_labels_update(
     via dynamic overwrite, so a crash-replay REPLACES its earlier
     attempt (and recomputing against a store that already absorbed
     that attempt is idempotent — re-merging merged components is a
-    no-op). ``None`` appends under 'adhoc' (one-shot batch use)."""
-    rows = _read_cc_rows(spark, path).select("node", "component")
+    no-op). ``None`` appends under 'adhoc' (one-shot batch use).
+
+    ``prune_max_nodes`` > 0 enables the SELECTIVE store read (VERDICT
+    r14 directive #3): when the batch's distinct endpoints number at
+    most this cap, they are collected (bounded driver list) and the
+    two store scans prune to the base files the footer manifest says
+    can hold them — the endpoint lookup by node ranges (tight: base is
+    node-sorted at save/compact), then the affected-members fetch by
+    component ranges for the collected touched-component ids (at most
+    one per endpoint). Delta partitions are always read whole, like
+    minhash appends — the maintenance-tick compaction folds them back
+    under the manifest. Correctness does not depend on pruning:
+    selection is conservative interval containment, and a store with
+    no manifest (or an over-cap batch) takes the full scan exactly as
+    before. This removes the one O(store)-per-batch term the streaming
+    loop had left: update cost becomes O(endpoints x files-they-hit +
+    delta pile) instead of O(store)."""
     ends = (
         new_pairs.select(F.col(a_col).alias("node"))
         .union(new_pairs.select(F.col(b_col).alias("node")))
         .distinct()
     )
+    root = resolve_current(path)
+    node_t = _read_cc_rows(spark, path).schema["node"].dataType.simpleString()
+    schema = f"node {node_t}, component {node_t}, ingest_key string"
+
+    def _base_union_delta(files: list) -> DataFrame:
+        base = (
+            spark.read.schema(schema)
+            .option("basePath", root + "/labels")
+            .parquet(*files)
+            if files
+            else spark.createDataFrame([], schema)
+        )
+        delta = (
+            spark.read.schema(schema)
+            .parquet(root + "/labels")
+            .filter(F.col("ingest_key") != "base")
+        )
+        return base.unionByName(delta).select("node", "component")
+
+    rows = end_keys = None
+    # gate on the manifest FIRST (see near_dup_against_index: a
+    # pre-manifest store must not pay the endpoint collect only to
+    # fall back to the full scan anyway)
+    if prune_max_nodes > 0 and _load_cc_manifest(root) is not None:
+        end_rows = ends.limit(prune_max_nodes + 1).collect()
+        if len(end_rows) <= prune_max_nodes:
+            end_keys = [r["node"] for r in end_rows]
+            rows = _base_union_delta(
+                _cc_select_base_files(root, end_keys, "node")
+            )
+    if rows is None:
+        rows = _read_cc_rows(spark, path).select("node", "component")
     touched = (
         rows.join(ends, "node", "left_semi")
         .groupBy("node")
@@ -1862,11 +2004,29 @@ def cc_labels_update(
         .select("component")
         .distinct()
     )
-    affected = (
-        rows.join(touched, "component", "left_semi")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if end_keys is not None:
+        # selective path, second scan: the touched components are at
+        # most one per collected endpoint — bounded collect, then open
+        # only the base files whose component range can hold one
+        touched_ids = [r["component"] for r in touched.collect()]
+        member_rows = _base_union_delta(
+            _cc_select_base_files(root, touched_ids, "component")
+        )
+        affected = (
+            member_rows.filter(F.col("component").isin(touched_ids))
+            .distinct()
+            .localCheckpoint(eager=True)
+            if touched_ids
+            else member_rows.filter(F.lit(False)).localCheckpoint(
+                eager=True
+            )
+        )
+    else:
+        affected = (
+            rows.join(touched, "component", "left_semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     star = affected.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(a_col), F.col("component").alias(b_col)
     )
@@ -1888,12 +2048,16 @@ def cc_labels_update(
         )
 
 
-def cc_labels_compact(spark, path: str) -> str:
+def cc_labels_compact(
+    spark, path: str, rows_per_file: int = 4_000_000
+) -> str:
     """Fold a label store's accumulated delta partitions into one
     resolved 'base' generation (the small-files maintenance tick, same
     versioned-root + atomic CURRENT swap and the same single-writer
-    quiesce contract as :func:`minhash_index_compact`). Returns the
-    new generation root."""
+    quiesce contract as :func:`minhash_index_compact`), range-sorted by
+    node with a fresh footer-stats manifest so subsequent updates'
+    selective path prunes against it. Returns the new generation
+    root."""
     resolved = read_cc_labels(spark, path).withColumn(
         "ingest_key", F.lit("base")
     )
@@ -1901,9 +2065,10 @@ def cc_labels_compact(spark, path: str) -> str:
     # STATIC: the target vN may be a stale generation dir (see
     # minhash_index_compact)
     with overwrite_mode(spark, "static"):
-        resolved.coalesce(1).write.mode("overwrite").partitionBy(
-            "ingest_key"
-        ).parquet(new_root + "/labels")
+        _cc_sorted_base(spark, resolved, rows_per_file).write.mode(
+            "overwrite"
+        ).partitionBy("ingest_key").parquet(new_root + "/labels")
+    _write_cc_manifest(new_root)
     swap_current(path, new_root)
     return new_root
 

@@ -49,6 +49,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators._caches import BoundedCache
+
 #: Hashed feature space. 10k buckets ≈ the paper's hashed n-gram dim;
 #: both count tables are capped at this many rows, which is what keeps
 #: the score join broadcastable at any corpus size.
@@ -236,7 +238,7 @@ def dsir_resample(
 
 #: path -> (n_buckets, salt, tt, tr) — immutable per save, so cached
 #: driver-side like the minhash geometry / decontam meta caches.
-_META_CACHE: dict = {}
+_META_CACHE: dict = BoundedCache()
 
 
 def save_dsir_index(

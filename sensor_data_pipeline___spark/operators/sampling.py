@@ -85,9 +85,14 @@ def split_leakage_stats(
     split cell (advisor r13): an inner join would silently drop such
     pairs, and a leakage AUDIT that under-reports (can claim zero
     leaks) on an incomplete split table is worse than useless —
-    incomplete coverage now fails loudly as visible 'unknown' rows
-    (flagged ``is_leak`` against every real split: unassigned
-    near-dup mass is unaccounted risk, the conservative read).
+    incomplete coverage fails loudly as visible 'unknown' rows.
+    Every unknown-containing cell — including the
+    ('unknown', 'unknown') diagonal, where BOTH endpoints are
+    unassigned — is flagged ``is_leak`` AND ``uncovered`` (advisor
+    r14): unassigned near-dup mass is unaccounted risk, the
+    conservative read, so a consumer filtering ``is_leak`` can never
+    silently drop it; ``uncovered`` separates "split table doesn't
+    cover these docs" from a true cross-boundary straddle.
 
     Shape at 100 TB: two equi-joins of the pair list against a narrow
     (id, split) projection — both shuffle on the id — then a groupBy
@@ -111,7 +116,16 @@ def split_leakage_stats(
         )
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("n_pairs"))
-        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+        .withColumn(
+            "uncovered",
+            (F.col("split_a") == "unknown")
+            | (F.col("split_b") == "unknown"),
+        )
+        .withColumn(
+            "is_leak",
+            (F.col("split_a") != F.col("split_b")) | F.col("uncovered"),
+        )
+        .select("split_a", "split_b", "n_pairs", "is_leak", "uncovered")
     )
 
 

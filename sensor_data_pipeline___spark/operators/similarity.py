@@ -26,6 +26,7 @@ from sensor_data_pipeline___spark.operators._writes import (
     retire_current,
     swap_current,
 )
+from sensor_data_pipeline___spark.operators._caches import BoundedCache
 
 
 def _to_double(col: Column) -> Column:
@@ -623,7 +624,7 @@ def _store_root(path: str) -> str:
 #: centroids can be cached for the session; the FLAT root is mutable
 #: only through save_ivf_index, which invalidates. Saves one file
 #: listing + read job per search/mine/append call in per-batch loops.
-_CENT_CACHE: dict = {}
+_CENT_CACHE: dict = BoundedCache(cap=64)
 
 
 def _read_centroids(spark, path: str) -> DataFrame:

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline___spark.operators._caches import BoundedCache
+
 #: Tiny per-language stopword profiles for the n-gram/stopword
 #: language-ID heuristic (public-knowledge common words).
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -1393,7 +1395,7 @@ def apply_merge_rounds(
 #: store's lifetime (only a fresh save_unigram_lm changes it, which
 #: invalidates here) — the per-batch scoring loop shouldn't pay a
 #: driver job re-reading the one-row meta parquet every trigger.
-_LM_META_CACHE: dict = {}
+_LM_META_CACHE: dict = BoundedCache()
 
 
 def save_unigram_lm(

@@ -6349,7 +6349,7 @@ def q_lsh_bucket_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "minhash_band_invariants",
     # Invariant-oracle twin for the minhash banding stage (the pair
-    # source behind minhash_cluster_stats, VERDICT r7 directive #8):
+    # source behind minhash_near_dup, VERDICT r7 directive #8):
     # band HASHES are engine-specific, but the banded-keys relation is
     # structurally determined — every doc with a non-empty shingle set
     # emits EXACTLY ``bands`` (8) band rows. Sum, doc count, and the
@@ -7537,7 +7537,9 @@ def q_release_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected-components machinery. The pair source is the exact
     # prefix-filtered Jaccard self-join (set_similarity_pairs' shape,
     # threshold 0.9 — cross-engine reproducible, unlike the seeded
-    # minhash edges behind the rows-only minhash_cluster_stats), the
+    # minhash edges behind the rows-only minhash_near_dup and its
+    # r14-deregistered companion minhash_cluster_stats, which
+    # cluster_stats_exact replaced), the
     # components come from dedup.connected_components (min-label
     # propagation), and the keeper rule upgrades min-id to ARGMAX
     # QUALITY (longest token count, doc_id tiebreak) — the rule a real
@@ -7951,26 +7953,33 @@ def q_quality_classifier_bigram_eval(
     # unlike seeded minhash edges); splits = the hash_split md5
     # buckets (the hash_split_sizes twin). least/greatest normalizes
     # (train,test)/(test,train) into one cell; is_leak flags
-    # off-diagonal cells. LEFT joins + coalesce('unknown') mirror the
-    # operator's loud-failure contract for endpoints missing from the
-    # split table (advisor r13) — full coverage here, so no 'unknown'
-    # row at this SF, but the semantics are pinned either way.
+    # off-diagonal cells AND every unknown-containing cell (advisor
+    # r14 — the ('unknown','unknown') diagonal must not be filterable
+    # out as a non-leak), with `uncovered` separating missing-split
+    # mass from true straddles. LEFT joins + coalesce('unknown')
+    # mirror the operator's loud-failure contract for endpoints
+    # missing from the split table (advisor r13) — full coverage
+    # here, so no 'unknown' row at this SF, but the semantics are
+    # pinned either way.
     f"""
     WITH {_SIM_EDGES_CTE},
-    {_SPLIT_CTE}
-    SELECT least(coalesce(sa.split, 'unknown'),
-                 coalesce(sb.split, 'unknown')) AS split_a,
-           greatest(coalesce(sa.split, 'unknown'),
-                    coalesce(sb.split, 'unknown')) AS split_b,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           (least(coalesce(sa.split, 'unknown'),
-                  coalesce(sb.split, 'unknown'))
-            != greatest(coalesce(sa.split, 'unknown'),
-                        coalesce(sb.split, 'unknown'))) AS is_leak
-    FROM sim_e e
-    LEFT JOIN spl sa ON e.u = sa.doc_id
-    LEFT JOIN spl sb ON e.v = sb.doc_id
-    GROUP BY 1, 2
+    {_SPLIT_CTE},
+    cells AS (
+      SELECT least(coalesce(sa.split, 'unknown'),
+                   coalesce(sb.split, 'unknown')) AS split_a,
+             greatest(coalesce(sa.split, 'unknown'),
+                      coalesce(sb.split, 'unknown')) AS split_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM sim_e e
+      LEFT JOIN spl sa ON e.u = sa.doc_id
+      LEFT JOIN spl sb ON e.v = sb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT split_a, split_b, n_pairs,
+           (split_a != split_b
+            OR split_a = 'unknown' OR split_b = 'unknown') AS is_leak,
+           (split_a = 'unknown' OR split_b = 'unknown') AS uncovered
+    FROM cells
     """,
 )
 def q_split_leakage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8225,7 +8234,8 @@ def q_temperature_mixture_tokens(
            greatest(sa.split, sb.split) AS split_b,
            CAST(count(*) AS BIGINT) AS n_pairs,
            (least(sa.split, sb.split) != greatest(sa.split, sb.split))
-             AS is_leak
+             AS is_leak,
+           FALSE AS uncovered
     FROM sim_e e
     JOIN spl sa ON e.u = sa.doc_id
     JOIN spl sb ON e.v = sb.doc_id
@@ -8496,8 +8506,10 @@ def q_corpus_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The seeded-LSH family's accuracy CONTRACT as an oracle row (r13;
     # the approx_distinct_accuracy boolean-pinning trick applied to
     # minhash_near_dup, whose pair SET is hash-seeded and engine-
-    # specific — the reason minhash_near_dup/minhash_cluster_stats are
-    # rows-only): the EXACT 3-shingle-Jaccard ground truth is
+    # specific — the reason minhash_near_dup is rows-only, and why its
+    # historical cluster-stats companion minhash_cluster_stats was
+    # replaced by the oracle-backed cluster_stats_exact in r14): the
+    # EXACT 3-shingle-Jaccard ground truth is
     # deterministic and SQL-expressible, so the oracle recomputes the
     # n_exact_pairs denominator bit-for-bit and pins the two claims
     # TRUE that a correct LSH must satisfy with huge margin —

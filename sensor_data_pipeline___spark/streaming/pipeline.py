@@ -1134,6 +1134,12 @@ def corpus_neardup_batch_fn(
             # fold this batch's discovered pairs into the maintained
             # component labeling (see docstring) — batch-keyed delta,
             # replay replaces its own earlier attempt
+            # prune_max_nodes: a batch's pair endpoints are few (near
+            # -dups are the exception, not the rule), so the update's
+            # two store scans take the manifest-pruned selective path
+            # — O(endpoints x files-they-hit), not O(store) — unless a
+            # pathological batch exceeds the cap, which falls back to
+            # the full scan (r15; SCALING.md measures the flatness)
             dedup.cc_labels_update(
                 spark,
                 cc_labels_path,
@@ -1142,6 +1148,7 @@ def corpus_neardup_batch_fn(
                     F.col("corpus_id").alias("doc_b"),
                 ).unionByName(internal_pairs.select("doc_a", "doc_b")),
                 ingest_key=key,
+                prune_max_nodes=4096,
             )
         # DYNAMIC, pinned: a replay overwrites only its own
         # ingest_batch partition (see operators/_writes.py)

@@ -576,3 +576,99 @@ def test_cc_labels_store_lifecycle_replay_and_compact(spark, tmp_path):
     assert resolved() == [
         (1, 1), (2, 1), (3, 1), (4, 1), (10, 1), (11, 1),
     ]
+
+
+def test_cc_labels_update_selective_prune(spark, tmp_path):
+    """r15 (VERDICT r14 #3): the manifest-pruned update path.
+    (1) a seeded base is node-sorted across multiple files and the
+    footer manifest selects a strict subset for a small batch's
+    endpoints; (2) pruned updates resolve identically to the
+    full-scan path, including merges that span base files and
+    post-compact generations; (3) a store without a manifest and an
+    over-cap batch both fall back to the full scan unchanged."""
+    import os
+
+    from sensor_data_pipeline___spark.operators import dedup
+    from sensor_data_pipeline___spark.operators._writes import (
+        resolve_current,
+    )
+
+    path = str(tmp_path / "cc")
+    # 1000 singleton labels, 100 rows/file -> ~10 node-sorted base files
+    seed = spark.range(1000).selectExpr(
+        "id as node", "id as component"
+    )
+    dedup.save_cc_labels(spark, path, seed, rows_per_file=100)
+    root = resolve_current(path)
+    man = dedup._load_cc_manifest(root)
+    assert man is not None and len(man) >= 8
+    # node ranges are tight+disjoint: a 4-key probe opens few files
+    sel = dedup._cc_select_base_files(root, [1, 2, 500, 501], "node")
+    assert 0 < len(sel) <= 4 < len(man)
+
+    # pruned update == full-scan update (run both against copies)
+    pairs1 = spark.createDataFrame(
+        [(1, 2), (500, 501)], "doc_a long, doc_b long"
+    )
+    pairs2 = spark.createDataFrame(
+        [(2, 500), (999, 0)], "doc_a long, doc_b long"
+    )
+    dedup.cc_labels_update(
+        spark, path, pairs1, ingest_key="b0", prune_max_nodes=64
+    )
+    dedup.cc_labels_update(
+        spark, path, pairs2, ingest_key="b1", prune_max_nodes=64
+    )
+    want = {
+        (n, 0 if n in (0, 999) else (1 if n in (1, 2, 500, 501) else n))
+        for n in range(1000)
+    }
+    got = {
+        tuple(r) for r in dedup.read_cc_labels(spark, path).collect()
+    }
+    assert got == want
+
+    # compact regenerates the manifest; a cross-generation merge that
+    # spans the singleton cluster and both merged clusters still
+    # resolves exactly under the pruned path
+    dedup.cc_labels_compact(spark, path, rows_per_file=100)
+    root2 = resolve_current(path)
+    assert root2 != root and dedup._load_cc_manifest(root2)
+    pairs3 = spark.createDataFrame(
+        [(501, 999), (700, 700)], "doc_a long, doc_b long"
+    )
+    dedup.cc_labels_update(
+        spark, path, pairs3, ingest_key="b2", prune_max_nodes=64
+    )
+    want = {
+        (n, 0 if n in (0, 1, 2, 500, 501, 999) else n)
+        for n in range(1000)
+    }
+    got = {
+        tuple(r) for r in dedup.read_cc_labels(spark, path).collect()
+    }
+    assert got == want
+
+    # fallback 1: manifest removed -> full scan, same resolution
+    os.remove(os.path.join(root2, "labels_manifest.json"))
+    dedup._MANIFEST_CACHE.pop((root2, "cc"), None)
+    pairs4 = spark.createDataFrame([(3, 4)], "doc_a long, doc_b long")
+    dedup.cc_labels_update(
+        spark, path, pairs4, ingest_key="b3", prune_max_nodes=64
+    )
+    want = {(n, 3 if n in (3, 4) else c) for n, c in want}
+    got = {
+        tuple(r) for r in dedup.read_cc_labels(spark, path).collect()
+    }
+    assert got == want
+
+    # fallback 2: over-cap batch (prune_max_nodes=1 < 2 endpoints)
+    pairs5 = spark.createDataFrame([(5, 6)], "doc_a long, doc_b long")
+    dedup.cc_labels_update(
+        spark, path, pairs5, ingest_key="b4", prune_max_nodes=1
+    )
+    want = {(n, 5 if n in (5, 6) else c) for n, c in want}
+    got = {
+        tuple(r) for r in dedup.read_cc_labels(spark, path).collect()
+    }
+    assert got == want

@@ -208,22 +208,25 @@ def test_split_leakage_stats_cells(spark):
         [(1, 2), (1, 3), (2, 4)], "doc_a long, doc_b long"
     )
     got = {
-        (r.split_a, r.split_b): (r.n_pairs, r.is_leak)
+        (r.split_a, r.split_b): (r.n_pairs, r.is_leak, r.uncovered)
         for r in sampling.split_leakage_stats(pairs, splits).collect()
     }
     assert got == {
-        ("test", "train"): (1, True),
-        ("train", "train"): (1, False),
-        ("test", "val"): (1, True),
+        ("test", "train"): (1, True, False),
+        ("train", "train"): (1, False, False),
+        ("test", "val"): (1, True, False),
     }
 
 
 def test_split_leakage_stats_surfaces_uncovered_endpoints(spark):
-    """Advisor r13: pairs whose endpoints are missing from the split
-    table must NOT vanish from the audit — they surface as an
-    'unknown' split cell (flagged is_leak against real splits), so an
-    incomplete split table fails loudly instead of shrinking the
-    leak count to zero."""
+    """Advisor r13 + r14: pairs whose endpoints are missing from the
+    split table must NOT vanish from the audit — they surface as an
+    'unknown' split cell, and EVERY unknown-containing cell (the
+    fully-unassigned ('unknown','unknown') diagonal included) is
+    flagged both is_leak and uncovered, so an incomplete split table
+    fails loudly instead of shrinking the leak count to zero and a
+    consumer filtering on is_leak can never silently drop the
+    unassigned near-dup mass."""
     splits = spark.createDataFrame(
         [(1, "train")], "doc_id long, split string"
     )
@@ -231,12 +234,12 @@ def test_split_leakage_stats_surfaces_uncovered_endpoints(spark):
         [(1, 2), (3, 4)], "doc_a long, doc_b long"
     )
     got = {
-        (r.split_a, r.split_b): (r.n_pairs, r.is_leak)
+        (r.split_a, r.split_b): (r.n_pairs, r.is_leak, r.uncovered)
         for r in sampling.split_leakage_stats(pairs, splits).collect()
     }
     assert got == {
-        ("train", "unknown"): (1, True),
-        ("unknown", "unknown"): (1, False),
+        ("train", "unknown"): (1, True, True),
+        ("unknown", "unknown"): (1, True, True),
     }
 
 
