@@ -101,39 +101,71 @@ def run_arm(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--small", type=int, default=200_000)
-    ap.add_argument("--large", type=int, default=2_000_000)
+    ap.add_argument(
+        "--sizes", type=int, nargs="*",
+        default=[200_000, 2_000_000, 20_000_000],
+    )
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--pairs-per-batch", type=int, default=100)
     ap.add_argument("--rows-per-file", type=int, default=20_000)
+    ap.add_argument(
+        "--one-arm", type=int, nargs=2, metavar=("NODES", "PRUNE"),
+        default=None,
+        help="internal: run a single (store size, prune cap) arm in "
+        "THIS process and print its JSON — the orchestrator spawns "
+        "one subprocess per arm so no arm inherits another's JVM "
+        "state (the first cut ran all arms in one session and the "
+        "later arms' fixed job costs inflated 3x from accumulated "
+        "driver/session state, confounding the comparison)",
+    )
     args = ap.parse_args()
 
-    spark = get_spark("cc-labels-scale-check")
-    # warmup: JVM + codegen on a throwaway tiny arm
-    run_arm(spark, 1_000, 2, 10, 500, 0)
-    arms = []
-    for n in (args.small, args.large):
-        for prune in (0, 4096):
-            arms.append(
+    if args.one_arm is not None:
+        nodes, prune = args.one_arm
+        spark = get_spark("cc-labels-scale-check")
+        # warmup: JVM + codegen on a throwaway tiny arm
+        run_arm(spark, 1_000, 2, 10, 500, prune)
+        print(
+            json.dumps(
                 run_arm(
-                    spark, n, args.batches, args.pairs_per_batch,
+                    spark, nodes, args.batches, args.pairs_per_batch,
                     args.rows_per_file, prune,
                 )
             )
+        )
+        spark.stop()
+        return
+
+    import subprocess
+
+    arms = []
+    for n in args.sizes:
+        for prune in (0, 4096):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--one-arm", str(n), str(prune),
+                    "--batches", str(args.batches),
+                    "--pairs-per-batch", str(args.pairs_per_batch),
+                    "--rows-per-file", str(args.rows_per_file),
+                ],
+                capture_output=True, text=True, check=True,
+            )
+            arms.append(json.loads(out.stdout.strip().splitlines()[-1]))
     print(
         "| store nodes | prune | base files (sel/total) | "
-        "p50 batch s |", file=sys.stderr,
+        "p50 batch s | first→last s |", file=sys.stderr,
     )
-    print("|---|---|---|---|", file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
     for a in arms:
         print(
             f"| {a['store_nodes']} | {a['prune_max_nodes']} | "
             f"{a['base_files_selected_p50']}/{a['base_files_total']} | "
-            f"{a['batch_s_p50']} |",
+            f"{a['batch_s_p50']} | "
+            f"{a['batch_s_first']}→{a['batch_s_last']} |",
             file=sys.stderr,
         )
     print(json.dumps({"arms": arms}))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -492,3 +492,59 @@ def test_failed_manifest_rewrite_drops_stale_manifest(
     assert not os.path.exists(os.path.join(root, "signatures_manifest.json"))
     assert root not in dedup._MANIFEST_CACHE
     assert (root, "sig") not in dedup._MANIFEST_CACHE
+
+
+def test_cc_manifest_ranges_disjoint_and_failure_contract(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (VERDICT r14 #3): the CC label store's base manifest gives
+    the same guarantees the band manifest does — (1) node-sorted base
+    files carry tight range-DISJOINT [node min, node max] intervals
+    (what makes endpoint pruning selective), every component interval
+    satisfies cmin <= nmin (component = cluster-min node id); (2) a
+    failed footer scan persists NOTHING and DELETES a previous
+    incarnation's manifest + cache entry, so updates fall back to the
+    correct full scan instead of pruning against dead ranges."""
+    import os
+
+    from sensor_data_pipeline___spark.operators._writes import (
+        resolve_current,
+    )
+
+    path = str(tmp_path / "cc")
+    seed = spark.range(1_000).selectExpr(
+        "id as node", "id as component"
+    )
+    dedup.save_cc_labels(spark, path, seed, rows_per_file=100)
+    root = resolve_current(path)
+    man = dedup._load_cc_manifest(root)
+    assert man is not None and len(man) >= 8
+    spans = sorted((e["nmin"], e["nmax"]) for e in man)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 < lo2  # sorted, disjoint
+    assert spans[0][0] == 0 and spans[-1][1] == 999  # full coverage
+    for e in man:
+        assert e["cmin"] <= e["nmin"]  # component <= member node id
+
+    # failure contract: flaky listing -> manifest removed, cache popped
+    assert (root, "cc") in dedup._MANIFEST_CACHE
+
+    def flaky(p, suffix):
+        raise OSError("transient listing failure")
+
+    monkeypatch.setattr(dedup._fsio, "list_files_recursive", flaky)
+    dedup._write_cc_manifest(root)
+    assert not os.path.exists(os.path.join(root, "labels_manifest.json"))
+    assert (root, "cc") not in dedup._MANIFEST_CACHE
+    monkeypatch.undo()
+
+    # and the selective update still answers correctly via full scan
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    dedup.cc_labels_update(
+        spark, path, pairs, ingest_key="b0", prune_max_nodes=64
+    )
+    got = dict(
+        (r.node, r.component)
+        for r in dedup.read_cc_labels(spark, path).collect()
+    )
+    assert got[1] == 1 and got[2] == 1 and got[3] == 3
