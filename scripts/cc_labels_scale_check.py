@@ -7,21 +7,26 @@ footer-stats manifest + node-sorted base (the minhash band-manifest
 cure): with ``prune_max_nodes`` the two scans open only the base files
 whose [min, max] node / component ranges can hold the batch's keys.
 
-This harness quantifies the claim directly: seed stores of two sizes
-(small / large, singleton labels, fixed rows-per-file so file count
+This harness quantifies the claim directly: seed stores across a
+size sweep (singleton labels, fixed rows-per-file so file count
 scales with store size), run B update batches of fixed shape against
 each with compaction OFF, and report per-batch wall time and
 manifest-selected file counts, pruned vs unpruned. FLAT = pruned
 per-batch cost is ~equal across store sizes while unpruned grows with
 the store; files-read shrinks from all to ~(endpoints hit).
 
+Updates in the harness force ``prune_min_files=1`` so the selective
+path is characterized at EVERY store size; production callers keep
+the default cost gate (small stores full-scan — see the SCALING.md
+r15 addendum).
+
 Usage::
 
-    python scripts/cc_labels_scale_check.py [--small 200000]
-        [--large 2000000] [--batches 8] [--pairs-per-batch 100]
-        [--rows-per-file 20000]
+    python scripts/cc_labels_scale_check.py
+        [--sizes 200000 2000000 20000000] [--batches 8]
+        [--pairs-per-batch 100] [--rows-per-file 20000]
 
-One JSON line to stdout (markdown table to stderr).
+One arm per subprocess; markdown table to stderr, JSON to stdout.
 """
 
 from __future__ import annotations
@@ -85,7 +90,7 @@ def run_arm(
             t0 = time.perf_counter()
             dedup.cc_labels_update(
                 spark, path, pair_df, ingest_key=f"b{b}",
-                prune_max_nodes=prune,
+                prune_max_nodes=prune, prune_min_files=1,
             )
             times.append(time.perf_counter() - t0)
         return {

@@ -1922,6 +1922,7 @@ def cc_labels_update(
     ingest_key: "str | None" = None,
     max_iterations: int = 50,
     prune_max_nodes: int = 0,
+    prune_min_files: int = 16,
 ) -> None:
     """Fold a batch of NEW edges into a :func:`save_cc_labels` store —
     the persisted form of :func:`connected_components_incremental`:
@@ -1959,7 +1960,19 @@ def cc_labels_update(
     no manifest (or an over-cap batch) takes the full scan exactly as
     before. This removes the one O(store)-per-batch term the streaming
     loop had left: update cost becomes O(endpoints x files-they-hit +
-    delta pile) instead of O(store)."""
+    delta pile) instead of O(store).
+
+    ``prune_min_files`` is the cost gate in the OTHER direction (the
+    dual of the minhash probe's prune_max_keys rule "never engage for
+    big batches" — never engage for SMALL stores): the selective path
+    pays ~2 extra bounded driver jobs (endpoint + touched-component
+    collects) per batch, which is pure overhead while the base is
+    smaller than this many files and a full scan is already cheap.
+    Measured in-loop (SCALING.md r15): on a cold-start soak store the
+    ungated selective path grew the labels tick from 17% to 42% of
+    ingest throughput; with the gate the small-store cost is the r14
+    full-scan cost, and the big-store cost is the pruned path's —
+    each regime keeps its cheaper plan."""
     ends = (
         new_pairs.select(F.col(a_col).alias("node"))
         .union(new_pairs.select(F.col(b_col).alias("node")))
@@ -1987,8 +2000,11 @@ def cc_labels_update(
     rows = end_keys = None
     # gate on the manifest FIRST (see near_dup_against_index: a
     # pre-manifest store must not pay the endpoint collect only to
-    # fall back to the full scan anyway)
-    if prune_max_nodes > 0 and _load_cc_manifest(root) is not None:
+    # fall back to the full scan anyway), then on base file count
+    # (small stores scan cheaper than the selective path's fixed
+    # driver jobs — see prune_min_files above)
+    man = _load_cc_manifest(root) if prune_max_nodes > 0 else None
+    if man is not None and len(man) >= prune_min_files:
         end_rows = ends.limit(prune_max_nodes + 1).collect()
         if len(end_rows) <= prune_max_nodes:
             end_keys = [r["node"] for r in end_rows]

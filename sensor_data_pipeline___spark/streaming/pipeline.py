@@ -1139,7 +1139,11 @@ def corpus_neardup_batch_fn(
             # two store scans take the manifest-pruned selective path
             # — O(endpoints x files-they-hit), not O(store) — unless a
             # pathological batch exceeds the cap, which falls back to
-            # the full scan (r15; SCALING.md measures the flatness)
+            # the full scan. The default prune_min_files gate keeps
+            # small/cold-start stores on the cheap full scan (the
+            # selective path's 2 fixed driver jobs cost more than the
+            # scan they save there — measured both ways in SCALING.md
+            # r15); mature many-file stores engage pruning
             dedup.cc_labels_update(
                 spark,
                 cc_labels_path,

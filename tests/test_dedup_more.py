@@ -614,10 +614,10 @@ def test_cc_labels_update_selective_prune(spark, tmp_path):
         [(2, 500), (999, 0)], "doc_a long, doc_b long"
     )
     dedup.cc_labels_update(
-        spark, path, pairs1, ingest_key="b0", prune_max_nodes=64
+        spark, path, pairs1, ingest_key="b0", prune_max_nodes=64, prune_min_files=1
     )
     dedup.cc_labels_update(
-        spark, path, pairs2, ingest_key="b1", prune_max_nodes=64
+        spark, path, pairs2, ingest_key="b1", prune_max_nodes=64, prune_min_files=1
     )
     want = {
         (n, 0 if n in (0, 999) else (1 if n in (1, 2, 500, 501) else n))
@@ -638,7 +638,7 @@ def test_cc_labels_update_selective_prune(spark, tmp_path):
         [(501, 999), (700, 700)], "doc_a long, doc_b long"
     )
     dedup.cc_labels_update(
-        spark, path, pairs3, ingest_key="b2", prune_max_nodes=64
+        spark, path, pairs3, ingest_key="b2", prune_max_nodes=64, prune_min_files=1
     )
     want = {
         (n, 0 if n in (0, 1, 2, 500, 501, 999) else n)
@@ -654,7 +654,7 @@ def test_cc_labels_update_selective_prune(spark, tmp_path):
     dedup._MANIFEST_CACHE.pop((root2, "cc"), None)
     pairs4 = spark.createDataFrame([(3, 4)], "doc_a long, doc_b long")
     dedup.cc_labels_update(
-        spark, path, pairs4, ingest_key="b3", prune_max_nodes=64
+        spark, path, pairs4, ingest_key="b3", prune_max_nodes=64, prune_min_files=1
     )
     want = {(n, 3 if n in (3, 4) else c) for n, c in want}
     got = {
