@@ -917,17 +917,19 @@ def main() -> None:
     # r14): when the existing sidecar's sf differs, divert to an
     # sf-suffixed filename instead. SPARK_GRAFT_BENCH_DETAIL
     # overrides the path outright.
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+    env_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    detail_path = env_path or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    try:
-        with open(detail_path) as fh:
-            prior_sf = json.load(fh).get("sf")
-    except (OSError, ValueError):
-        prior_sf = None
-    if prior_sf is not None and prior_sf != result["sf"]:
-        root, ext = os.path.splitext(detail_path)
-        detail_path = f"{root}.sf{result['sf']}{ext}"
+    if env_path is None:  # an explicit override is honored verbatim
+        try:
+            with open(detail_path) as fh:
+                prior_sf = json.load(fh).get("sf")
+        except (OSError, ValueError):
+            prior_sf = None
+        if prior_sf is not None and prior_sf != result["sf"]:
+            root, ext = os.path.splitext(detail_path)
+            detail_path = f"{root}.sf{result['sf']}{ext}"
     try:
         with open(detail_path, "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)

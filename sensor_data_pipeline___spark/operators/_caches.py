@@ -31,5 +31,14 @@ class BoundedCache(dict):
 
     def __setitem__(self, key, value):
         if key not in self and len(self) >= self.cap:
-            super().pop(next(iter(self)))
+            # tolerant eviction: concurrent foreachBatch threads share
+            # these module-global caches, and the check-then-act here
+            # can race — both threads picking the same oldest key, or
+            # the iterator seeing a mutation. Evicting is best-effort
+            # (a miss just re-reads store meta), so never let it throw
+            # where the plain dict this replaced could not.
+            try:
+                super().pop(next(iter(self)), None)
+            except (StopIteration, RuntimeError):
+                pass
         super().__setitem__(key, value)

@@ -401,10 +401,15 @@ class _ManifestUnavailable(Exception):
     scan."""
 
 
-def _base_file_stats(table_dir: str, col: str):
-    """[(relative file, (min, max))] for every ``ingest_key=base``
-    data file's footer stats on ``col`` — the shared scanner behind
-    both manifests. Driver-side pyarrow, O(files). Listing rides
+def _base_file_stats_multi(table_dir: str, cols):
+    """([(relative file, {col: (min, max)})], total base files) for
+    every ``ingest_key=base`` data file's footer stats — the shared
+    scanner behind all three manifests, one listing + one footer pass
+    regardless of column count. A file appears in the list only with
+    stats for ALL requested columns; ``total`` lets callers enforce
+    completeness (a stat-less file in a pruned read would be treated
+    as nonexistent — the silent-miss the r11 contract forbids).
+    Driver-side pyarrow, O(files). Listing rides
     ``operators/_fsio.py`` (glob on local paths, Hadoop FS on URIs);
     footer reads use pyarrow's filesystem driver for the scheme.
     ALL-OR-NOTHING: any listing or footer-read failure raises
@@ -427,27 +432,40 @@ def _base_file_stats(table_dir: str, col: str):
     except Exception as exc:
         raise _ManifestUnavailable(str(exc)) from exc
     out = []
+    total = 0
     for f in files:
         rel = os.path.relpath(f, table_dir)
         if "ingest_key=base" not in rel:
             continue
+        total += 1
         try:
             md = _open_metadata(f)
         except Exception as exc:
             raise _ManifestUnavailable(f"{f}: {exc}") from exc
-        lo = hi = None
+        agg: dict = {}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 c = g.column(ci)
-                if c.path_in_schema == col and c.statistics is not None:
+                if c.path_in_schema in cols and c.statistics is not None:
                     st = c.statistics
                     if st.has_min_max:
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
-            out.append((rel, (lo, hi)))
-    return out
+                        lo, hi = agg.get(
+                            c.path_in_schema, (st.min, st.max)
+                        )
+                        agg[c.path_in_schema] = (
+                            min(lo, st.min), max(hi, st.max)
+                        )
+        if all(c in agg for c in cols):
+            out.append((rel, agg))
+    return out, total
+
+
+def _base_file_stats(table_dir: str, col: str):
+    """Single-column convenience wrapper over
+    :func:`_base_file_stats_multi` (the band/signature manifests)."""
+    stats, _total = _base_file_stats_multi(table_dir, (col,))
+    return [(rel, st[col]) for rel, st in stats]
 
 
 def _write_sig_manifest(root: str, id_col: str) -> None:
@@ -1778,8 +1796,21 @@ def _write_cc_manifest(root: str) -> None:
     import json
 
     try:
-        node_stats = dict(_base_file_stats(root + "/labels", "node"))
-        comp_stats = dict(_base_file_stats(root + "/labels", "component"))
+        stats, total = _base_file_stats_multi(
+            root + "/labels", ("node", "component")
+        )
+        # COMPLETENESS, not just failure-atomicity (self-review r15):
+        # the scanner lists a file only when its footer carries
+        # min/max for BOTH columns; a manifest missing a base file
+        # would make the selective path treat its rows as nonexistent
+        # (the exact silent-miss the r11 all-or-nothing contract
+        # forbids), so a stat-less file means NO manifest. (This
+        # engine's own writers always emit stats for these columns —
+        # the check guards stores produced by writers that don't.)
+        if len(stats) != total:
+            raise _ManifestUnavailable(
+                f"footer stats cover {len(stats)} of {total} base files"
+            )
     except _ManifestUnavailable:
         _fsio.remove(root + "/labels_manifest.json")
         _MANIFEST_CACHE.pop((root, "cc"), None)
@@ -1787,13 +1818,12 @@ def _write_cc_manifest(root: str) -> None:
     entries = [
         {
             "file": rel,
-            "nmin": ns[0],
-            "nmax": ns[1],
-            "cmin": comp_stats[rel][0],
-            "cmax": comp_stats[rel][1],
+            "nmin": st["node"][0],
+            "nmax": st["node"][1],
+            "cmin": st["component"][0],
+            "cmax": st["component"][1],
         }
-        for rel, ns in node_stats.items()
-        if rel in comp_stats
+        for rel, st in stats
     ]
     _fsio.write_text_atomic(
         root + "/labels_manifest.json", json.dumps({"files": entries})
@@ -1845,8 +1875,12 @@ def _cc_sorted_base(spark, lab: DataFrame, rows_per_file: int) -> DataFrame:
     lab = lab.localCheckpoint(eager=True)
     n_rows = lab.count()
     n_files = max(1, -(-n_rows // max(1, rows_per_file)))
-    return lab.repartitionByRange(n_files, "node").sortWithinPartitions(
-        "node"
+    # _sorted_for_write leads with ingest_key (the write's partitionBy
+    # column — constant 'base' here) so the partitioned-write planner
+    # accepts the ordering instead of inserting its own sort above it
+    # (self-review r15; see the helper's docstring)
+    return _sorted_for_write(
+        lab.repartitionByRange(n_files, "node"), "ingest_key", "node"
     )
 
 
@@ -2011,15 +2045,28 @@ def cc_labels_update(
             rows = _base_union_delta(
                 _cc_select_base_files(root, end_keys, "node")
             )
-    if rows is None:
+    if end_keys is not None:
+        # the COLLECTED keys drive both the file selection and the
+        # lookup: re-joining against the `ends` frame here could
+        # recompute a different endpoint set than the one the files
+        # were pruned for (self-review r15), and the literal IN also
+        # pushes to the parquet scan where a semi-join cannot
+        touched = (
+            rows.filter(F.col("node").isin(end_keys))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .select("component")
+            .distinct()
+        )
+    else:
         rows = _read_cc_rows(spark, path).select("node", "component")
-    touched = (
-        rows.join(ends, "node", "left_semi")
-        .groupBy("node")
-        .agg(F.min("component").alias("component"))
-        .select("component")
-        .distinct()
-    )
+        touched = (
+            rows.join(ends, "node", "left_semi")
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .select("component")
+            .distinct()
+        )
     if end_keys is not None:
         # selective path, second scan: the touched components are at
         # most one per collected endpoint — bounded collect, then open
