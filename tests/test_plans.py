@@ -429,3 +429,37 @@ def test_round14_additions_plan_shapes(spark):
 
     join_nodes = _re.findall(r"^\(\d+\) \w*Join\w*", plan, _re.M)
     assert len(join_nodes) == 1, (join_nodes, plan)
+
+
+def test_t_wide_rebalances_only_undersplit_scans(spark):
+    """The r15 undersplit-scan guard (queries._t_wide): a scan with
+    fewer partitions than the session default gets rebalanced UP to
+    default parallelism so CPU-heavy first stages (BPE folds,
+    shingling, fingerprint hashing) aren't serialized on one task —
+    and an input that is already wide enough is returned UNTOUCHED
+    (the 100 TB no-op branch: cluster-scale scans carry far more
+    splits than cores, so the loader must add no shuffle there).
+    Values are identical either way — the guard only moves rows."""
+    from sensor_data_pipeline___spark.queries import _t, _t_wide
+
+    target = spark.sparkContext.defaultParallelism
+    plain = _t(spark, SF, "documents")
+    wide = _t_wide(spark, SF, "documents")
+    if plain.rdd.getNumPartitions() < target:
+        assert wide.rdd.getNumPartitions() == target
+        assert "Exchange" in explain.formatted_plan(wide)
+    # already-wide inputs pass through with no added exchange
+    prewide = plain.repartition(target + 7)
+    import sensor_data_pipeline___spark.queries as Q
+
+    orig = Q.readers.table
+    try:
+        Q.readers.table = lambda *_a, **_k: prewide
+        untouched = _t_wide(spark, SF, "documents")
+    finally:
+        Q.readers.table = orig
+    assert untouched is prewide  # no wrapper, no shuffle added
+    # same rows either way
+    a = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in wide.select("doc_id").collect())
+    assert a == b
