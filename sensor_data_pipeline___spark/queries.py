@@ -1061,9 +1061,7 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB twin since hash functions differ across engines).
     from sensor_data_pipeline___spark.operators.dedup import minhash_near_dup
 
-    return minhash_near_dup(
-        _t_wide(spark, sf_dir, "documents"), jaccard_threshold=0.8
-    )
+    return minhash_near_dup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.8)
 
 
 # simhash_fingerprint was DEREGISTERED in r11 (VERDICT r9 directive
@@ -5523,7 +5521,7 @@ def q_corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sensor_data_pipeline___spark.operators.sampling import hash_split
 
-    docs = _t_wide(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     # Representative = min-doc_id row per content hash, via min_by
     # aggregation rather than a row_number window: the aggregate
     # partially combines map-side, so duplicate-heavy corpora collapse
@@ -6332,7 +6330,7 @@ def q_hard_negative_mining_indexed_exact(
 def q_segment_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators import text as T
 
-    docs = _t_wide(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     cleaned = T.drop_repeated_segments(docs, seg_tokens=10, max_repeat=1)
     return cleaned.select(
         "doc_id",
@@ -6727,7 +6725,7 @@ def q_decontam_probe_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks maintenance + probe as one number."""
     from sensor_data_pipeline___spark.operators import decontam
 
-    docs = _t_wide(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     batch = docs.filter(F.col("doc_id") % 10 != 0)
     path = _run_scoped_store_path(spark, "decontam_bench", sf_dir)
@@ -6890,7 +6888,7 @@ def q_dsir_resample_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dsir_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline___spark.operators import dsir
 
-    docs = _t_wide(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     fit = docs.filter(F.col("doc_id") % 2 == 0)
     probe = docs.filter(F.col("doc_id") % 2 == 1)
     path = _run_scoped_store_path(spark, "dsir_probe", sf_dir)
@@ -7062,9 +7060,7 @@ def q_simhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_near_dup_exact,
     )
 
-    return simhash_near_dup_exact(
-        _t_wide(spark, sf_dir, "documents"), max_hamming=3
-    )
+    return simhash_near_dup_exact(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def _bpe_merges_oracle() -> str:
@@ -7404,7 +7400,7 @@ def q_contamination_attribution(
 ) -> DataFrame:
     from sensor_data_pipeline___spark.operators import decontam
 
-    docs = _t_wide(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
