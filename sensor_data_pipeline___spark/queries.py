@@ -62,6 +62,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return readers.table(spark, name, sf_dir)
 
 
+#: _t_wide never rebalances a scan estimated above this many bytes:
+#: a pathological layout (a few huge single-row-group files) can be
+#: undersplit AND big, and round-robin-shuffling a multi-GB text
+#: column for extra parallelism is a worse trade than running it
+#: undersplit. 1 GiB ~= cores x a few row groups at default sizes.
+_T_WIDE_MAX_BYTES = 1 << 30
+
+
 def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """:func:`_t` for queries whose FIRST stage is CPU-heavy per row
     (the interpreted BPE merge folds, per-doc shingling/hashing): when
@@ -73,20 +81,35 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     what ``files.maxPartitionBytes`` says (byte-range splits can't cut
     inside a row group), which at local/test scale pins the whole
     tokenize/fingerprint stage to one core — measured 5.5 s -> 1.9 s
-    on the sf0.1 BPE encode. The guard is partition-count-based and
-    cost-bounded both ways (the round-workflow rule): it only engages
-    when the scan has FEWER splits than cores, which caps the
-    rebalanced volume at ``cores x maxPartitionBytes`` (a few GB), and
-    on a cluster-scale table — whose scan already carries orders of
-    magnitude more splits than cores — it evaluates one driver-side
-    partition count and no-ops, so the 100 TB plan stays shuffle-free.
-    The operators themselves stay map-only (test_bpe_encode_is_map_only
-    pins that); input parallelism is the caller's choice, made here."""
+    on the sf0.1 BPE encode. Cost-gated BOTH ways (the round-workflow
+    rule), with two independent gates because partition count alone
+    does not bound volume (an 8 x 10 GB single-row-group layout is
+    undersplit AND huge):
+
+    - parallelism-deficit gate: engage only when the scan has fewer
+      than HALF the session's cores in splits — near-target counts
+      would shuffle the whole input for a few percent of parallelism
+      (the r15 interleaved A/B measured exchanges roughly break-even
+      on lighter maps, so small deficits are likely net losses);
+    - size gate: never move more than ``_T_WIDE_MAX_BYTES`` (the
+      optimizer's scan estimate, file-size-accurate for a bare read
+      and free to evaluate driver-side).
+
+    On a cluster-scale table — whose scan carries orders of magnitude
+    more splits than cores — the first gate no-ops, so the 100 TB
+    plan stays shuffle-free. The operators themselves stay map-only
+    (test_bpe_encode_is_map_only pins that); input parallelism is the
+    caller's choice, made here."""
     df = _t(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if est > _T_WIDE_MAX_BYTES:
+        return df
+    return df.repartition(target)
 
 
 def _run_scoped_store_path(spark: SparkSession, name: str, sf_dir: str) -> str:
@@ -106,6 +129,26 @@ def _run_scoped_store_path(spark: SparkSession, name: str, sf_dir: str) -> str:
     return os.path.join(
         SparkFiles.getRootDirectory(),
         f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
+def _bpe_fit_encode(
+    spark: SparkSession, sf_dir: str, store_name: str, k: int = 5
+) -> DataFrame:
+    """Shared fit-then-encode prelude of the BPE-lifecycle queries
+    (bpe_encode_k5, pack_sequences_bpe, bpe_token_length_hist,
+    temperature_mixture_tokens): fit + persist a k-merge vocabulary,
+    then tokenize the corpus against the store. The FIT reads the
+    plain scan — its cost lives on the vocabulary-sized table, and a
+    wide input only adds shuffle to the vocab build — while the
+    per-word ENCODE fold reads the rebalanced scan (:func:`_t_wide`),
+    the stage the r15 undersplit-scan profile showed serialized."""
+    from sensor_data_pipeline___spark.operators import text as T
+
+    path = _run_scoped_store_path(spark, store_name, sf_dir)
+    T.save_bpe_vocab(_t(spark, sf_dir, "documents"), path, k=k)
+    return T.encode_against_vocab(
+        spark, path, _t_wide(spark, sf_dir, "documents")
     )
 
 
@@ -7112,16 +7155,7 @@ def _bpe_encode_oracle() -> str:
     _bpe_encode_oracle(),
 )
 def q_bpe_encode_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sensor_data_pipeline___spark.operators import text as T
-
-    # Fit reads the plain scan (its cost lives on the vocabulary-sized
-    # table, not the corpus); only the per-word ENCODE fold is wide.
-    docs = _t(spark, sf_dir, "documents")
-    path = _run_scoped_store_path(spark, "bpe_vocab_k5", sf_dir)
-    T.save_bpe_vocab(docs, path, k=5)
-    return T.encode_against_vocab(
-        spark, path, _t_wide(spark, sf_dir, "documents")
-    )
+    return _bpe_fit_encode(spark, sf_dir, "bpe_vocab_k5")
 
 
 def _pack_bpe_oracle() -> str:
@@ -7170,14 +7204,9 @@ def _pack_bpe_oracle() -> str:
     _pack_bpe_oracle(),
 )
 def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sensor_data_pipeline___spark.operators import text as T
-
-    docs = _t(spark, sf_dir, "documents")
-    path = _run_scoped_store_path(spark, "bpe_vocab_pack", sf_dir)
-    T.save_bpe_vocab(docs, path, k=5)
-    counts = T.encode_against_vocab(
-        spark, path, _t_wide(spark, sf_dir, "documents")
-    ).select("doc_id", "n_tokens")
+    counts = _bpe_fit_encode(spark, sf_dir, "bpe_vocab_pack").select(
+        "doc_id", "n_tokens"
+    )
     return _pack_chunk_spans(spark, counts, budget=2048)
 
 
@@ -7217,15 +7246,8 @@ def _bpe_tok_hist_oracle() -> str:
     _bpe_tok_hist_oracle(),
 )
 def q_bpe_token_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sensor_data_pipeline___spark.operators import text as T
-
-    docs = _t(spark, sf_dir, "documents")
-    path = _run_scoped_store_path(spark, "bpe_vocab_hist", sf_dir)
-    T.save_bpe_vocab(docs, path, k=5)
     toks = (
-        T.encode_against_vocab(
-            spark, path, _t_wide(spark, sf_dir, "documents")
-        )
+        _bpe_fit_encode(spark, sf_dir, "bpe_vocab_hist")
         .select(F.explode(F.split("encoded", " ")).alias("tok"))
         .filter(F.length("tok") > 0)
     )
@@ -8214,17 +8236,11 @@ def q_temperature_mixture_tokens(
     from sensor_data_pipeline___spark.operators.export import (
         temperature_sample_tokens,
     )
-    from sensor_data_pipeline___spark.operators.text import (
-        encode_against_vocab,
-        save_bpe_vocab,
-    )
 
     docs = _t(spark, sf_dir, "documents")
-    path = _run_scoped_store_path(spark, "bpe_mix_vocab", sf_dir)
-    save_bpe_vocab(docs, path, k=5)
-    enc = encode_against_vocab(
-        spark, path, _t_wide(spark, sf_dir, "documents")
-    ).select("doc_id", "n_tokens")
+    enc = _bpe_fit_encode(spark, sf_dir, "bpe_mix_vocab").select(
+        "doc_id", "n_tokens"
+    )
     keyed = docs.select("doc_id", "source").join(enc, "doc_id")
     return temperature_sample_tokens(
         keyed, "source", "doc_id", "n_tokens", budget_total=20000

@@ -444,21 +444,35 @@ def test_t_wide_rebalances_only_undersplit_scans(spark):
 
     target = spark.sparkContext.defaultParallelism
     plain = _t(spark, SF, "documents")
-    wide = _t_wide(spark, SF, "documents")
-    if plain.rdd.getNumPartitions() < target:
-        assert wide.rdd.getNumPartitions() == target
-        assert "Exchange" in explain.formatted_plan(wide)
-    # already-wide inputs pass through with no added exchange
-    prewide = plain.repartition(target + 7)
     import sensor_data_pipeline___spark.queries as Q
 
     orig = Q.readers.table
+
+    def _with_input(df):
+        try:
+            Q.readers.table = lambda *_a, **_k: df
+            return _t_wide(spark, SF, "documents")
+        finally:
+            Q.readers.table = orig
+
+    # engage branch, pinned DETERMINISTICALLY (not gated on how this
+    # environment happens to split the scan): a 1-partition input must
+    # come back at exactly default parallelism, via an exchange
+    narrow = plain.coalesce(1)
+    wide = _with_input(narrow)
+    assert wide.rdd.getNumPartitions() == target
+    assert "Exchange" in explain.formatted_plan(wide)
+    # no-op branch 1: already-wide inputs pass through untouched
+    prewide = plain.repartition(target + 7)
+    assert _with_input(prewide) is prewide
+    # no-op branch 2: the size gate — an undersplit input whose scan
+    # estimate exceeds the cap must NOT be shuffled
+    cap = Q._T_WIDE_MAX_BYTES
     try:
-        Q.readers.table = lambda *_a, **_k: prewide
-        untouched = _t_wide(spark, SF, "documents")
+        Q._T_WIDE_MAX_BYTES = 0
+        assert _with_input(narrow) is narrow
     finally:
-        Q.readers.table = orig
-    assert untouched is prewide  # no wrapper, no shuffle added
+        Q._T_WIDE_MAX_BYTES = cap
     # same rows either way
     a = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in wide.select("doc_id").collect())
