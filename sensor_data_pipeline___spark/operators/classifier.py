@@ -261,18 +261,32 @@ def fit_linear_classifier(
                     )
                 ).alias("_r"),
             )
-            # NOT checkpointed, deliberately: resid feeds both rtot
-            # and grad, but ReuseExchange already shares the score
-            # shuffle between the two subtrees, and materializing
-            # resid costs more than recomputing the post-shuffle
-            # remainder — measured 7.5 s (checkpoint) vs 5.9 s
-            # (recompute) per fit at sf0.1 (review r12, adjudicated)
+            # NOT checkpointed, deliberately: resid feeds only grad
+            # now (see below), so there is nothing to share
         )
-        rtot = resid.agg(_dec_sum(F.col("_r")).alias("_R"))
         grad = (
             feats.join(resid, id_col)
             .groupBy("bucket")
             .agg(_dec_sum(F.col("x") * F.col("_r")).alias("_g"))
+            # checkpoint the bucket-sized gradient so rtot below reads
+            # these few hundred rows instead of re-running the score
+            # shuffle. BEFORE r15 rtot was resid.agg(Σ r) — a separate
+            # broadcast-build job that recomputed the whole
+            # feats⋈w → per-doc score shuffle a second time per
+            # iteration (ReuseExchange only shares subtrees within ONE
+            # job; the rtot broadcast and the w-checkpoint are two).
+            .localCheckpoint(eager=True)
+        )
+        # Σ_d r(d) == the bias bucket's gradient, BIT-EXACTLY: every
+        # doc carries the bias feature with x = 1.0 (featurize_hashed),
+        # 1.0 * r is an exact IEEE identity, the decimal cast of equal
+        # doubles is equal, and the decimal sum is exact hence
+        # order-insensitive — so reading _R off the checkpointed grad
+        # row changes no value the oracle hashes. The agg wrapper
+        # guarantees the one-row shape rtot always had (sum over the
+        # single bias row is that value, exactly).
+        rtot = grad.filter(F.col("bucket") == BIAS_BUCKET).agg(
+            F.sum("_g").alias("_R")
         )
         w = (
             w.join(grad, "bucket", "left")

@@ -1285,12 +1285,25 @@ def simhash_near_dup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    materialize_fp: bool = True,
 ) -> DataFrame:
     """Near-dup pairs = simhash fingerprints within ``max_hamming`` bits,
     blocked on the fingerprint's high ``prefix_bits`` (docs differing
     inside the prefix are missed — the standard recall/cost trade;
-    production runs 4 rotated prefix tables for exact ≤3-bit recall)."""
+    production runs 4 rotated prefix tables for exact ≤3-bit recall).
+
+    ``materialize_fp`` (default): the fingerprint table is eagerly
+    ``localCheckpoint``-ed before the self-join (r15): the two join
+    sides otherwise each recompute the whole tokenize+hash+majority-
+    vote pipeline — the query's dominant cost — because a broadcast
+    subtree can never ReuseExchange with a shuffle subtree. The
+    checkpoint materializes the doc-sized narrow (id, fingerprint)
+    frame once; both sides then read blocks. Opt out for mid-plan
+    inputs whose exchanges the enclosing job reuses (see
+    :func:`simhash_near_dup_exact`)."""
     fp = simhash(docs, text_col, id_col)
+    if materialize_fp:
+        fp = fp.localCheckpoint(eager=True)
     blocked = fp.withColumn(
         "block", F.shiftrightunsigned(F.col("simhash64"), 64 - prefix_bits)
     )
@@ -1318,6 +1331,7 @@ def simhash_near_dup_exact(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    materialize_fp: bool = True,
 ) -> DataFrame:
     """Near-dup pairs at Hamming <= ``max_hamming`` with EXACT recall —
     the oracle-gradable twin of :func:`simhash_near_dup` (VERDICT r8
@@ -1335,7 +1349,21 @@ def simhash_near_dup_exact(
 
     Physical shape: one shuffle keyed by (segment_idx, segment_value)
     — ``max_hamming + 1`` rows per doc, never an unblocked self-join;
-    verification is bit_count(xor) on the joined fingerprints.
+    verification is bit_count(xor) on the joined fingerprints. With
+    ``materialize_fp`` (the default) the fingerprint table is eagerly
+    ``localCheckpoint``-ed before the self-join (r15): the
+    md5-per-token + 60-majority-vote pipeline is the dominant cost and
+    the planner computed it ONCE PER JOIN SIDE (the plan put one side
+    under a BroadcastExchange, so ReuseExchange could never fire
+    across the two subtrees); materializing the doc-sized narrow
+    (id, fingerprint) frame halves the heavy work and is what both
+    sides of the join then read. Pass ``materialize_fp=False`` when
+    ``docs`` is itself a mid-plan frame inside a larger single-action
+    query whose OTHER branches share its exchanges (the release_audit
+    posture: its reps lineage is reused across the audit's branches at
+    runtime, and an eager side-job re-pays the clusters shuffle
+    instead — measured slower both ways at sf0.1, interleaved
+    fresh-JVM arms, SCALING.md r15 addendum 4).
 
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
@@ -1346,6 +1374,8 @@ def simhash_near_dup_exact(
     seg_bits = bits // segs
     seg_mask = (1 << seg_bits) - 1
     fp = simhash_md5c60(docs, text_col, id_col)
+    if materialize_fp:
+        fp = fp.localCheckpoint(eager=True)
     blocked = fp.select(
         id_col,
         "simhash60",

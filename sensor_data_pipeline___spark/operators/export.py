@@ -676,9 +676,19 @@ def release_audit(
         )
         .withColumnRenamed(id_col, "_keeper")
     )
-    # rep-level near-dup structure: pairs among DISTINCT texts only
+    # rep-level near-dup structure: pairs among DISTINCT texts only.
+    # materialize_fp=False (r15): reps is a mid-plan frame whose
+    # clusters shuffle the audit's other branches reuse at runtime —
+    # an eager fingerprint side-job re-pays that shuffle and measured
+    # SLOWER here (interleaved fresh-JVM arms, both audit queries),
+    # while the default materialization wins for the standalone
+    # raw-scan queries. Cost-gated both ways, per the r15 rule.
     pairs = simhash_near_dup_exact(
-        reps.select(id_col, text_col), text_col, id_col, max_hamming
+        reps.select(id_col, text_col),
+        text_col,
+        id_col,
+        max_hamming,
+        materialize_fp=False,
     )
     edges = pairs.select(
         F.col("doc_a").alias("_rep"), F.col("doc_b").alias("_nbr")

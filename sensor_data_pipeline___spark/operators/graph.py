@@ -76,7 +76,16 @@ def pagerank(
         # an empty edge list has no nodes to rank — return the empty
         # (node, rank) frame instead of a ZeroDivisionError from 1/n
         return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
-    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    # iteration-INVARIANT out-weight table, materialized once (r15):
+    # both per-iteration jobs (the dangling broadcast build and the
+    # ranks checkpoint) referenced it, so it was re-aggregated from
+    # the edge blocks 2×iters times. Node-sized narrow frame; the
+    # values are unchanged (integer-valued doubles sum exactly).
+    outw = (
+        e.groupBy("src")
+        .agg(F.sum("w").alias("tw"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):

@@ -434,7 +434,17 @@ def unigram_lm_scores(
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    # the vocabulary table is checkpointed (r15): it feeds BOTH the
+    # broadcast total (its own job) and the scoring join — without the
+    # materialization the corpus-wide explode + groupBy(token) pass
+    # ran once per consumer. Vocabulary-sized, a fraction of corpus
+    # bytes at any scale; token counts are integers, so the values are
+    # bit-identical however many times they are (re)computed.
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("double").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = freq.agg(F.sum("c").alias("t"))
     scored = toks.join(freq, "tok").crossJoin(F.broadcast(total))
     return (

@@ -7702,7 +7702,13 @@ def _classifier_fit_score(spark: SparkSession, sf_dir: str):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    feats = featurize_hashed(docs)
+    # localCheckpoint (r15): feats feeds BOTH the fit (which
+    # materializes its own internal copy) and the scoring pass —
+    # without this the explode + md5-per-token featurization re-ran
+    # from the scan for scoring. One narrow (id, bucket, x)
+    # materialization; the fit's internal re-checkpoint then copies
+    # blocks instead of recomputing the hash pass.
+    feats = featurize_hashed(docs).localCheckpoint(eager=True)
     labels = docs.select(
         "doc_id",
         F.when(F.col("n_chars") >= 150, F.lit(1.0))
@@ -7968,7 +7974,11 @@ def q_quality_classifier_bigram_eval(
     )
 
     docs = _t(spark, sf_dir, "documents")
-    feats = featurize_hashed(docs, bigrams=True)
+    # localCheckpoint (r15): same fit+score dual consumption as
+    # _classifier_fit_score — see the note there
+    feats = featurize_hashed(docs, bigrams=True).localCheckpoint(
+        eager=True
+    )
     labels = docs.select(
         "doc_id",
         F.when(F.col("n_chars") >= 150, F.lit(1.0))
@@ -8241,7 +8251,19 @@ def q_temperature_mixture_tokens(
     enc = _bpe_fit_encode(spark, sf_dir, "bpe_mix_vocab").select(
         "doc_id", "n_tokens"
     )
-    keyed = docs.select("doc_id", "source").join(enc, "doc_id")
+    # localCheckpoint (r15): temperature_sample_tokens consumes its
+    # input TWICE — the quota aggregation is built into a broadcast
+    # (its own job) before the admission window runs — so without the
+    # checkpoint the interpreted BPE encode fold, the query's dominant
+    # cost, executed once per consumer. Materializing the narrow
+    # (doc_id, source, n_tokens) frame costs one corpus-scan-sized
+    # write of ~24 B/row; the saved second encode is orders of
+    # magnitude more at every scale.
+    keyed = (
+        docs.select("doc_id", "source")
+        .join(enc, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     return temperature_sample_tokens(
         keyed, "source", "doc_id", "n_tokens", budget_total=20000
     ).select("doc_id", "source", "n_tokens")
