@@ -70,7 +70,7 @@ extension set (BASELINE.json), alongside dedup/DSIR/decontamination.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sensor_data_pipeline___spark.operators._caches import BoundedCache
@@ -190,6 +190,7 @@ def fit_linear_classifier(
     lr: float = LR,
     id_col: str = "doc_id",
     label_col: str = "label",
+    feats_materialized: bool = False,
 ) -> DataFrame:
     """``(bucket, m, w)`` after ``iters`` full-batch gradient steps
     from w=0 on labels in {0,1}, over mean-centered features (sparse
@@ -215,8 +216,26 @@ def fit_linear_classifier(
     gradient's inner join drops those docs, making fit and score
     inconsistent. Featurize the labeled subset, not the corpus
     (advisor r12; a semi-join here would hide the mismatch at a
-    per-fit shuffle cost instead of surfacing the caller bug)."""
-    feats = feats.localCheckpoint(eager=True)
+    per-fit shuffle cost instead of surfacing the caller bug).
+
+    CONTRACT (advisor r15): every labeled document must carry the
+    BIAS feature row (``bucket = BIAS_BUCKET, x = 1.0``), which
+    :func:`featurize_hashed` always emits. The per-iteration residual
+    total ``R = Σ_d r(d)`` is read off the bias bucket's gradient —
+    bit-exactly equal because ``1.0 · r`` is an exact IEEE identity
+    and the decimal sum is exact — so custom features WITHOUT bias
+    rows would yield a NULL ``R`` and all-NULL weights rather than a
+    skewed fit. Use :func:`featurize_hashed` (or replicate its bias
+    row) for any custom featurization.
+
+    ``feats_materialized=True`` declares that the caller has ALREADY
+    eagerly materialized ``feats`` (e.g. a query-level
+    ``localCheckpoint`` feeding both this fit and a scoring pass) —
+    the internal checkpoint is skipped instead of pinning a second
+    block copy of the full feature table for the fit's lifetime
+    (advisor r15)."""
+    if not feats_materialized:
+        feats = feats.localCheckpoint(eager=True)
     labels = labels.select(
         F.col(id_col), F.col(label_col).cast("double").alias("_y")
     ).localCheckpoint(eager=True)
@@ -268,29 +287,26 @@ def fit_linear_classifier(
             feats.join(resid, id_col)
             .groupBy("bucket")
             .agg(_dec_sum(F.col("x") * F.col("_r")).alias("_g"))
-            # checkpoint the bucket-sized gradient so rtot below reads
-            # these few hundred rows instead of re-running the score
-            # shuffle. BEFORE r15 rtot was resid.agg(Σ r) — a separate
-            # broadcast-build job that recomputed the whole
-            # feats⋈w → per-doc score shuffle a second time per
-            # iteration (ReuseExchange only shares subtrees within ONE
-            # job; the rtot broadcast and the w-checkpoint are two).
-            .localCheckpoint(eager=True)
         )
         # Σ_d r(d) == the bias bucket's gradient, BIT-EXACTLY: every
         # doc carries the bias feature with x = 1.0 (featurize_hashed),
         # 1.0 * r is an exact IEEE identity, the decimal cast of equal
         # doubles is equal, and the decimal sum is exact hence
-        # order-insensitive — so reading _R off the checkpointed grad
-        # row changes no value the oracle hashes. The agg wrapper
-        # guarantees the one-row shape rtot always had (sum over the
-        # single bias row is that value, exactly).
-        rtot = grad.filter(F.col("bucket") == BIAS_BUCKET).agg(
-            F.sum("_g").alias("_R")
-        )
+        # order-insensitive. r16: _R is read via an UNPARTITIONED
+        # window over the bucket-sized joined frame (≤ n_buckets+1
+        # rows by construction, one tiny SinglePartition exchange), so
+        # the gradient shuffle, the _R read and the weight update all
+        # ride the ONE w-checkpoint job — before r16 the gradient was
+        # checkpointed in its own job and _R was a separate
+        # broadcast-build job (3 jobs/iteration → 1, and no pinned
+        # per-iteration gradient blocks). sum() skips the NULL _g of
+        # buckets absent from grad and sees exactly the single bias
+        # row — the same one-row sum rtot always was.
+        _R = F.sum(
+            F.when(F.col("bucket") == BIAS_BUCKET, F.col("_g"))
+        ).over(Window.partitionBy())
         w = (
             w.join(grad, "bucket", "left")
-            .crossJoin(F.broadcast(rtot))
             .select(
                 "bucket",
                 "m",
@@ -299,7 +315,7 @@ def fit_linear_classifier(
                     + F.lit(step)
                     * (
                         F.coalesce(F.col("_g"), F.lit(0.0))
-                        - F.col("m") * F.col("_R")
+                        - F.col("m") * _R
                     )
                 ).alias("w"),
             )

@@ -88,6 +88,7 @@ def hashed_ngram_buckets(
     n_buckets: int = N_BUCKETS,
     salt: str = "dsir-v1",
     hash_kind: str = "md5",
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """(id, bucket) — one row per gram OCCURRENCE: the document's
     unigrams plus adjacent bigrams, hashed into ``n_buckets``.
@@ -96,7 +97,11 @@ def hashed_ngram_buckets(
     token array with its own tail (the ``top_bigrams`` shape — no
     per-index slicing), concatenated onto the unigrams, and exploded
     once. Null tail pads (the zip's last element) are filtered inside
-    the array before the explode."""
+    the array before the explode.
+
+    ``extra_cols`` names input columns to carry through unchanged
+    (e.g. the target-membership flag of
+    :func:`save_dsir_index`'s one-pass subset fit)."""
     t = F.split(F.col(text_col), " ")
     tail = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
     bigrams = F.filter(
@@ -106,10 +111,12 @@ def hashed_ngram_buckets(
         ),
         lambda x: x.isNotNull(),
     )
+    keep = [F.col(c) for c in extra_cols]
     return docs.select(
-        F.col(id_col), F.explode(F.concat(t, bigrams)).alias("_g")
+        F.col(id_col), *keep, F.explode(F.concat(t, bigrams)).alias("_g")
     ).select(
         id_col,
+        *keep,
         _bucket(F.col("_g"), salt, n_buckets, hash_kind).alias("bucket"),
     )
 
@@ -242,7 +249,7 @@ _META_CACHE: dict = BoundedCache()
 
 
 def save_dsir_index(
-    target: DataFrame,
+    target: "DataFrame | None",
     raw_sample: DataFrame,
     path: str,
     text_col: str = "text",
@@ -250,6 +257,7 @@ def save_dsir_index(
     n_buckets: int = N_BUCKETS,
     salt: str = "dsir-v1",
     hash_kind: str = "md5",
+    target_pred: "Column | None" = None,
 ) -> None:
     """Fit the DSIR scorer ONCE and persist it: the target and
     raw-reference hashed-ngram bucket counts (sparse — observed buckets
@@ -269,45 +277,71 @@ def save_dsir_index(
     ``"xxhash64"`` for the hot streaming ingest gate (the
     ``classifier.save_classifier`` precedent). Recorded in ``meta/``;
     :func:`dsir_weights_against_index` replays the recorded kind, so
-    fit and probe can never mismatch."""
+    fit and probe can never mismatch.
+
+    ``target_pred`` (r16): when the target corpus is a PREDICATE-
+    DEFINED SUBSET of ``raw_sample`` (the common fit shape — e.g.
+    target = the English slice of the reference sample), pass the
+    predicate here and ``target=None``: both count tables then come
+    from ONE gram pass over ``raw_sample`` with a conditional
+    aggregate, instead of tokenizing + hashing the target slice a
+    second time. Exact, not an approximation: every target gram IS a
+    raw gram under the subset relation, so per-bucket
+    ``ct = count(rows where pred)`` and ``cr = count(*)`` equal the
+    two-pass counts row for row (pinned by test)."""
     _META_CACHE.pop(path, None)
     from sensor_data_pipeline___spark.operators import _probe_cache
     from sensor_data_pipeline___spark.operators._local import local_df
 
     _probe_cache.invalidate(path)  # counts are rewritten under this root
 
-    tf = hashed_ngram_buckets(
-        target, text_col, id_col, n_buckets, salt, hash_kind
-    )
-    rf = hashed_ngram_buckets(
-        raw_sample, text_col, id_col, n_buckets, salt, hash_kind
-    )
-    counts = (
-        tf.groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
-        .join(
-            rf.groupBy("bucket").agg(F.count("*").alias("cr")),
-            "bucket",
-            "full_outer",
+    if target_pred is not None:
+        if target is not None:
+            raise ValueError(
+                "pass either target or target_pred, not both"
+            )
+        bf = hashed_ngram_buckets(
+            raw_sample.withColumn("_is_t", target_pred),
+            text_col, id_col, n_buckets, salt, hash_kind,
+            extra_cols=("_is_t",),
         )
-        .select(
-            "bucket",
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-            F.coalesce("cr", F.lit(0)).alias("cr"),
+        counts = bf.groupBy("bucket").agg(
+            F.count(F.when(F.col("_is_t"), F.lit(1))).alias("ct"),
+            F.count("*").alias("cr"),
         )
-    )
+    else:
+        tf = hashed_ngram_buckets(
+            target, text_col, id_col, n_buckets, salt, hash_kind
+        )
+        rf = hashed_ngram_buckets(
+            raw_sample, text_col, id_col, n_buckets, salt, hash_kind
+        )
+        counts = (
+            tf.groupBy("bucket")
+            .agg(F.count("*").alias("ct"))
+            .join(
+                rf.groupBy("bucket").agg(F.count("*").alias("cr")),
+                "bucket",
+                "full_outer",
+            )
+            .select(
+                "bucket",
+                F.coalesce("ct", F.lit(0)).alias("ct"),
+                F.coalesce("cr", F.lit(0)).alias("cr"),
+            )
+        )
     counts.coalesce(1).write.mode("overwrite").parquet(path + "/counts")
     # totals from the file just written — re-aggregating `counts`
     # would replay the whole two-corpus featurize lineage a second
     # time (the fit corpora are the expensive side; the counts file
     # is <= n_buckets rows)
     totals = (
-        target.sparkSession.read.parquet(path + "/counts")
+        raw_sample.sparkSession.read.parquet(path + "/counts")
         .agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
         .first()
     )
     meta = local_df(
-        target.sparkSession,
+        raw_sample.sparkSession,
         [
             (
                 n_buckets,

@@ -669,32 +669,39 @@ def bpe_pair_counts(
     return out
 
 
-def _merge_fold(syms, left: str, right: str):
+def _rx_lit(s: str) -> str:
+    """Quote ``s`` as a LITERAL for Java regex — ``Pattern.quote``:
+    wrap in ``\\Q…\\E``, splitting around any embedded ``\\E`` so no
+    symbol text can escape the quoted region."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _rx_repl(s: str) -> str:
+    """Quote ``s`` as a LITERAL replacement for Java regex —
+    ``Matcher.quoteReplacement``: escape backslashes and ``$`` (group
+    references)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _merge_rx(col: Column, left: str, right: str) -> Column:
     """Greedy left-to-right non-overlapping application of ONE merge
-    (left, right) to a symbol array, as a codegen'd ``F.aggregate``
-    state machine carrying (prefix, last): "a a a" with merge (a,a)
-    becomes "aa a". Returns the space-joined merged symbol string —
-    symbols never contain spaces, so the join is a faithful sequence
-    encoding (the exact-replay contract with the recursive-CTE
-    oracles)."""
-
-    def step(acc, s):
-        hit = (acc["last"] == F.lit(left)) & (s == F.lit(right))
-        return F.struct(
-            F.when(hit, acc["pre"])
-            .otherwise(F.concat(acc["pre"], F.lit(" "), acc["last"]))
-            .alias("pre"),
-            F.when(hit, F.lit(left + right)).otherwise(s).alias("last"),
-        )
-
-    return F.aggregate(
-        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-        F.struct(
-            F.lit("").alias("pre"), F.element_at(syms, 1).alias("last")
-        ),
-        step,
-        lambda a: F.trim(F.concat(a["pre"], F.lit(" "), a["last"])),
-    )
+    (left, right) to a space-joined symbol string, as a single
+    codegen'd ``regexp_replace``: "a a a" with merge (a,a) becomes
+    "aa a". Java ``replaceAll`` scans left-to-right and resumes AFTER
+    each match, which IS the greedy non-overlapping fold semantics
+    (and a merged symbol is replacement text, never rescanned, so it
+    cannot re-participate in the same round — exactly the old
+    ``F.aggregate`` state machine, which compared the raw next symbol
+    against ``left``). The boundary lookarounds are zero-width —
+    ``(?<![^ ])`` / ``(?![^ ])`` — so a shared delimiter space stays
+    available to the next candidate match, and symbol-internal
+    substrings can never match (symbols never contain spaces — the
+    exact-replay contract with the recursive-CTE oracles). Replaced
+    the interpreted per-symbol struct fold in r16: higher-order
+    ``F.aggregate`` does not codegen and measured ~10× slower than
+    JVM regex on the same pass."""
+    pat = f"(?<![^ ]){_rx_lit(left)} {_rx_lit(right)}(?![^ ])"
+    return F.regexp_replace(col, pat, _rx_repl(left + right))
 
 
 def _learn_merges(
@@ -747,7 +754,7 @@ def _learn_merges(
         left, right = pair.split(" ")
         merges.append((rnd, pair, int(n)))
         vocab = vocab.select(
-            _merge_fold(syms, left, right).alias("s"), "freq"
+            _merge_rx(F.col("s"), left, right).alias("s"), "freq"
         ).localCheckpoint(eager=True)
     return merges
 
@@ -981,7 +988,7 @@ def encode_against_vocab(
     ``(id_col, n_tokens, encoded)`` where ``encoded`` is the
     space-joined BPE token sequence (symbols never contain spaces, so
     the join is a faithful sequence encoding — the same exact-replay
-    contract as :func:`_merge_fold`) and ``n_tokens`` counts REAL
+    contract as :func:`_merge_rx`) and ``n_tokens`` counts REAL
     learned-vocabulary tokens, the number :func:`queries.pack_sequences`
     wants instead of whitespace word counts.
 
@@ -990,7 +997,7 @@ def encode_against_vocab(
 
     - ``inline`` (auto for k ≤ 64): map-only — each word is
       char-split then folded through the k merges in rank order via
-      :func:`_merge_fold` state machines (codegen'd ``F.aggregate``,
+      :func:`_merge_rx` regexp rounds (codegen'd ``regexp_replace``,
       no UDF). NO shuffle, NO join: the merge list is k
       driver-bounded literals baked into the plan, so this is a
       narrow pass that scales with input splits — encoding never
@@ -1189,7 +1196,7 @@ def _rankdict_word_encode(
     SCALING.md r12, k up to 32768).
 
     Semantics: equivalent to the sequential full-pass-per-merge rank
-    order (:func:`_merge_fold`) for WELL-FORMED merge lists — ones
+    order (:func:`_merge_rx`) for WELL-FORMED merge lists — ones
     where each merge's operands are only producible by strictly
     earlier merges, which is what :func:`_learn_merges` /
     :func:`save_bpe_vocab` emit (a merge never re-enables an
@@ -1238,7 +1245,7 @@ def _make_rankdict_encoder(merges: "list[tuple[str, str]]"):
                 break
             left, right = merges[best]
             # one full left-to-right pass for the selected rank —
-            # exactly one _merge_fold round
+            # exactly one _merge_rx round
             out: "list[str]" = []
             i, n = 0, len(syms)
             while i < n:
@@ -1354,10 +1361,22 @@ def apply_merge_rounds(
     enrichment (``streaming/pipeline.py:corpus_ingest_stream``).
     Purely row-local and deterministic, so it is legal on streaming
     DataFrames (with the default ``checkpoint_every=0``); each merge
-    round is its OWN projection whose fold references only its
-    ``transform`` lambda variable (the linear expression shape — see
-    :func:`encode_against_vocab`'s docstring for the measured 4^k
+    round is its OWN plain projection (the linear expression shape —
+    see :func:`encode_against_vocab`'s docstring for the measured 4^k
     trap the per-round aliasing avoids).
+
+    Representation (r16): the whole document rides ONE space-joined
+    symbol string — each word char-split, words joined by a DOUBLE
+    space. Symbols never contain spaces, so a merge pattern
+    (``"L R"``, single interior space) can never match across the
+    two-space word boundary, and every merge round is a single
+    codegen'd ``regexp_replace`` over one string column
+    (:func:`_merge_rx`) instead of a per-word interpreted
+    ``F.aggregate`` fold under a ``transform`` lambda — the r15
+    undersplit profile showed this fold as the dominant CPU sink of
+    every BPE-lifecycle query, and higher-order functions never
+    codegen. The final token array splits on spaces and drops the
+    empties the double boundaries leave.
 
     ``checkpoint_every=N`` (batch only) cuts the plan with an eager
     ``localCheckpoint`` every N merge rounds — the ``_learn_merges``
@@ -1375,17 +1394,16 @@ def apply_merge_rounds(
     )
     df = df.withColumn(
         out_col,
-        F.transform(
-            words, lambda w: F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        F.array_join(
+            F.transform(
+                words, lambda w: F.trim(F.regexp_replace(w, "(.)", "$1 "))
+            ),
+            "  ",
         ),
     )
     for i, (left, right) in enumerate(merges, 1):
         df = df.withColumn(
-            out_col,
-            F.transform(
-                F.col(out_col),
-                lambda s: _merge_fold(F.split(s, " ", -1), left, right),
-            ),
+            out_col, _merge_rx(F.col(out_col), left, right)
         )
         if (
             checkpoint_every
@@ -1395,8 +1413,9 @@ def apply_merge_rounds(
             df = df.localCheckpoint(eager=True)
     return df.withColumn(
         out_col,
-        F.flatten(
-            F.transform(F.col(out_col), lambda s: F.split(s, " ", -1))
+        F.filter(
+            F.split(F.col(out_col), " ", -1),
+            lambda s: F.length(s) > 0,
         ),
     )
 

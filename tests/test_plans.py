@@ -319,8 +319,10 @@ def test_bpe_encode_is_map_only(spark, tmp_path):
     df = T.encode_against_vocab(spark, path, docs)
     plan = explain.formatted_plan(df)
     assert "Exchange" not in plan, plan
-    # one aggregate(...) fold per learned merge, each exactly once
-    assert plan.count("aggregate(slice(") == 5, plan
+    # one boundary-guarded regexp_replace round per learned merge,
+    # each exactly once (r16: the merge round is a codegen'd greedy
+    # regex pass — the (?<![^ ]) lookbehind is its unique marker)
+    assert plan.count("(?<![^ ])") == 5, plan
 
 
 def test_bpe_word_cache_encode_plan_shape(spark, tmp_path):
@@ -343,9 +345,9 @@ def test_bpe_word_cache_encode_plan_shape(spark, tmp_path):
     plan = explain.formatted_plan(df)
     # plan is cut: the checkpointed word table scans as an RDD
     assert "ExistingRDD" in plan, plan
-    # only the post-checkpoint chunk's folds remain visible (k=5,
-    # chunks of 2 -> final chunk has 1 fold), not all 5
-    assert 1 <= plan.count("aggregate(slice(") <= 2, plan
+    # only the post-checkpoint chunk's merge rounds remain visible
+    # (k=5, chunks of 2 -> final chunk has 1 round), not all 5
+    assert 1 <= plan.count("(?<![^ ])") <= 2, plan
     # corpus-side cost independent of k: explode + one join + one
     # final groupBy — no per-merge exchange anywhere
     assert plan.count("Exchange") <= 6, plan
@@ -372,7 +374,7 @@ def test_bpe_word_cache_arrow_plan_shape(spark, tmp_path):
     # explain prints each node in the tree AND in the details)
     ops = re.findall(r"\(\d+\) (\w+)", plan)
     assert ops.count("MapInPandas") == 1, plan
-    assert "aggregate(slice(" not in plan, plan
+    assert "(?<![^ ])" not in plan, plan
     # corpus-side cost independent of k; the encoded word table comes
     # back BROADCAST (suite-sized), never a corpus-sized shuffle side
     n_exch = sum(1 for o in ops if o in ("Exchange", "BroadcastExchange"))

@@ -1,7 +1,16 @@
-"""Local replica of the driver's correctness gate: run every QUERIES
-entry on Spark and its ORACLE twin on DuckDB at sf0.001, compare
+"""Local replica of the driver's correctness gate: run QUERIES
+entries on Spark and their ORACLE twins on DuckDB at sf0.001, compare
 row-count + schema width + order-insensitive value hash with columns
-sorted by name (BASELINE.md "Operative target")."""
+sorted by name (BASELINE.md "Operative target").
+
+Default scope (r16, VERDICT r15 #3): the driver-gate PRIORITY window
+(the 50 entries the driver itself oracle-checks) — the full
+196-entry replica pushed the default suite past the driver's
+verification budget, so a real regression elsewhere in the suite
+became invisible (``tests_ok: false`` by truncation). Set
+``SPARK_GRAFT_FULL_ORACLE=1`` to sweep the whole surface (the
+pre-r16 behavior; ``scripts/verify_driver.py`` also runs the full
+surface at sf0.01 on demand)."""
 
 from __future__ import annotations
 
@@ -12,10 +21,26 @@ import os
 import duckdb
 import pytest
 
+from __spark_entry__ import _PRIORITY
 from sensor_data_pipeline___spark.queries import ORACLE, QUERIES
 from sensor_data_pipeline___spark.sources.readers import TESTDATA_TABLES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+_FULL = os.environ.get("SPARK_GRAFT_FULL_ORACLE", "") == "1"
+_ORACLE_NAMES = sorted(
+    ORACLE if _FULL else (set(_PRIORITY) & set(ORACLE))
+)
+def _default_rows_only() -> "set[str]":
+    # the benched rows-only entries (e.g. the xxhash64-keyed probe
+    # twins) keep a default smoke run; the rest ride the full sweep
+    from bench import BENCH_QUERIES
+
+    return (set(_PRIORITY) | set(BENCH_QUERIES)) - set(ORACLE)
+
+
+_ROWS_ONLY_NAMES = sorted(
+    (set(QUERIES) - set(ORACLE)) if _FULL else _default_rows_only()
+)
 
 
 def _canon(value):
@@ -59,7 +84,7 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE))
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
 def test_oracle_match(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR)
     spark_cols = sdf.columns
@@ -86,7 +111,7 @@ def test_oracle_match(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+@pytest.mark.parametrize("name", _ROWS_ONLY_NAMES)
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0  # runs and has a stable schema
