@@ -753,9 +753,22 @@ def _learn_merges(
         pair, n = best[0]["pair"], best[0]["n"]
         left, right = pair.split(" ")
         merges.append((rnd, pair, int(n)))
+        if rnd == k:
+            # the post-round fold is only input to round rnd+1 — after
+            # the final argmax it is dead work (r16: was an
+            # unconditional fold + checkpoint job per round)
+            break
         vocab = vocab.select(
             _merge_rx(F.col("s"), left, right).alias("s"), "freq"
-        ).localCheckpoint(eager=True)
+        )
+        # checkpoint every other round, not every round (r16): the
+        # next round's argmax job re-runs at most ONE lazy regexp fold
+        # past the last cut — cheaper than the per-round checkpoint
+        # job it replaces — while the cadence still bounds the live
+        # plan at 2 fold rounds for any k (the apply_merge_rounds
+        # chunked posture)
+        if rnd % 2 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     return merges
 
 

@@ -60,6 +60,16 @@ def get_spark(app_name: str = "sensor_pipeline_spark", *, cpus: int | None = Non
         .config("spark.sql.shuffle.partitions", str(max(n, 4)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1/§9): skips both sides'
+        # sorts on the doc-sized equi-joins (release_audit's spine,
+        # the dedup composites). Scale posture: per-partition build
+        # sides stay bounded by AQE's advisory sizing + skew split
+        # (both on), and Spark still falls back to SMJ when the
+        # conditions fail — this is the documented reasonable default
+        # for batch ETL, not a local-mode twiddle. Measured r16:
+        # release_audit family −8-12%, no query slower (SCALING.md).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
